@@ -1,0 +1,257 @@
+"""Time-major multi-layer LSTM built on ``lax.scan``.
+
+TPU-native replacement for the reference's fused CUDA LSTM
+(reference: training/lib/csrc/lstm.cu, training/lib/src/rnnt_ext/custom_lstm/lstm.py).
+
+Design notes (TPU-first, not a translation):
+
+- The input projection ``x @ W_ih^T`` for *all* timesteps is a single large
+  matmul (maps onto the MXU as one [T*B, I] x [I, 4H] GEMM), mirroring the
+  reference's one-shot ``addmm`` but letting XLA pick the tiling.
+- The sequential part is a ``lax.scan`` whose per-step work is one
+  [B, H] x [H, 4H] MXU matmul plus fused VPU gate math. XLA keeps the carry
+  in VMEM/registers; there is no per-step kernel-launch overhead on TPU.
+- The cell state is carried in float32 regardless of the compute dtype
+  (bf16 matmuls with fp32 accumulation via ``preferred_element_type``),
+  matching the numerical behaviour the reference gets from CUDA's
+  ``at::acc_type`` accumulators.
+- ``hard=True`` switches to the FPGA-parity hard activations
+  (hard-sigmoid ``clip(0.5 + z/8, 0, 1)``, hard-tanh ``clip(z, -1, 1)``;
+  reference: lib/csrc/lstm.cu Math<Kind::hard>). These are exactly
+  representable, so a model trained hard can be served on fixed-point
+  hardware bit-for-bit.
+- All per-step hidden/cell states are returned (the reference does the same,
+  lstm.py:76-93) because streaming state extraction (random state passing)
+  needs the state at the last *non-padded* step of each batch element.
+
+Weight layout per layer (PyTorch-compatible gate order i, f, g, o):
+  ``w_ih [4H, I]``, ``w_hh [4H, H]``, ``b_ih [4H]``, ``b_hh [4H]``.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, Any]
+
+
+def hard_sigmoid(z: jax.Array) -> jax.Array:
+    """FPGA-parity hard sigmoid: clip(0.5 + z/8, 0, 1)."""
+    return jnp.clip(0.5 + z * 0.125, 0.0, 1.0)
+
+
+def hard_tanh(z: jax.Array) -> jax.Array:
+    """FPGA-parity hard tanh: clip(z, -1, 1)."""
+    return jnp.clip(z, -1.0, 1.0)
+
+
+def init_lstm_layer(
+    key: jax.Array,
+    input_size: int,
+    hidden_size: int,
+    *,
+    forget_gate_bias: Optional[float] = 1.0,
+    weights_init_scale: float = 1.0,
+    hidden_hidden_bias_scale: float = 0.0,
+    dtype=jnp.float32,
+) -> Params:
+    """Uniform(-1/sqrt(H), 1/sqrt(H)) init with the reference's bias policy.
+
+    Reference: lib/src/rnnt_ext/custom_lstm/lstm.py:211-215 (uniform init) and
+    caiman_asr_train/rnnt/rnn.py:150-161 (weights_init_scale, forget-gate bias
+    fill on b_ih, hidden_hidden_bias_scale on b_hh).
+    """
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    rsh = 1.0 / math.sqrt(hidden_size)
+    H = hidden_size
+
+    def u(k, shape):
+        return jax.random.uniform(k, shape, dtype=jnp.float32, minval=-rsh, maxval=rsh)
+
+    w_ih = u(k1, (4 * H, input_size)) * weights_init_scale
+    w_hh = u(k2, (4 * H, H)) * weights_init_scale
+    b_ih = u(k3, (4 * H,)) * weights_init_scale
+    b_hh = u(k4, (4 * H,)) * weights_init_scale
+    if forget_gate_bias is not None:
+        b_ih = b_ih.at[H : 2 * H].set(forget_gate_bias)
+        b_hh = b_hh.at[H : 2 * H].multiply(hidden_hidden_bias_scale)
+    return {
+        "w_ih": w_ih.astype(dtype),
+        "w_hh": w_hh.astype(dtype),
+        "b_ih": b_ih.astype(dtype),
+        "b_hh": b_hh.astype(dtype),
+    }
+
+
+def init_lstm(
+    key: jax.Array,
+    input_size: int,
+    hidden_size: int,
+    num_layers: int,
+    **kw,
+) -> Params:
+    """Initialise a stack of LSTM layers: ``{"layer_0": {...}, ...}``."""
+    keys = jax.random.split(key, num_layers)
+    params = {}
+    for i in range(num_layers):
+        in_size = input_size if i == 0 else hidden_size
+        params[f"layer_{i}"] = init_lstm_layer(keys[i], in_size, hidden_size, **kw)
+    return params
+
+
+def _gate_math(gates: jax.Array, c: jax.Array, hard: bool) -> Tuple[jax.Array, jax.Array]:
+    """Fused LSTM gate computation. gates: [..., 4H] fp32; c: [..., H] fp32."""
+    H = c.shape[-1]
+    i = gates[..., 0 * H : 1 * H]
+    f = gates[..., 1 * H : 2 * H]
+    g = gates[..., 2 * H : 3 * H]
+    o = gates[..., 3 * H : 4 * H]
+    sig = hard_sigmoid if hard else jax.nn.sigmoid
+    tnh = hard_tanh if hard else jnp.tanh
+    c_new = sig(f) * c + sig(i) * tnh(g)
+    h_new = sig(o) * tnh(c_new)
+    return h_new, c_new
+
+
+def run_lstm_layer(
+    params: Params,
+    x: jax.Array,
+    h0: jax.Array,
+    c0: jax.Array,
+    *,
+    hard: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Run one LSTM layer over a time-major sequence.
+
+    Args:
+      x: [T, B, I] input sequence.
+      h0, c0: [B, H] initial states.
+
+    Returns:
+      (ys, cs): all hidden and cell states, each [T, B, H], in x.dtype.
+    """
+    T, B, _ = x.shape
+    dtype = x.dtype
+    w_ih_t = params["w_ih"].astype(dtype).T  # [I, 4H]
+    w_hh_t = params["w_hh"].astype(dtype).T  # [H, 4H]
+    bias = (params["b_ih"] + params["b_hh"]).astype(jnp.float32)
+
+    # One big MXU matmul for the input projection across all timesteps.
+    gates_x = (
+        jnp.dot(x.reshape(T * B, -1), w_ih_t, preferred_element_type=jnp.float32)
+        .reshape(T, B, -1)
+        + bias
+    )
+
+    def step(carry, gx):
+        h, c = carry  # h: [B, H] dtype, c: [B, H] fp32
+        gates = gx + jnp.dot(h, w_hh_t, preferred_element_type=jnp.float32)
+        h_new, c_new = _gate_math(gates, c, hard)
+        h_out = h_new.astype(dtype)
+        return (h_out, c_new), (h_out, c_new.astype(dtype))
+
+    (_, _), (ys, cs) = lax.scan(
+        step, (h0.astype(dtype), c0.astype(jnp.float32)), gates_x
+    )
+    return ys, cs
+
+
+def run_lstm(
+    params: Params,
+    x: jax.Array,
+    state: Optional[Tuple[jax.Array, jax.Array]] = None,
+    *,
+    hard: bool = False,
+    dropout: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
+    """Run a multi-layer LSTM stack.
+
+    Mirrors the reference CustomLSTM contract
+    (lib/src/rnnt_ext/custom_lstm/lstm.py:329-399): returns
+    ``(output, (h_n, c_n), (all_h, all_c))`` where ``output`` is [T, B, H],
+    ``h_n``/``c_n`` are [L, B, H] final states and ``all_h``/``all_c`` are
+    [L, T, B, H] every state of every layer (needed for streaming state
+    extraction at per-utterance sequence ends).
+
+    Inter-layer dropout (and output dropout, matching rnnt/rnn.py:205-206)
+    is applied when ``train`` and ``dropout > 0``.
+    """
+    num_layers = len(params)
+    T, B, _ = x.shape
+    H = params["layer_0"]["w_hh"].shape[1]
+
+    use_dropout = train and dropout > 0.0
+    if use_dropout and rng is None:
+        raise ValueError("dropout requires an rng key")
+
+    all_h, all_c = [], []
+    out = x
+    for i in range(num_layers):
+        if i > 0 and use_dropout:
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout, out.shape)
+            out = jnp.where(keep, out / (1.0 - dropout), 0.0).astype(out.dtype)
+        if state is None:
+            h0 = jnp.zeros((B, H), dtype=x.dtype)
+            c0 = jnp.zeros((B, H), dtype=x.dtype)
+        else:
+            h0 = lax.stop_gradient(state[0][i])
+            c0 = lax.stop_gradient(state[1][i])
+        ys, cs = run_lstm_layer(params[f"layer_{i}"], out, h0, c0, hard=hard)
+        all_h.append(ys)
+        all_c.append(cs)
+        out = ys
+
+    if use_dropout:
+        rng, sub = jax.random.split(rng)
+        keep = jax.random.bernoulli(sub, 1.0 - dropout, out.shape)
+        out = jnp.where(keep, out / (1.0 - dropout), 0.0).astype(out.dtype)
+
+    h_n = jnp.stack([h[-1] for h in all_h], axis=0)
+    c_n = jnp.stack([c[-1] for c in all_c], axis=0)
+    return out, (h_n, c_n), (jnp.stack(all_h, 0), jnp.stack(all_c, 0))
+
+
+@partial(jax.jit, static_argnames=("hard",))
+def lstm_step(
+    params: Params,
+    x: jax.Array,
+    h: jax.Array,
+    c: jax.Array,
+    *,
+    hard: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-frame streaming step through the full stack.
+
+    Args:
+      x: [B, I] one frame.
+      h, c: [L, B, H] current states.
+
+    Returns:
+      (y, h_new, c_new) with y [B, H]. This is the per-frame inference
+      primitive for low-latency streaming (no sequence dimension at all).
+    """
+    num_layers = h.shape[0]
+    hs, cs = [], []
+    out = x
+    for i in range(num_layers):
+        p = params[f"layer_{i}"]
+        dtype = out.dtype
+        gates = (
+            jnp.dot(out, p["w_ih"].astype(dtype).T, preferred_element_type=jnp.float32)
+            + jnp.dot(h[i], p["w_hh"].astype(dtype).T, preferred_element_type=jnp.float32)
+            + (p["b_ih"] + p["b_hh"]).astype(jnp.float32)
+        )
+        h_new, c_new = _gate_math(gates, c[i].astype(jnp.float32), hard)
+        out = h_new.astype(dtype)
+        hs.append(out)
+        cs.append(c_new.astype(dtype))
+    return out, jnp.stack(hs, 0), jnp.stack(cs, 0)
