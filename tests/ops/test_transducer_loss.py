@@ -1,0 +1,231 @@
+"""Transducer loss equivalence tests.
+
+Mirrors the reference's loss test strategy
+(training/lib/tests/transducer/test_loss.py): compare against a naive
+double-precision forward-backward DP implementing the reference CUDA kernel's
+exact semantics (training/lib/csrc/transducer_loss.cu:100-263), parameterised
+over delay/EOS/star penalties and ragged lengths; check gradients against
+autodiff of a naive differentiable implementation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.special import logsumexp
+
+from caiman_asr_tpu.ops.transducer_loss import (
+    LossModifiers,
+    transducer_loss,
+    transducer_loss_from_fg,
+)
+
+
+def naive_loss_numpy(logits, labels, t_lens, u_lens, blank_idx, mods):
+    """Reference DP in float64, written directly from the recurrences in
+    Sequence Transduction with RNNs (Graves 2012) Eq. 16-18 plus the
+    reference's penalty semantics."""
+    B, T, U1, K = logits.shape
+    out = np.zeros(B)
+    for b in range(B):
+        F, G = int(t_lens[b]), int(u_lens[b]) + 1
+        x = logits[b].astype(np.float64)
+        logp = x - logsumexp(x, axis=-1, keepdims=True)
+        lab = labels[b]
+
+        def null(t, u):
+            if u > 0 and lab[u - 1] == mods.star_idx:
+                return mods.star_penalty
+            return logp[t, u, blank_idx]
+
+        def emit(t, u):
+            dp = mods.delay_penalty * ((F - 1) / 2 - t)
+            if lab[u] == mods.star_idx:
+                return dp
+            v = logp[t, u, lab[u]] + dp
+            if lab[u] == mods.eos_idx:
+                v += mods.eos_penalty * ((F - 1) / 2 - t)
+            return v
+
+        alpha = np.full((F, G), -np.inf)
+        alpha[0, 0] = 0.0
+        for t in range(F):
+            for u in range(G):
+                if t == 0 and u == 0:
+                    continue
+                terms = []
+                if t > 0:
+                    terms.append(alpha[t - 1, u] + null(t - 1, u))
+                if u > 0:
+                    terms.append(alpha[t, u - 1] + emit(t, u - 1))
+                alpha[t, u] = logsumexp(terms)
+        out[b] = -(alpha[F - 1, G - 1] + null(F - 1, G - 1))
+    return out
+
+
+def naive_loss_jnp(logits, labels, t_lens, u_lens, blank_idx, mods):
+    """Tiny differentiable python-loop version for gradient checking."""
+    B, T, U1, K = logits.shape
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    losses = []
+    for b in range(B):
+        F, G = int(t_lens[b]), int(u_lens[b]) + 1
+        lab = labels[b]
+
+        def null(t, u):
+            if u > 0 and int(lab[u - 1]) == mods.star_idx:
+                return jnp.float32(mods.star_penalty)
+            return logp[b, t, u, blank_idx]
+
+        def emit(t, u):
+            dp = mods.delay_penalty * ((F - 1) / 2 - t)
+            if int(lab[u]) == mods.star_idx:
+                return jnp.float32(dp)
+            v = logp[b, t, u, lab[u]] + dp
+            if int(lab[u]) == mods.eos_idx:
+                v = v + mods.eos_penalty * ((F - 1) / 2 - t)
+            return v
+
+        alpha = {}
+        alpha[(0, 0)] = jnp.float32(0.0)
+        for t in range(F):
+            for u in range(G):
+                if t == 0 and u == 0:
+                    continue
+                terms = []
+                if t > 0:
+                    terms.append(alpha[(t - 1, u)] + null(t - 1, u))
+                if u > 0:
+                    terms.append(alpha[(t, u - 1)] + emit(t, u - 1))
+                alpha[(t, u)] = (
+                    terms[0]
+                    if len(terms) == 1
+                    else jnp.logaddexp(terms[0], terms[1])
+                )
+        losses.append(-(alpha[(F - 1, G - 1)] + null(F - 1, G - 1)))
+    return jnp.stack(losses)
+
+
+def make_case(rng, B=3, T=8, U=5, K=11, ragged=True):
+    logits = rng.normal(size=(B, T, U + 1, K)).astype(np.float32)
+    labels = rng.integers(0, K - 1, size=(B, U)).astype(np.int32)
+    if ragged:
+        t_lens = rng.integers(U + 2, T + 1, size=B).astype(np.int32)
+        u_lens = rng.integers(1, U + 1, size=B).astype(np.int32)
+        t_lens[0], u_lens[0] = T, U
+    else:
+        t_lens = np.full(B, T, np.int32)
+        u_lens = np.full(B, U, np.int32)
+    return logits, labels, t_lens, u_lens
+
+
+MODS = [
+    LossModifiers(),
+    LossModifiers(delay_penalty=0.1),
+    LossModifiers(eos_penalty=0.3, eos_idx=2, delay_penalty=0.05),
+    LossModifiers(star_penalty=-0.7, star_idx=3),
+    LossModifiers(
+        delay_penalty=0.1, eos_penalty=0.2, eos_idx=2, star_penalty=-0.5, star_idx=3
+    ),
+]
+
+
+@pytest.mark.parametrize("mods", MODS)
+def test_loss_matches_naive_dp(mods):
+    rng = np.random.default_rng(0)
+    logits, labels, t_lens, u_lens = make_case(rng)
+    # Ensure star/eos tokens actually appear in some labels.
+    labels[0, 1] = 3
+    labels[0, 3] = 2
+    want = naive_loss_numpy(logits, labels, t_lens, u_lens, 10, mods)
+    got = transducer_loss(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(t_lens),
+        jnp.asarray(u_lens), 10, mods,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mods", MODS[:2] + MODS[4:])
+def test_grad_matches_naive_autodiff(mods):
+    rng = np.random.default_rng(1)
+    logits, labels, t_lens, u_lens = make_case(rng, B=2, T=6, U=3, K=7)
+    labels[0, 1] = 3
+    labels[1, 2] = 2
+
+    def ours(lg):
+        return transducer_loss(
+            lg, jnp.asarray(labels), jnp.asarray(t_lens), jnp.asarray(u_lens), 6, mods
+        ).sum()
+
+    def naive(lg):
+        return naive_loss_jnp(lg, labels, t_lens, u_lens, 6, mods).sum()
+
+    g_ours = jax.grad(ours)(jnp.asarray(logits))
+    g_naive = jax.grad(naive)(jnp.asarray(logits))
+    np.testing.assert_allclose(
+        np.asarray(g_ours), np.asarray(g_naive), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_empty_transcript():
+    """u_len = 0: loss is just the blank path."""
+    rng = np.random.default_rng(2)
+    logits, labels, t_lens, u_lens = make_case(rng, B=2, T=5, U=3, ragged=False)
+    u_lens = np.zeros(2, np.int32)
+    mods = LossModifiers()
+    want = naive_loss_numpy(logits, labels, t_lens, u_lens, 10, mods)
+    got = transducer_loss(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(t_lens),
+        jnp.asarray(u_lens), 10, mods,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_fg_matches_dense():
+    """transducer_loss_from_fg == dense path through an explicit joint."""
+    rng = np.random.default_rng(3)
+    B, T, U, H, K = 2, 9, 4, 16, 13
+    f = rng.normal(size=(B, T, H)).astype(np.float32)
+    g = rng.normal(size=(B, U + 1, H)).astype(np.float32)
+    w = (rng.normal(size=(K, H)) * 0.3).astype(np.float32)
+    bias = rng.normal(size=(K,)).astype(np.float32) * 0.1
+    labels = rng.integers(0, K - 1, size=(B, U)).astype(np.int32)
+    t_lens = np.array([T, T - 2], np.int32)
+    u_lens = np.array([U, U - 1], np.int32)
+    mods = LossModifiers(delay_penalty=0.05)
+
+    def dense(f, g, w, bias):
+        h = jax.nn.relu(f[:, :, None, :] + g[:, None, :, :])
+        logits = jnp.einsum("btuh,kh->btuk", h, w) + bias
+        return transducer_loss(
+            logits, jnp.asarray(labels), jnp.asarray(t_lens), jnp.asarray(u_lens),
+            K - 1, mods,
+        ).sum()
+
+    def fused(f, g, w, bias):
+        return transducer_loss_from_fg(
+            f, g, w, bias, jnp.asarray(labels), jnp.asarray(t_lens),
+            jnp.asarray(u_lens), K - 1, mods, t_chunk=4,
+        ).sum()
+
+    args = tuple(map(jnp.asarray, (f, g, w, bias)))
+    np.testing.assert_allclose(dense(*args), fused(*args), rtol=2e-5, atol=1e-5)
+
+    gd = jax.grad(dense, argnums=(0, 1, 2, 3))(*args)
+    gf = jax.grad(fused, argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(gd, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_loss_is_proper_nll():
+    """Loss must be >= 0 and finite; and jit-compilable."""
+    rng = np.random.default_rng(4)
+    logits, labels, t_lens, u_lens = make_case(rng)
+    fn = jax.jit(
+        lambda lg: transducer_loss(
+            lg, jnp.asarray(labels), jnp.asarray(t_lens), jnp.asarray(u_lens), 10
+        )
+    )
+    loss = np.asarray(fn(jnp.asarray(logits)))
+    assert np.all(np.isfinite(loss))
+    assert np.all(loss > 0)
