@@ -59,7 +59,8 @@ def normalize_transcript(
 
     masks: Dict[str, str] = {}
     for i, sym in enumerate(config.user_symbols):
-        placeholder = f"zqxmask{i}zqx"
+        # letters-only placeholder so it survives charset filtering
+        placeholder = f"zqxmask{chr(ord('a') + i)}zqx"
         masks[placeholder] = sym
         text = text.replace(sym, f" {placeholder} ")
 
