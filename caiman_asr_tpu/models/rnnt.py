@@ -215,8 +215,10 @@ class RNNT:
         if y is not None:
             emb = embed[y]  # [B, U, Hp]
         else:
+            # Lone zero-vector input (the greedy decoder's SOS step,
+            # reference: decoder.py:134-139 with model.py:374-384).
             B = batch_size if pred_state is None else pred_state[0].shape[1]
-            emb = jnp.zeros((B, 0, cfg.pred_n_hid), embed.dtype)
+            emb = jnp.zeros((B, 1, cfg.pred_n_hid), embed.dtype)
 
         if add_sos:
             B = emb.shape[0]
@@ -238,6 +240,32 @@ class RNNT:
         )
         g = _linear(params["joint_pred"], jnp.swapaxes(out, 0, 1))  # [B, U+1, Hj]
         return g, hid, all_hid
+
+    def pred_step(
+        self,
+        params: Params,
+        token: Optional[jax.Array],
+        state: Tuple[jax.Array, jax.Array],
+    ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+        """Single-token prediction-net step for decoding.
+
+        token: [B] int32 (values < n_classes-1) or None for the zero-vector
+        SOS step. state: (h, c) [L, B, Hp]. Returns (g [B, Hj], new_state).
+        """
+        from caiman_asr_tpu.ops.lstm import lstm_step
+
+        embed = params["prediction"]["embed"]
+        h, c = state
+        B = h.shape[1]
+        if token is None:
+            emb = jnp.zeros((B, self.cfg.pred_n_hid), embed.dtype)
+        else:
+            emb = embed[jnp.clip(token, 0, embed.shape[0] - 1)]
+        y, h_new, c_new = lstm_step(
+            params["prediction"]["dec_rnn"], emb, h, c, hard=self.cfg.hard_activations
+        )
+        g = _linear(params["joint_pred"], y)
+        return g, (h_new, c_new)
 
     # ------------------------------------------------------------ joint
     def joint(
