@@ -1,0 +1,227 @@
+"""Jitted training / validation step functions.
+
+TPU-native replacement for the reference's train-step machinery
+(train_utils/core.py:20-91, rnnt/model_forward.py:20-103,
+train_utils/batch_splitting.py:54-144):
+
+- **One jit-compiled function per optimizer step.** Gradient accumulation is
+  a ``lax.scan`` over microbatches inside the step (reference: Python loop,
+  train.py:212-290), so weights update once per step and XLA overlaps the
+  accumulation loop.
+- **Data parallelism for free**: the caller shards each microbatch over the
+  mesh's ``data`` axis; the loss-sum reduction makes XLA insert the gradient
+  all-reduce over ICI. No DDP wrapper, no NCCL plumbing.
+- **NaN robustness**: the reference all_gathers a NaN flag and skips the
+  batch on any rank (train_utils/core.py:20-41, train.py:274-288). Here the
+  total loss is global already, so a single ``isfinite`` check guards the
+  update; a skipped step leaves params/opt-state/EMA/step untouched.
+- **No batch splitting / no AMP GradScaler**: the fused chunked loss
+  (ops/transducer_loss.py:transducer_loss_from_fg) bounds joint memory, and
+  bf16-on-TPU needs no loss scaling.
+- **EMA** of weights after every taken step (reference train.py:58-64).
+- **Gradient noise** on encoder grads (train_utils/grad_noise_scheduler.py):
+  the std scalar is computed host-side per step (schedules.GradNoiseSchedule)
+  and passed in, so no recompilation as it decays.
+
+Batch layout (accumulation-major, time-major):
+  feats      [A, T, B, F]   float
+  feat_lens  [A, B]         int32
+  txt        [A, B, U]      int32
+  txt_lens   [A, B]         int32
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from caiman_asr_tpu.models.rnnt import RNNT
+from caiman_asr_tpu.ops.transducer_loss import LossModifiers, transducer_loss_from_fg
+
+BATCH_DIMS = {"feats": 2, "feat_lens": 1, "txt": 1, "txt_lens": 1}
+
+
+class TrainState(NamedTuple):
+    params: Any
+    ema_params: Any
+    opt_state: Any
+    step: jax.Array  # int32 scalar, counts *taken* optimizer steps
+
+
+def init_train_state(model: RNNT, optimizer, rng: jax.Array) -> TrainState:
+    params = model.init(rng)
+    return TrainState(
+        params=params,
+        ema_params=jax.tree.map(jnp.copy, params),
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _micro_loss(
+    model: RNNT,
+    params,
+    mb: Dict[str, jax.Array],
+    rng: jax.Array,
+    mods: LossModifiers,
+    denom: jax.Array,
+    blank_idx: int,
+):
+    """Normalised loss for one microbatch. feats: [T, B, F]."""
+    (f, f_lens), (g, _), _ = model.enc_pred(
+        params,
+        mb["feats"],
+        mb["feat_lens"],
+        mb["txt"],
+        mb["txt_lens"],
+        train=True,
+        rng=rng,
+    )
+    per_utt = transducer_loss_from_fg(
+        f,
+        g,
+        params["joint_fc"]["w"],
+        params["joint_fc"]["b"],
+        mb["txt"],
+        f_lens,
+        mb["txt_lens"],
+        blank_idx,
+        mods,
+    )
+    return per_utt.sum() / denom
+
+
+def make_train_step(
+    model: RNNT,
+    optimizer: optax.GradientTransformation,
+    blank_idx: int,
+    *,
+    ema_decay: float = 0.999,
+    eos_idx: int = -1,
+    star_idx: int = -1,
+    eos_penalty: float = 0.0,
+    grad_noise: bool = False,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    Returns fn(state, batch, rng, scalars) -> (state, metrics) where scalars
+    is {"delay_penalty": f32, "star_penalty": f32, "grad_noise_std": f32}
+    (host-scheduled values; traced, so no recompiles as they change).
+    """
+
+    def step_fn(
+        state: TrainState,
+        batch: Dict[str, jax.Array],
+        rng: jax.Array,
+        scalars: Dict[str, jax.Array],
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        A = batch["feats"].shape[0]
+        B = batch["feats"].shape[2]
+        denom = jnp.asarray(A * B, jnp.float32)
+        mods = LossModifiers(
+            delay_penalty=scalars["delay_penalty"],
+            eos_penalty=eos_penalty,
+            eos_idx=eos_idx,
+            star_penalty=scalars["star_penalty"],
+            star_idx=star_idx,
+        )
+
+        grad_fn = jax.value_and_grad(
+            partial(_micro_loss, model, mods=mods, denom=denom, blank_idx=blank_idx)
+        )
+
+        def accum(carry, inp):
+            grads_acc, loss_acc = carry
+            mb, i = inp
+            mb_rng = jax.random.fold_in(rng, i)
+            loss, grads = grad_fn(state.params, mb, mb_rng)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (grads_acc, loss_acc + loss), None
+
+        zero_grads = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+        (grads, total_loss), _ = lax.scan(
+            accum,
+            (zero_grads, jnp.zeros((), jnp.float32)),
+            (batch, jnp.arange(A)),
+        )
+
+        good = jnp.isfinite(total_loss)
+        # Replace non-finite grads with zeros so the (discarded) update path
+        # still computes without poisoning opt state on the taken path.
+        grads = jax.tree.map(jnp.nan_to_num, grads)
+
+        if grad_noise:
+            noise_rng = jax.random.fold_in(rng, 1 << 20)
+            leaves, treedef = jax.tree.flatten(grads["encoder"])
+            keys = jax.random.split(noise_rng, len(leaves))
+            noisy = [
+                g + scalars["grad_noise_std"] * jax.random.normal(k, g.shape, g.dtype)
+                for g, k in zip(leaves, keys)
+            ]
+            grads = dict(grads, encoder=jax.tree.unflatten(treedef, noisy))
+
+        grad_norm = optax.global_norm(grads)
+
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = jax.tree.map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            state.ema_params,
+            new_params,
+        )
+
+        pick = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(good, x, y), a, b
+        )
+        new_state = TrainState(
+            params=pick(new_params, state.params),
+            ema_params=pick(new_ema, state.ema_params),
+            opt_state=pick(new_opt_state, state.opt_state),
+            step=state.step + good.astype(jnp.int32),
+        )
+        metrics = {
+            "loss": total_loss,
+            "grad_norm": grad_norm,
+            "skipped": (~good).astype(jnp.int32),
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_val_loss_step(model: RNNT, blank_idx: int):
+    """Jitted validation loss: batch {feats [T,B,F], feat_lens, txt, txt_lens}
+    -> summed loss + utterance count (host averages across batches/hosts)."""
+
+    def val_fn(params, batch):
+        (f, f_lens), (g, _), _ = model.enc_pred(
+            params,
+            batch["feats"],
+            batch["feat_lens"],
+            batch["txt"],
+            batch["txt_lens"],
+            train=False,
+        )
+        per_utt = transducer_loss_from_fg(
+            f,
+            g,
+            params["joint_fc"]["w"],
+            params["joint_fc"]["b"],
+            batch["txt"],
+            f_lens,
+            batch["txt_lens"],
+            blank_idx,
+        )
+        return per_utt.sum(), jnp.asarray(per_utt.shape[0], jnp.float32)
+
+    return jax.jit(val_fn)
