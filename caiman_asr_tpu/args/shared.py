@@ -1,0 +1,50 @@
+"""Shared CLI arguments (reference: args/shared.py:19-210, args/decoder.py).
+
+Grouped per concern like the reference; flags keep the reference's names
+wherever the concept carries over so users can port launch scripts.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def add_shared_args(parser: argparse.ArgumentParser):
+    io = parser.add_argument_group("io")
+    io.add_argument("--model_config", type=str, default="configs/testing-1023sp.yaml")
+    io.add_argument("--output_dir", type=str, default="/tmp/caiman_asr_tpu_out")
+    io.add_argument("--dataset_dir", "--data_dir", type=str, default=".")
+    io.add_argument("--val_manifests", type=str, nargs="+", default=[])
+    io.add_argument("--max_duration", type=float, default=None)
+    io.add_argument("--seed", type=int, default=1)
+    io.add_argument("--tokenizer_model", type=str, default=None,
+                    help="Override config sentpiece_model path (.model or .json)")
+    io.add_argument("--tensorboard", action="store_true")
+    io.add_argument("--dump_preds", action="store_true")
+    io.add_argument("--val_batch_size", type=int, default=16)
+    io.add_argument("--mel_stats_path", type=str, default=None,
+                    help="npz with melmeans/melvars dataset statistics")
+
+
+def add_decoder_args(parser: argparse.ArgumentParser):
+    dec = parser.add_argument_group("decoder")
+    dec.add_argument("--decoder", type=str, default="greedy", choices=["greedy", "beam"])
+    dec.add_argument("--max_symbols_per_step", type=int, default=30)
+    dec.add_argument("--max_symbol_per_sample", type=int, default=None)
+    dec.add_argument("--temperature", type=float, default=1.0)
+    dec.add_argument("--fuzzy_topk_logits", action="store_true")
+    dec.add_argument("--beam_width", type=int, default=4)
+    dec.add_argument("--beam_prune_score_thresh", type=float, default=0.4)
+    dec.add_argument("--beam_prune_topk_thresh", type=float, default=1.5)
+    dec.add_argument("--beam_no_partials", action="store_true")
+    dec.add_argument("--beam_final_emission_thresh", type=float, default=float("inf"))
+    dec.add_argument("--ngram_path", type=str, default=None)
+    dec.add_argument("--ngram_scale_factor", type=float, default=None)
+    dec.add_argument("--keyword_boost_path", type=str, default=None)
+
+
+def add_state_reset_args(parser: argparse.ArgumentParser):
+    sr = parser.add_argument_group("state resets")
+    sr.add_argument("--sr_segment", type=float, default=0.0,
+                    help="state-reset segment length (s); 0 disables")
+    sr.add_argument("--sr_overlap", type=float, default=3.0)

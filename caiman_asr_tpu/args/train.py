@@ -1,0 +1,70 @@
+"""Training CLI arguments (reference: args/train.py:23-415)."""
+
+from __future__ import annotations
+
+import argparse
+
+from caiman_asr_tpu.args.shared import (
+    add_decoder_args,
+    add_shared_args,
+    add_state_reset_args,
+)
+
+
+def train_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="RNN-T training (TPU-native)")
+    add_shared_args(parser)
+    add_decoder_args(parser)
+    add_state_reset_args(parser)
+
+    training = parser.add_argument_group("training setup")
+    training.add_argument("--training_steps", type=int, default=100000)
+    training.add_argument("--warmup_steps", type=int, default=1632)
+    training.add_argument("--hold_steps", type=int, default=18000)
+    training.add_argument("--half_life_steps", type=int, default=10880)
+    training.add_argument("--train_manifests", type=str, nargs="+", default=[])
+
+    optim = parser.add_argument_group("optimization setup")
+    optim.add_argument("--global_batch_size", type=int, default=1024)
+    optim.add_argument("--grad_accumulation_batches", type=int, default=8)
+    optim.add_argument("--lr", "--learning_rate", type=float, default=4e-3)
+    optim.add_argument("--min_lr", "--min_learning_rate", type=float, default=4e-4)
+    optim.add_argument("--weight_decay", type=float, default=1e-2)
+    optim.add_argument("--clip_norm", type=float, default=1.0)
+    optim.add_argument("--beta1", type=float, default=0.9)
+    optim.add_argument("--beta2", type=float, default=0.999)
+    optim.add_argument("--ema", type=float, default=0.999)
+    optim.add_argument("--weights_init_scale", type=float, default=0.5)
+    optim.add_argument("--hidden_hidden_bias_scale", type=float, default=None)
+
+    ckpt = parser.add_argument_group("checkpointing")
+    ckpt.add_argument("--resume", action="store_true")
+    ckpt.add_argument("--fine_tune", action="store_true")
+    ckpt.add_argument("--ckpt", type=str, default=None)
+    ckpt.add_argument("--allow_partial_checkpoint", action="store_true")
+    ckpt.add_argument("--save_frequency", type=int, default=5000)
+    ckpt.add_argument("--val_frequency", type=int, default=1000)
+    ckpt.add_argument("--log_frequency", type=int, default=25)
+    ckpt.add_argument("--prediction_frequency", type=int, default=1000)
+    ckpt.add_argument("--die_if_wer_bad", action="store_true")
+
+    pen = parser.add_argument_group("loss penalties")
+    pen.add_argument("--delay_penalty", type=str, default="0.0",
+                     help='float, or "linear_schedule" for StepSchedule')
+    pen.add_argument("--dp_initial_value", type=float, default=0.0)
+    pen.add_argument("--dp_final_value", type=float, default=0.01)
+    pen.add_argument("--dp_toggle_step", type=int, default=25000)
+    pen.add_argument("--dp_wer_threshold", type=float, default=None)
+    pen.add_argument("--star_penalty", type=float, default=None)
+    pen.add_argument("--eos_penalty", type=float, default=0.0)
+
+    norm = parser.add_argument_group("mel normalization ramp")
+    norm.add_argument("--norm_ramp_start_step", type=int, default=None)
+    norm.add_argument("--norm_ramp_end_step", type=int, default=None)
+
+    rsp = parser.add_argument_group("random state passing")
+    rsp.add_argument("--rsp_delay", type=int, default=None)
+    rsp.add_argument("--rsp_seq_len_freq", type=int, nargs="+", default=[99, 0, 1],
+                     help="relative frequency of 1x,2x,3x,... batch concatenation")
+
+    return parser

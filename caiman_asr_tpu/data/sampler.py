@@ -48,11 +48,15 @@ class Sampler:
         rng = np.random.default_rng((self.seed, epoch))
         order = self._order(epoch, rng)
         n = (len(order) // self.global_batch) * self.global_batch
-        if n == 0:
+        if n == 0 and (self.drop_last or len(order) == 0):
             return []
         batches = [
             order[i : i + self.global_batch] for i in range(0, n, self.global_batch)
         ]
+        if not self.drop_last and n < len(order):
+            batches.append(order[n:])
+        if not batches:
+            return []
         if self.pessimistic_first_batch and epoch == 0 and resume_step == 0:
             # Prepend a batch of the longest utterances (fail-fast OOM probe);
             # it replaces the first batch rather than adding a step.

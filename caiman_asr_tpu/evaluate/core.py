@@ -1,0 +1,133 @@
+"""Evaluation loop: loss + decode + WER (reference: evaluate/core.py:134-413).
+
+Flow per validation batch: host batch -> device feature pipeline (dataset
+mel-stats endpoint, ratio=1.0) -> (optional) transducer loss -> greedy/beam
+decode -> detokenize -> corpus WER; predictions/references dumped to JSON.
+Long-form state-resets segmentation plugs in between featurization and
+decode (evaluate/state_resets.py) once enabled.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from caiman_asr_tpu.data.text.normalize import NormalizeConfig, normalize_transcript
+from caiman_asr_tpu.decoding.response import frame_responses_to_tokens
+from caiman_asr_tpu.evaluate.wer import ErrorRateKind, WERResult, word_error_rate
+
+
+@dataclass
+class EvalResult:
+    wer: float
+    scores: int
+    num_words: int
+    loss: Optional[float]
+    hyps: List[str] = field(default_factory=list)
+    refs: List[str] = field(default_factory=list)
+    fnames: List[str] = field(default_factory=list)
+    timestamps: List[List[int]] = field(default_factory=list)
+
+
+def evaluate(
+    params,
+    decoder,
+    loader,
+    feat_pipeline,
+    tokenizer,
+    *,
+    val_loss_fn=None,
+    standardize_wer: bool = True,
+    error_rate: ErrorRateKind = ErrorRateKind.WORD,
+    normalize_config: Optional[NormalizeConfig] = None,
+    charset: Optional[list] = None,
+    dump_preds_dir: Optional[str | Path] = None,
+    epoch: int = 0,
+    step: int = 0,
+    subset: str = "dev",
+    logger=None,
+) -> EvalResult:
+    """Run one full evaluation over ``loader``. ``decoder`` must expose
+    ``decode(params, feats, feat_lens) -> List[Dict[int, FrameResponses]]``."""
+    t0 = time.time()
+    norm_cfg = normalize_config or NormalizeConfig()
+    charset = charset if charset is not None else list(" abcdefghijklmnopqrstuvwxyz'")
+
+    hyps: List[str] = []
+    refs: List[str] = []
+    fnames: List[str] = []
+    tss: List[List[int]] = []
+    loss_sum, loss_count = 0.0, 0.0
+
+    for batch in loader.epoch(0):
+        feats, feat_lens = feat_pipeline(
+            batch.audio, batch.audio_lens, dataset_to_utt_ratio=1.0
+        )
+        if val_loss_fn is not None:
+            ls, n = val_loss_fn(
+                params,
+                {
+                    "feats": feats,
+                    "feat_lens": feat_lens,
+                    "txt": batch.tokens,
+                    "txt_lens": batch.token_lens,
+                },
+            )
+            loss_sum += float(ls)
+            loss_count += float(n)
+
+        responses = decoder.decode(params, feats, feat_lens)
+        for b, resp in enumerate(responses):
+            toks = frame_responses_to_tokens(resp)
+            ts = [
+                t
+                for t, fr in sorted(resp.items())
+                if fr.final is not None
+                for _ in fr.final.alternatives[0].y_seq
+            ]
+            hyps.append(tokenizer.detokenize(toks))
+            refs.append(
+                normalize_transcript(batch.transcripts[b], charset, norm_cfg)
+            )
+            fnames.append(batch.fnames[b])
+            tss.append(ts)
+
+    wer_res: WERResult = word_error_rate(
+        hyps, refs, standardize=standardize_wer, kind=error_rate
+    )
+    loss = loss_sum / loss_count if loss_count else None
+
+    result = EvalResult(
+        wer=wer_res.wer,
+        scores=wer_res.scores,
+        num_words=wer_res.num_words,
+        loss=loss,
+        hyps=hyps,
+        refs=refs,
+        fnames=fnames,
+        timestamps=tss,
+    )
+    if logger is not None:
+        metrics = {"wer": result.wer * 100.0, "took": time.time() - t0}
+        if loss is not None:
+            metrics["loss"] = loss
+        logger.log((epoch, step), metrics, subset=subset)
+    if dump_preds_dir is not None:
+        out = Path(dump_preds_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        payload = {
+            "step": step,
+            "wer": result.wer,
+            "predictions": [
+                {"fname": f, "hyp": h, "ref": r}
+                for f, h, r in zip(fnames, hyps, refs)
+            ],
+        }
+        (out / f"preds_step{step}.json").write_text(json.dumps(payload, indent=1))
+    return result

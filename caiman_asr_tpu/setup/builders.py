@@ -1,0 +1,146 @@
+"""Object builders shared by the train/val entry points.
+
+Equivalent role to the reference's Setup/DI layer (setup/base.py:85-133,
+setup/train.py:46, setup/val.py:113): turn (config yaml + CLI args) into
+tokenizer, model, decoder, loaders and feature pipelines. Functional
+builders instead of a class hierarchy — there is no device/process state to
+encapsulate in the JAX version.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from caiman_asr_tpu.data.loader import AudioDataLoader, FeaturePipeline
+from caiman_asr_tpu.data.manifest import Utterance, load_manifests
+from caiman_asr_tpu.data.sampler import BucketingSampler, SortedSampler
+from caiman_asr_tpu.data.text.normalize import NormalizeConfig, NormalizeLevel
+from caiman_asr_tpu.data.tokenizer import Tokenizer
+from caiman_asr_tpu.decoding.greedy import GreedyDecoder
+from caiman_asr_tpu.models.config import Config, ConfigBundle, PipelineConfig
+from caiman_asr_tpu.models.rnnt import RNNT
+
+
+def build_tokenizer(cfg: Config, override_path: Optional[str] = None) -> Tokenizer:
+    path = override_path or cfg.tokenizer.sentpiece_model
+    if path is None or not Path(path).exists():
+        raise FileNotFoundError(
+            f"sentencepiece model not found: {path!r} "
+            "(set tokenizer.sentpiece_model in the config or --tokenizer_model)"
+        )
+    return Tokenizer(
+        labels=list(cfg.tokenizer.labels),
+        sentpiece_model=path,
+        sampling=cfg.tokenizer.sampling,
+    )
+
+
+def build_model(cfg: Config, tokenizer: Tokenizer, args=None) -> Tuple[RNNT, int]:
+    """Returns (model, blank_idx). blank = num_labels (last vocab index),
+    reference setup/train.py:177."""
+    rnnt_cfg = cfg.rnnt
+    if args is not None:
+        overrides = {}
+        if getattr(args, "weights_init_scale", None) is not None:
+            overrides["weights_init_scale"] = args.weights_init_scale
+        if getattr(args, "hidden_hidden_bias_scale", None) is not None:
+            overrides["hidden_hidden_bias_scale"] = args.hidden_hidden_bias_scale
+        if overrides:
+            rnnt_cfg = dataclasses.replace(rnnt_cfg, **overrides)
+    n_classes = tokenizer.num_labels + 1
+    return RNNT(rnnt_cfg, n_classes), tokenizer.num_labels
+
+
+def normalize_config_from(pipe: PipelineConfig) -> NormalizeConfig:
+    level = {
+        "identity": NormalizeLevel.IDENTITY,
+        "scrub": NormalizeLevel.SCRUB,
+        "lowercase": NormalizeLevel.LOWERCASE,
+        "unicode": NormalizeLevel.UNICODE,
+        "full": NormalizeLevel.FULL,
+    }.get(pipe.dataset.normalize_transcripts, NormalizeLevel.FULL)
+    return NormalizeConfig(
+        level=level,
+        remove_tags=pipe.dataset.remove_tags,
+        replacements=pipe.dataset.replacements or [],
+    )
+
+
+def load_utterances(
+    manifests: Sequence[str], dataset_dir: str, pipe: PipelineConfig
+) -> List[Utterance]:
+    ds = pipe.dataset
+    return load_manifests(
+        [Path(dataset_dir) / m if not Path(m).is_absolute() else Path(m) for m in manifests],
+        max_duration=ds.max_duration,
+        min_duration=ds.min_duration,
+        max_transcript_len=ds.max_transcript_len,
+    )
+
+
+def build_train_loader(
+    utts, tokenizer, pipe: PipelineConfig, batch_size: int, seed: int
+) -> AudioDataLoader:
+    sampler = BucketingSampler(
+        [u.duration for u in utts], batch_size=batch_size, world_size=1, seed=seed
+    )
+    return AudioDataLoader(
+        utts,
+        sampler,
+        tokenizer,
+        pipe,
+        train=True,
+        normalize_config=normalize_config_from(pipe),
+        seed=seed,
+    )
+
+
+def build_val_loader(utts, tokenizer, pipe: PipelineConfig, batch_size: int):
+    sampler = SortedSampler(
+        [u.duration for u in utts],
+        batch_size=batch_size,
+        world_size=1,
+        pessimistic_first_batch=False,
+        drop_last=False,
+    )
+    return AudioDataLoader(
+        utts,
+        sampler,
+        tokenizer,
+        pipe,
+        train=False,
+        normalize_config=normalize_config_from(pipe),
+    )
+
+
+def load_mel_stats(path: Optional[str]):
+    """Load dataset mel statistics (means, stds) from an .npz
+    (keys melmeans/melvars, matching the reference's stats dirs)."""
+    if path is None:
+        return None
+    z = np.load(path)
+    means = np.asarray(z["melmeans"], np.float32)
+    var = np.asarray(z["melvars"], np.float32)
+    return means, np.sqrt(var)
+
+
+def build_feature_pipelines(cfg: Config, mel_stats=None):
+    train_fp = FeaturePipeline(cfg.input_train, mel_stats=mel_stats, train=True)
+    val_fp = FeaturePipeline(cfg.input_val, mel_stats=mel_stats, train=False)
+    return train_fp, val_fp
+
+
+def build_greedy_decoder(model, blank_idx, tokenizer, args=None) -> GreedyDecoder:
+    kw = {}
+    if args is not None:
+        kw = dict(
+            max_symbols_per_step=args.max_symbols_per_step,
+            max_symbol_per_sample=args.max_symbol_per_sample,
+            temperature=args.temperature,
+            fuzzy_topk_logits=args.fuzzy_topk_logits,
+        )
+    return GreedyDecoder(model, blank_idx, tokenizer=tokenizer, **kw)

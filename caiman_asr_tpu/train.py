@@ -1,0 +1,351 @@
+"""Training entry point (reference: training/caiman_asr_train/train.py:83-528).
+
+Step-based training loop: host loader feeds audio batches; the device runs
+(1) the jitted feature pipeline and (2) the jitted train step (grad-accum
+scan + LAMB + EMA + NaN-skip, sharded over the data mesh). Host-side
+schedules (LR lives inside the optimizer; delay/star penalties, grad-noise
+std, mel-norm ramp) feed traced scalars so nothing recompiles as they move.
+
+Run:  python -m caiman_asr_tpu.train --model_config configs/testing-1023sp.yaml \
+        --train_manifests train.json --val_manifests dev.json ...
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from caiman_asr_tpu.args.train import train_arg_parser
+from caiman_asr_tpu.evaluate.core import evaluate
+from caiman_asr_tpu.export import Checkpointer
+from caiman_asr_tpu.log import init_log
+from caiman_asr_tpu.models.config import load_config
+from caiman_asr_tpu.parallel import make_mesh, replicated, shard_batch
+from caiman_asr_tpu.setup.builders import (
+    build_feature_pipelines,
+    build_greedy_decoder,
+    build_model,
+    build_tokenizer,
+    build_train_loader,
+    build_val_loader,
+    load_mel_stats,
+    load_utterances,
+    normalize_config_from,
+)
+from caiman_asr_tpu.training import (
+    OptimizerConfig,
+    build_optimizer,
+    make_train_step,
+    make_val_loss_step,
+)
+from caiman_asr_tpu.training.schedules import (
+    ConstantSchedule,
+    GradNoiseSchedule,
+    MelNormRamp,
+    StepSchedule,
+)
+from caiman_asr_tpu.training.step import BATCH_DIMS, init_train_state
+from caiman_asr_tpu.evaluate.wer import word_error_rate
+from caiman_asr_tpu.decoding.response import frame_responses_to_tokens
+
+
+def stack_microbatches(micro):
+    """Stack A microbatch dicts (padding T/U to the group max) into the
+    [A, ...] layout the train step scans over."""
+    A = len(micro)
+    T = max(m["feats"].shape[0] for m in micro)
+    U = max(m["txt"].shape[1] for m in micro)
+    feats = jnp.stack(
+        [jnp.pad(m["feats"], ((0, T - m["feats"].shape[0]), (0, 0), (0, 0))) for m in micro]
+    )
+    txt = jnp.stack([jnp.pad(m["txt"], ((0, 0), (0, U - m["txt"].shape[1]))) for m in micro])
+    return {
+        "feats": feats,
+        "feat_lens": jnp.stack([m["feat_lens"] for m in micro]),
+        "txt": txt,
+        "txt_lens": jnp.stack([m["txt_lens"] for m in micro]),
+    }
+
+
+def build_penalty_schedule(args):
+    if args.delay_penalty == "linear_schedule":
+        return StepSchedule(
+            args.dp_initial_value,
+            args.dp_final_value,
+            toggle_step=args.dp_toggle_step,
+            wer_threshold=args.dp_wer_threshold,
+        )
+    return ConstantSchedule(float(args.delay_penalty))
+
+
+def main(args=None):
+    if args is None:
+        args = train_arg_parser().parse_args()
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    logger = init_log(out_dir, enable_tensorboard=args.tensorboard)
+    (out_dir / f"training_args_{int(time.time())}.json").write_text(
+        json.dumps(vars(args), default=str, indent=1)
+    )
+
+    bundle = load_config(args.model_config, args.max_duration)
+    cfg = bundle.cfg
+    tokenizer = build_tokenizer(cfg, args.tokenizer_model)
+    model, blank_idx = build_model(cfg, tokenizer, args)
+
+    opt_cfg = OptimizerConfig(
+        lr=args.lr,
+        min_lr=args.min_lr,
+        weight_decay=args.weight_decay,
+        clip_norm=args.clip_norm,
+        beta1=args.beta1,
+        beta2=args.beta2,
+        warmup_steps=args.warmup_steps,
+        hold_steps=args.hold_steps,
+        half_life_steps=args.half_life_steps,
+        ema=args.ema,
+    )
+    optimizer = build_optimizer(opt_cfg, model.param_lr_factors())
+    state = init_train_state(model, optimizer, jax.random.PRNGKey(args.seed))
+
+    # ------------------------------------------------------------ resume
+    ckptr = Checkpointer(out_dir / "ckpts")
+    start_step, epoch, best_wer = 0, 0, float("inf")
+    ckpt_path = args.ckpt or (ckptr.last_checkpoint() if args.resume else None)
+    if args.resume and ckpt_path is not None:
+        p, e, o, meta = ckptr.load_for_resume(
+            ckpt_path, state.params, state.ema_params, state.opt_state
+        )
+        state = state._replace(
+            params=p, ema_params=e, opt_state=o,
+            step=jnp.asarray(meta.get("step", 0), jnp.int32),
+        )
+        start_step = int(meta.get("step", 0))
+        epoch = int(meta.get("epoch", 0))
+        best_wer = float(meta.get("best_wer", float("inf")))
+        print(f"Resumed from {ckpt_path} at step {start_step}")
+    elif args.fine_tune:
+        if ckpt_path is None:
+            raise ValueError("--fine_tune requires --ckpt")
+        p, _ = ckptr.load_for_fine_tune(
+            ckpt_path, state.params, allow_partial=args.allow_partial_checkpoint
+        )
+        state = state._replace(params=p, ema_params=jax.tree.map(jnp.copy, p))
+        print(f"Fine-tuning from {ckpt_path}")
+
+    # -------------------------------------------------------------- data
+    mel_stats = load_mel_stats(args.mel_stats_path)
+    train_fp, val_fp = build_feature_pipelines(cfg, mel_stats)
+    train_utts = load_utterances(args.train_manifests, args.dataset_dir, cfg.input_train)
+    assert train_utts, "no training utterances after filtering"
+    accum = args.grad_accumulation_batches
+    micro_bs = max(args.global_batch_size // accum, 1)
+    train_loader = build_train_loader(
+        train_utts, tokenizer, cfg.input_train, micro_bs, args.seed
+    )
+    val_loader = None
+    if args.val_manifests:
+        val_utts = load_utterances(args.val_manifests, args.dataset_dir, cfg.input_val)
+        val_loader = build_val_loader(
+            val_utts, tokenizer, cfg.input_val, args.val_batch_size
+        )
+
+    # ------------------------------------------------------------- steps
+    n_dev = len(jax.devices())
+    while micro_bs % n_dev != 0:  # mesh must evenly divide the micro-batch
+        n_dev -= 1
+    mesh = make_mesh(n_dev)
+    state = jax.device_put(state, replicated(mesh))
+    eos_idx = -1  # EOS channel wired when the tokenizer has the user eos token
+    star_idx = -1
+    train_step = make_train_step(
+        model,
+        optimizer,
+        blank_idx,
+        ema_decay=args.ema,
+        eos_idx=eos_idx,
+        star_idx=star_idx,
+        eos_penalty=args.eos_penalty,
+        grad_noise=cfg.grad_noise.noise_level > 0,
+    )
+    val_loss_step = make_val_loss_step(model, blank_idx)
+    decoder = build_greedy_decoder(model, blank_idx, tokenizer, args)
+
+    dp_sched = build_penalty_schedule(args)
+    star_sched = ConstantSchedule(args.star_penalty or 0.0)
+    noise_sched = (
+        GradNoiseSchedule(
+            cfg.grad_noise.noise_level,
+            cfg.grad_noise.decay_const,
+            cfg.grad_noise.start_step,
+        )
+        if cfg.grad_noise.noise_level > 0
+        else None
+    )
+    mel_ramp = None
+    if mel_stats is not None:
+        mel_ramp = MelNormRamp(
+            args.norm_ramp_start_step
+            if args.norm_ramp_start_step is not None
+            else args.warmup_steps,
+            args.norm_ramp_end_step
+            if args.norm_ramp_end_step is not None
+            else args.warmup_steps + args.hold_steps,
+        )
+
+    # -------------------------------------------------------------- loop
+    rng = jax.random.PRNGKey(args.seed + 7)
+    step = start_step
+    last_wer = None
+    t_log = time.time()
+    audio_secs_since_log = 0.0
+    utts_since_log = 0
+    print(
+        f"Training: {len(train_utts)} utts, micro-batch {micro_bs} x accum {accum}, "
+        f"{mesh.devices.size} device(s), starting at step {step}"
+    )
+
+    while step < args.training_steps:
+        micro_group = []
+        for batch in train_loader.epoch(epoch, resume_step=0):
+            ratio = mel_ramp.ratio(step) if mel_ramp else 0.0
+            rng, k1 = jax.random.split(rng)
+            feats, feat_lens = train_fp(
+                batch.audio, batch.audio_lens, k1, dataset_to_utt_ratio=ratio
+            )
+            micro_group.append(
+                {
+                    "feats": feats,
+                    "feat_lens": feat_lens,
+                    "txt": jnp.asarray(batch.tokens),
+                    "txt_lens": jnp.asarray(batch.token_lens),
+                }
+            )
+            audio_secs_since_log += float(np.sum(batch.audio_lens)) / train_loader.sr
+            utts_since_log += len(batch.audio_lens)
+            if len(micro_group) < accum:
+                continue
+
+            device_batch = shard_batch(mesh, stack_microbatches(micro_group), BATCH_DIMS)
+            micro_group = []
+            scalars = {
+                "delay_penalty": jnp.asarray(
+                    dp_sched.step(step, hints={"wer": last_wer}), jnp.float32
+                ),
+                "star_penalty": jnp.asarray(star_sched.step(step), jnp.float32),
+                "grad_noise_std": jnp.asarray(
+                    noise_sched.std(step) if noise_sched else 0.0, jnp.float32
+                ),
+            }
+            rng, k2 = jax.random.split(rng)
+            state, metrics = train_step(state, device_batch, k2, scalars)
+            step += 1
+
+            logger.accumulate(
+                {"loss": metrics["loss"], "grad_norm": metrics["grad_norm"]}
+            )
+            if step % args.log_frequency == 0:
+                dt = time.time() - t_log
+                logger.accumulate(
+                    {
+                        "audio_s_per_s": audio_secs_since_log / dt,
+                        "utts_per_s": utts_since_log / dt,
+                    }
+                )
+                logger.flush_accumulated((epoch, step))
+                t_log, audio_secs_since_log, utts_since_log = time.time(), 0.0, 0
+
+            if step % args.prediction_frequency == 0:
+                _log_train_sample(
+                    logger, decoder, state.params, batch, train_fp, tokenizer,
+                    normalize_config_from(cfg.input_train), epoch, step,
+                )
+
+            if val_loader is not None and step % args.val_frequency == 0:
+                result = evaluate(
+                    state.ema_params,
+                    decoder,
+                    val_loader,
+                    val_fp,
+                    tokenizer,
+                    val_loss_fn=val_loss_step,
+                    standardize_wer=cfg.input_val.dataset.standardize_wer,
+                    normalize_config=normalize_config_from(cfg.input_val),
+                    charset=list(cfg.tokenizer.labels),
+                    dump_preds_dir=(out_dir / "preds") if args.dump_preds else None,
+                    epoch=epoch,
+                    step=step,
+                    subset="dev_ema",
+                    logger=logger,
+                )
+                last_wer = result.wer
+                if args.die_if_wer_bad and step >= 10000 and result.wer > 0.99:
+                    raise RuntimeError(f"dev WER {result.wer:.2%} at step {step}")
+                if result.wer < best_wer:
+                    best_wer = result.wer
+                    ckptr.save(
+                        state.params, state.ema_params, state.opt_state,
+                        epoch, step, best_wer, is_best=True,
+                        meta=_ckpt_meta(cfg, mel_ramp, step),
+                    )
+
+            if step % args.save_frequency == 0:
+                ckptr.save(
+                    state.params, state.ema_params, state.opt_state,
+                    epoch, step, best_wer,
+                    meta=_ckpt_meta(cfg, mel_ramp, step),
+                )
+            if step >= args.training_steps:
+                break
+        epoch += 1
+
+    ckptr.save(
+        state.params, state.ema_params, state.opt_state,
+        epoch, step, best_wer, is_last=True, meta=_ckpt_meta(cfg, mel_ramp, step),
+    )
+    print(f"Training done at step {step}; best dev WER {best_wer:.2%}")
+    logger.close()
+    return state, best_wer
+
+
+def _ckpt_meta(cfg, mel_ramp, step):
+    return {
+        "tokenizer_kw": {
+            "labels": list(cfg.tokenizer.labels),
+            "sampling": cfg.tokenizer.sampling,
+        },
+        "logmel_norm_weight": mel_ramp.ratio(step) if mel_ramp else 0.0,
+    }
+
+
+def _log_train_sample(
+    logger, decoder, params, batch, fp, tokenizer, norm_cfg, epoch, step
+):
+    """Greedy-decode the current train batch and log its WER
+    (reference train.py:313-332)."""
+    feats, feat_lens = fp(batch.audio, batch.audio_lens)
+    responses = decoder.decode(params, feats, feat_lens)
+    hyps = [
+        tokenizer.detokenize(frame_responses_to_tokens(r)) for r in responses
+    ]
+    refs = [
+        normalize_transcript_cached(t, tokenizer.charset, norm_cfg)
+        for t in batch.transcripts
+    ]
+    res = word_error_rate(hyps, refs, standardize=True)
+    logger.log((epoch, step), {"train_wer": res.wer * 100.0}, subset="train")
+
+
+def normalize_transcript_cached(t, charset, cfg):
+    from caiman_asr_tpu.data.text.normalize import normalize_transcript
+
+    return normalize_transcript(t, charset, cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Validation / offline decoding entry point (reference: val.py:36-163).
+
+Run:  python -m caiman_asr_tpu.val --model_config ... --ckpt ckpts/best.npz \
+        --val_manifests dev.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+
+from caiman_asr_tpu.args.shared import (
+    add_decoder_args,
+    add_shared_args,
+    add_state_reset_args,
+)
+from caiman_asr_tpu.evaluate.core import evaluate
+from caiman_asr_tpu.export.checkpointer import apply_params, load_checkpoint
+from caiman_asr_tpu.log import init_log
+from caiman_asr_tpu.models.config import load_config
+from caiman_asr_tpu.setup.builders import (
+    build_feature_pipelines,
+    build_greedy_decoder,
+    build_model,
+    build_tokenizer,
+    build_val_loader,
+    load_mel_stats,
+    load_utterances,
+    normalize_config_from,
+)
+from caiman_asr_tpu.training import make_val_loss_step
+
+
+def val_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="RNN-T validation (TPU-native)")
+    add_shared_args(parser)
+    add_decoder_args(parser)
+    add_state_reset_args(parser)
+    parser.add_argument("--ckpt", type=str, default=None, help="checkpoint to evaluate")
+    parser.add_argument("--use_ema", action="store_true", default=True)
+    parser.add_argument("--no_ema", dest="use_ema", action="store_false")
+    parser.add_argument("--calc_loss", action="store_true")
+    return parser
+
+
+def validate(args=None):
+    if args is None:
+        args = val_arg_parser().parse_args()
+    out_dir = Path(args.output_dir)
+    logger = init_log(out_dir, enable_tensorboard=False)
+
+    bundle = load_config(args.model_config, None)
+    cfg = bundle.cfg
+    tokenizer = build_tokenizer(cfg, args.tokenizer_model)
+    model, blank_idx = build_model(cfg, tokenizer)
+
+    params = model.init(jax.random.PRNGKey(0))
+    if args.ckpt:
+        loaded, ema, _, meta = load_checkpoint(args.ckpt)
+        src = ema if (args.use_ema and ema is not None) else loaded
+        params = apply_params(params, src)
+        print(f"Loaded {'EMA ' if args.use_ema and ema is not None else ''}weights "
+              f"from {args.ckpt} (step {meta.get('step', '?')})")
+
+    mel_stats = load_mel_stats(args.mel_stats_path)
+    _, val_fp = build_feature_pipelines(cfg, mel_stats)
+    val_utts = load_utterances(args.val_manifests, args.dataset_dir, cfg.input_val)
+    loader = build_val_loader(val_utts, tokenizer, cfg.input_val, args.val_batch_size)
+    decoder = build_greedy_decoder(model, blank_idx, tokenizer, args)
+
+    result = evaluate(
+        params,
+        decoder,
+        loader,
+        val_fp,
+        tokenizer,
+        val_loss_fn=make_val_loss_step(model, blank_idx) if args.calc_loss else None,
+        standardize_wer=cfg.input_val.dataset.standardize_wer,
+        normalize_config=normalize_config_from(cfg.input_val),
+        charset=list(cfg.tokenizer.labels),
+        dump_preds_dir=(out_dir / "preds") if args.dump_preds else None,
+        subset="dev",
+        logger=logger,
+    )
+    print(json.dumps({"wer": result.wer, "loss": result.loss}))
+    return result
+
+
+if __name__ == "__main__":
+    validate()

@@ -1,0 +1,173 @@
+"""End-to-end slice: tiny train -> checkpoint -> validate (reference:
+scripts/test_mini_train_and_cleanup.sh runs 4-step trainings + validation)."""
+
+import json
+import wave
+from argparse import Namespace
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from caiman_asr_tpu.args.train import train_arg_parser
+from caiman_asr_tpu.data.tokenizer import save_tokenizer_json, train_tokenizer
+from caiman_asr_tpu.val import val_arg_parser, validate
+
+TEXTS = [
+    "the cat sat on the mat",
+    "a dog barks at night",
+    "she sells sea shells",
+    "the quick brown fox jumps",
+    "over the lazy dog again",
+    "transcription of long speech",
+    "hello world how are you",
+    "testing one two three four",
+]
+
+MINI_CONFIG = """
+tokenizer:
+  sentpiece_model: {tok}
+  labels: [" ", "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+           "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z", "'"]
+  sampling: 0.0
+input_val:
+  audio_dataset: &val_dataset
+    sample_rate: 16000
+    trim_silence: false
+    normalize_transcripts: lowercase
+    standardize_wer: true
+    error_rate: word
+  filterbank_features: &val_features
+    sample_rate: 16000
+    window_size: 0.025
+    window_stride: 0.01
+    n_fft: 512
+    n_filt: 16
+    dither: 0.0
+  frame_splicing: &val_splicing
+    frame_stacking: 3
+    frame_subsampling: 3
+input_train:
+  audio_dataset:
+    !!merge <<: *val_dataset
+    trim_silence: false
+    max_duration: 20.0
+  filterbank_features: *val_features
+  frame_splicing: *val_splicing
+  spec_augment:
+    freq_masks: 1
+    min_freq: 0
+    max_freq: 4
+    time_masks: 2
+    min_time: 0
+    max_time: 0.03
+rnnt:
+  in_feats: 48
+  enc_n_hid: 16
+  enc_pre_rnn_layers: 1
+  enc_post_rnn_layers: 1
+  enc_stack_time_factor: 2
+  enc_dropout: 0.0
+  pred_n_hid: 16
+  pred_rnn_layers: 1
+  pred_dropout: 0.0
+  joint_n_hid: 16
+  joint_dropout: 0.0
+  forget_gate_bias: 1.0
+grad_noise_scheduler:
+  noise_level: 0.0
+"""
+
+
+def write_wav(path, audio, sr=16000):
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((np.clip(audio, -1, 1) * 32767).astype(np.int16).tobytes())
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(0)
+    entries = []
+    for i, text in enumerate(TEXTS):
+        dur = 0.4 + 0.1 * i
+        audio = (rng.normal(size=int(16000 * dur)) * 0.1).astype(np.float32)
+        write_wav(root / f"utt{i}.wav", audio)
+        entries.append(
+            {"transcript": text, "files": [{"fname": f"utt{i}.wav", "duration": dur}],
+             "original_duration": dur}
+        )
+    (root / "manifest.json").write_text(json.dumps(entries))
+    tok_path = root / "tok.json"
+    save_tokenizer_json(tok_path, train_tokenizer(TEXTS * 4, vocab_size=48))
+    cfg_path = root / "mini.yaml"
+    cfg_path.write_text(MINI_CONFIG.format(tok=tok_path))
+    return root, cfg_path
+
+
+def make_train_args(root, cfg_path, out_dir, **overrides):
+    args = train_arg_parser().parse_args([])
+    args.model_config = str(cfg_path)
+    args.output_dir = str(out_dir)
+    args.dataset_dir = str(root)
+    args.train_manifests = ["manifest.json"]
+    args.val_manifests = ["manifest.json"]
+    args.global_batch_size = 4
+    args.grad_accumulation_batches = 2
+    args.training_steps = 4
+    args.val_frequency = 2
+    args.save_frequency = 2
+    args.log_frequency = 1
+    args.prediction_frequency = 4
+    args.val_batch_size = 4
+    args.warmup_steps = 2
+    args.hold_steps = 2
+    args.half_life_steps = 2
+    args.lr = 1e-3
+    args.weights_init_scale = 0.5
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+def test_mini_train_and_val(workspace, tmp_path):
+    from caiman_asr_tpu import train as train_mod
+
+    root, cfg_path = workspace
+    out = tmp_path / "out"
+    args = make_train_args(root, cfg_path, out)
+    state, best_wer = train_mod.main(args)
+    assert int(state.step) == 4
+
+    ckpts = list((out / "ckpts").glob("*.npz"))
+    assert any(p.name == "last.npz" for p in ckpts)
+    # a dev WER was computed and is a sane probability
+    assert 0.0 <= best_wer <= 10.0
+
+    # validate from the saved checkpoint
+    vargs = val_arg_parser().parse_args([])
+    vargs.model_config = str(cfg_path)
+    vargs.output_dir = str(tmp_path / "val_out")
+    vargs.dataset_dir = str(root)
+    vargs.val_manifests = ["manifest.json"]
+    vargs.val_batch_size = 4
+    vargs.ckpt = str(out / "ckpts" / "last.npz")
+    vargs.calc_loss = True
+    result = validate(vargs)
+    assert result.loss is not None and np.isfinite(result.loss)
+    assert len(result.hyps) == len(TEXTS)
+
+
+def test_resume(workspace, tmp_path):
+    from caiman_asr_tpu import train as train_mod
+
+    root, cfg_path = workspace
+    out = tmp_path / "out"
+    args = make_train_args(root, cfg_path, out, training_steps=2)
+    train_mod.main(args)
+    args2 = make_train_args(root, cfg_path, out, training_steps=4, resume=True)
+    state, _ = train_mod.main(args2)
+    assert int(state.step) == 4
