@@ -201,6 +201,7 @@ class RNNT:
         *,
         add_sos: bool = True,
         special_sos: Optional[jax.Array] = None,
+        sos_gate: Optional[jax.Array] = None,
         train: bool = False,
         rng: Optional[jax.Array] = None,
         batch_size: int = 1,
@@ -209,6 +210,11 @@ class RNNT:
 
         y: [B, U] int labels (or None for a lone SOS step). Returns
         (g [B, U+1, Hj], final (h, c) [L, B, Hp], all (h, c) [L, U+1, B, Hp]).
+
+        sos_gate: optional [B] 0/1 array — when given with ``special_sos``,
+        selects per-sample between the embedded special SOS (gate=1, RSP
+        continuation) and the zero-vector SOS (gate=0). Lets random state
+        passing be a traced decision instead of a recompile.
         """
         cfg = self.cfg
         embed = params["prediction"]["embed"]
@@ -225,7 +231,11 @@ class RNNT:
             if special_sos is None:
                 start = jnp.zeros((B, 1, cfg.pred_n_hid), emb.dtype)
             else:
-                start = embed[special_sos.reshape(B, 1)]
+                start = embed[
+                    jnp.clip(special_sos.reshape(B, 1), 0, embed.shape[0] - 1)
+                ]
+                if sos_gate is not None:
+                    start = start * sos_gate.reshape(B, 1, 1).astype(start.dtype)
             emb = jnp.concatenate([start, emb], axis=1)
 
         seq = jnp.swapaxes(emb, 0, 1)  # [U+1, B, Hp]
@@ -301,16 +311,33 @@ class RNNT:
         y_lens: jax.Array,
         rnnt_state: Optional[RNNTState] = None,
         *,
+        state_gate: Optional[jax.Array] = None,
         train: bool = False,
         rng: Optional[jax.Array] = None,
     ):
         """Run encoder + prediction nets (reference: model.py:240-295).
 
         Returns ((f, f_lens), (g, g_lens), new_rnnt_state).
+
+        state_gate: optional [B] 0/1 array gating the incoming rnnt_state
+        per-sample (random state passing, train_utils/rsp.py): gate=0 is
+        equivalent to rnnt_state=None for that sample without recompiling.
         """
         rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
         enc_state = rnnt_state.enc_state if rnnt_state is not None else None
         pn_state = rnnt_state.pred_net_state if rnnt_state is not None else None
+        if state_gate is not None and rnnt_state is not None:
+            gate = state_gate.astype(jnp.float32)
+            zero_hc = lambda hc: tuple(
+                (h * gate[None, :, None].astype(h.dtype)) for h in hc
+            )
+            enc_state = EncoderState(
+                pre_rnn=zero_hc(enc_state.pre_rnn), post_rnn=zero_hc(enc_state.post_rnn)
+            )
+            pn_state = PredNetState(
+                next_to_last_pred_state=zero_hc(pn_state.next_to_last_pred_state),
+                last_token=pn_state.last_token,
+            )
 
         f, f_lens, new_enc_state = self.encode(
             params, x, x_lens, enc_state, train=train, rng=rngs[0]
@@ -321,6 +348,7 @@ class RNNT:
             pred_state=pn_state.next_to_last_pred_state if pn_state is not None else None,
             add_sos=True,
             special_sos=pn_state.last_token if pn_state is not None else None,
+            sos_gate=state_gate,
             train=train,
             rng=rngs[1],
         )

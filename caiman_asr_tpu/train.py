@@ -49,6 +49,12 @@ from caiman_asr_tpu.training.schedules import (
     MelNormRamp,
     StepSchedule,
 )
+from caiman_asr_tpu.training.rsp import (
+    RSPController,
+    is_rsp_on,
+    rsp_delay_default,
+    zero_rnnt_state,
+)
 from caiman_asr_tpu.training.step import BATCH_DIMS, init_train_state
 from caiman_asr_tpu.evaluate.wer import word_error_rate
 from caiman_asr_tpu.decoding.response import frame_responses_to_tokens
@@ -163,6 +169,7 @@ def main(args=None):
     state = jax.device_put(state, replicated(mesh))
     eos_idx = -1  # EOS channel wired when the tokenizer has the user eos token
     star_idx = -1
+    rsp_on = is_rsp_on(args.rsp_seq_len_freq)
     train_step = make_train_step(
         model,
         optimizer,
@@ -172,7 +179,18 @@ def main(args=None):
         star_idx=star_idx,
         eos_penalty=args.eos_penalty,
         grad_noise=cfg.grad_noise.noise_level > 0,
+        rsp=rsp_on,
     )
+    rsp_ctl, rnnt_state = None, None
+    if rsp_on:
+        delay = (
+            args.rsp_delay
+            if args.rsp_delay is not None
+            else rsp_delay_default(args.warmup_steps, args.hold_steps, args.half_life_steps)
+        )
+        rsp_ctl = RSPController(args.rsp_seq_len_freq, delay, seed=args.seed)
+        rnnt_state = zero_rnnt_state(model, micro_bs)
+        print(f"Random state passing on: delay={delay}, freq={args.rsp_seq_len_freq}")
     val_loss_step = make_val_loss_step(model, blank_idx)
     decoder = build_greedy_decoder(model, blank_idx, tokenizer, args)
 
@@ -243,7 +261,15 @@ def main(args=None):
                 ),
             }
             rng, k2 = jax.random.split(rng)
-            state, metrics = train_step(state, device_batch, k2, scalars)
+            if rsp_on:
+                gates = rsp_ctl.gates(step, accum)
+                state, metrics, rnnt_state = train_step(
+                    state, device_batch, k2, scalars, rnnt_state, gates
+                )
+                if bool(metrics["skipped"]):
+                    rsp_ctl.reset()
+            else:
+                state, metrics = train_step(state, device_batch, k2, scalars)
             step += 1
 
             logger.accumulate(

@@ -96,6 +96,48 @@ def _micro_loss(
     return per_utt.sum() / denom
 
 
+def _micro_loss_rsp(
+    model: RNNT,
+    params,
+    mb: Dict[str, jax.Array],
+    rng: jax.Array,
+    mods: LossModifiers,
+    denom: jax.Array,
+    blank_idx: int,
+    rnnt_state,
+    gate: jax.Array,
+):
+    """RSP microbatch loss: threads (gated) streaming state and returns the
+    new state for the next microbatch (stop-gradient'd — the reference
+    detaches carried state, train_utils/rsp.py:103-205)."""
+    B = mb["feats"].shape[1]
+    gate_b = jnp.broadcast_to(gate, (B,))
+    (f, f_lens), (g, _), new_state = model.enc_pred(
+        params,
+        mb["feats"],
+        mb["feat_lens"],
+        mb["txt"],
+        mb["txt_lens"],
+        rnnt_state,
+        state_gate=gate_b,
+        train=True,
+        rng=rng,
+    )
+    per_utt = transducer_loss_from_fg(
+        f,
+        g,
+        params["joint_fc"]["w"],
+        params["joint_fc"]["b"],
+        mb["txt"],
+        f_lens,
+        mb["txt_lens"],
+        blank_idx,
+        mods,
+    )
+    new_state = jax.tree.map(jax.lax.stop_gradient, new_state)
+    return per_utt.sum() / denom, new_state
+
+
 def make_train_step(
     model: RNNT,
     optimizer: optax.GradientTransformation,
@@ -106,6 +148,7 @@ def make_train_step(
     star_idx: int = -1,
     eos_penalty: float = 0.0,
     grad_noise: bool = False,
+    rsp: bool = False,
     donate: bool = True,
 ):
     """Build the jitted train step.
@@ -113,6 +156,12 @@ def make_train_step(
     Returns fn(state, batch, rng, scalars) -> (state, metrics) where scalars
     is {"delay_penalty": f32, "star_penalty": f32, "grad_noise_std": f32}
     (host-scheduled values; traced, so no recompiles as they change).
+
+    With rsp=True the signature becomes
+    fn(state, batch, rng, scalars, rnnt_state, state_gates[A])
+      -> (state, metrics, new_rnnt_state)
+    where state_gates[i] in {0, 1} gates whether microbatch i continues from
+    the carried streaming state (training.rsp.RSPController supplies them).
     """
 
     def step_fn(
@@ -120,7 +169,9 @@ def make_train_step(
         batch: Dict[str, jax.Array],
         rng: jax.Array,
         scalars: Dict[str, jax.Array],
-    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rnnt_state=None,
+        state_gates=None,
+    ):
         A = batch["feats"].shape[0]
         B = batch["feats"].shape[2]
         denom = jnp.asarray(A * B, jnp.float32)
@@ -132,26 +183,50 @@ def make_train_step(
             star_idx=star_idx,
         )
 
-        grad_fn = jax.value_and_grad(
-            partial(_micro_loss, model, mods=mods, denom=denom, blank_idx=blank_idx)
-        )
-
-        def accum(carry, inp):
-            grads_acc, loss_acc = carry
-            mb, i = inp
-            mb_rng = jax.random.fold_in(rng, i)
-            loss, grads = grad_fn(state.params, mb, mb_rng)
-            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-            return (grads_acc, loss_acc + loss), None
-
         zero_grads = jax.tree.map(
             lambda p: jnp.zeros(p.shape, jnp.float32), state.params
         )
-        (grads, total_loss), _ = lax.scan(
-            accum,
-            (zero_grads, jnp.zeros((), jnp.float32)),
-            (batch, jnp.arange(A)),
-        )
+        if rsp:
+            grad_fn = jax.value_and_grad(
+                partial(
+                    _micro_loss_rsp, model, mods=mods, denom=denom, blank_idx=blank_idx
+                ),
+                has_aux=True,
+            )
+
+            def accum(carry, inp):
+                grads_acc, loss_acc, rs = carry
+                mb, i, gate = inp
+                mb_rng = jax.random.fold_in(rng, i)
+                (loss, new_rs), grads = grad_fn(
+                    state.params, mb, mb_rng, rnnt_state=rs, gate=gate
+                )
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss, new_rs), None
+
+            (grads, total_loss, final_rs), _ = lax.scan(
+                accum,
+                (zero_grads, jnp.zeros((), jnp.float32), rnnt_state),
+                (batch, jnp.arange(A), jnp.asarray(state_gates, jnp.float32)),
+            )
+        else:
+            grad_fn = jax.value_and_grad(
+                partial(_micro_loss, model, mods=mods, denom=denom, blank_idx=blank_idx)
+            )
+
+            def accum(carry, inp):
+                grads_acc, loss_acc = carry
+                mb, i = inp
+                mb_rng = jax.random.fold_in(rng, i)
+                loss, grads = grad_fn(state.params, mb, mb_rng)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss), None
+
+            (grads, total_loss), _ = lax.scan(
+                accum,
+                (zero_grads, jnp.zeros((), jnp.float32)),
+                (batch, jnp.arange(A)),
+            )
 
         good = jnp.isfinite(total_loss)
         # Replace non-finite grads with zeros so the (discarded) update path
@@ -194,6 +269,13 @@ def make_train_step(
             "grad_norm": grad_norm,
             "skipped": (~good).astype(jnp.int32),
         }
+        if rsp:
+            # A NaN step may mean the carried state is poisoned: zero it
+            # (host also resets its history counter, reference rsp.py:86-99).
+            new_rs = jax.tree.map(
+                lambda x: jnp.where(good, x, jnp.zeros_like(x)), final_rs
+            )
+            return new_state, metrics, new_rs
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
