@@ -144,3 +144,43 @@ def build_greedy_decoder(model, blank_idx, tokenizer, args=None) -> GreedyDecode
             fuzzy_topk_logits=args.fuzzy_topk_logits,
         )
     return GreedyDecoder(model, blank_idx, tokenizer=tokenizer, **kw)
+
+
+def build_decoder(model, blank_idx, tokenizer, args, cfg: Optional[Config] = None):
+    """greedy or beam per --decoder (reference: setup/base.py:185-321)."""
+    if args is None or getattr(args, "decoder", "greedy") == "greedy":
+        return build_greedy_decoder(model, blank_idx, tokenizer, args)
+
+    from caiman_asr_tpu.decoding.beam import RNNTBeamDecoder
+
+    ngram_lm = None
+    ngram_path = args.ngram_path or (cfg.ngram.ngram_path if cfg else None)
+    if ngram_path and Path(ngram_path).exists():
+        from caiman_asr_tpu.lm.ngram import NGramLM
+
+        ngram_lm = NGramLM.load(ngram_path)
+    keywords = None
+    if getattr(args, "keyword_boost_path", None):
+        from caiman_asr_tpu.keywords.process import load_keywords
+
+        keywords = load_keywords(args.keyword_boost_path)
+    scale = args.ngram_scale_factor
+    if scale is None:
+        scale = cfg.ngram.scale_factor if cfg else 0.05
+    return RNNTBeamDecoder(
+        model,
+        blank_idx,
+        tokenizer,
+        beam_width=args.beam_width,
+        max_symbols_per_step=args.max_symbols_per_step or 8,
+        max_symbol_per_sample=args.max_symbol_per_sample,
+        temperature=args.temperature if args.temperature != 1.0 else 1.4,
+        beam_prune_score_thresh=args.beam_prune_score_thresh,
+        beam_prune_topk_thresh=args.beam_prune_topk_thresh,
+        final_emission_thresh=args.beam_final_emission_thresh,
+        ngram_lm=ngram_lm,
+        ngram_alpha=scale,
+        keywords=keywords,
+        fuzzy_topk_logits=args.fuzzy_topk_logits,
+        return_partials=not args.beam_no_partials,
+    )

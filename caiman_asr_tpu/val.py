@@ -22,8 +22,8 @@ from caiman_asr_tpu.export.checkpointer import apply_params, load_checkpoint
 from caiman_asr_tpu.log import init_log
 from caiman_asr_tpu.models.config import load_config
 from caiman_asr_tpu.setup.builders import (
+    build_decoder,
     build_feature_pipelines,
-    build_greedy_decoder,
     build_model,
     build_tokenizer,
     build_val_loader,
@@ -69,7 +69,7 @@ def validate(args=None):
     _, val_fp = build_feature_pipelines(cfg, mel_stats)
     val_utts = load_utterances(args.val_manifests, args.dataset_dir, cfg.input_val)
     loader = build_val_loader(val_utts, tokenizer, cfg.input_val, args.val_batch_size)
-    decoder = build_greedy_decoder(model, blank_idx, tokenizer, args)
+    decoder = build_decoder(model, blank_idx, tokenizer, args, cfg)
 
     result = evaluate(
         params,
