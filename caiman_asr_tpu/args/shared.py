@@ -28,7 +28,7 @@ def add_shared_args(parser: argparse.ArgumentParser):
 
 def add_decoder_args(parser: argparse.ArgumentParser):
     dec = parser.add_argument_group("decoder")
-    dec.add_argument("--decoder", type=str, default="greedy", choices=["greedy", "beam"])
+    dec.add_argument("--decoder", type=str, default="greedy", choices=["greedy", "beam", "fast_beam"])
     dec.add_argument("--max_symbols_per_step", type=int, default=30)
     dec.add_argument("--max_symbol_per_sample", type=int, default=None)
     dec.add_argument("--temperature", type=float, default=1.0)

@@ -151,6 +151,19 @@ def build_decoder(model, blank_idx, tokenizer, args, cfg: Optional[Config] = Non
     if args is None or getattr(args, "decoder", "greedy") == "greedy":
         return build_greedy_decoder(model, blank_idx, tokenizer, args)
 
+    if args.decoder == "fast_beam":
+        from caiman_asr_tpu.decoding.fast_beam import FastBeamDecoder
+
+        return FastBeamDecoder(
+            model,
+            blank_idx,
+            beam_width=args.beam_width,
+            max_symbols_per_step=min(args.max_symbols_per_step or 4, 8),
+            temperature=args.temperature if args.temperature != 1.0 else 1.4,
+            fuzzy_topk_logits=args.fuzzy_topk_logits,
+            tokenizer=tokenizer,
+        )
+
     from caiman_asr_tpu.decoding.beam import RNNTBeamDecoder
 
     ngram_lm = None
