@@ -19,7 +19,16 @@ import jax
 import numpy as np
 
 from caiman_asr_tpu.data.text.normalize import NormalizeConfig, normalize_transcript
-from caiman_asr_tpu.decoding.response import frame_responses_to_tokens
+from caiman_asr_tpu.decoding.response import (
+    frame_responses_timesteps,
+    frame_responses_to_tokens,
+)
+from caiman_asr_tpu.evaluate.state_resets import (
+    StateResetsConfig,
+    group_segment_lanes,
+    merge_segments,
+    segment_batch,
+)
 from caiman_asr_tpu.evaluate.wer import ErrorRateKind, WERResult, word_error_rate
 
 
@@ -52,6 +61,7 @@ def evaluate(
     step: int = 0,
     subset: str = "dev",
     logger=None,
+    state_resets: Optional[StateResetsConfig] = None,
 ) -> EvalResult:
     """Run one full evaluation over ``loader``. ``decoder`` must expose
     ``decode(params, feats, feat_lens) -> List[Dict[int, FrameResponses]]``."""
@@ -82,15 +92,30 @@ def evaluate(
             loss_sum += float(ls)
             loss_count += float(n)
 
-        responses = decoder.decode(params, feats, feat_lens)
-        for b, resp in enumerate(responses):
-            toks = frame_responses_to_tokens(resp)
-            ts = [
-                t
-                for t, fr in sorted(resp.items())
-                if fr.final is not None
-                for _ in fr.final.alternatives[0].y_seq
-            ]
+        if state_resets is not None:
+            # segment long utterances into extra lanes, decode, then merge
+            # per-utterance token streams (state_resets.py)
+            seg_feats, seg_lens, counts = segment_batch(
+                np.asarray(feats), np.asarray(feat_lens), state_resets
+            )
+            responses = decoder.decode(
+                params, jax.numpy.asarray(seg_feats), jax.numpy.asarray(seg_lens)
+            )
+            per_utt = []
+            for lo, hi in group_segment_lanes(counts):
+                seg_toks = [frame_responses_to_tokens(responses[i]) for i in range(lo, hi)]
+                seg_ts = [frame_responses_timesteps(responses[i]) for i in range(lo, hi)]
+                toks, ts, _ = merge_segments(seg_toks, seg_ts, None, state_resets)
+                per_utt.append((toks, ts))
+        else:
+            responses = decoder.decode(params, feats, feat_lens)
+            per_utt = []
+            for resp in responses:
+                per_utt.append(
+                    (frame_responses_to_tokens(resp), frame_responses_timesteps(resp))
+                )
+
+        for b, (toks, ts) in enumerate(per_utt):
             hyps.append(tokenizer.detokenize(toks))
             refs.append(
                 normalize_transcript(batch.transcripts[b], charset, norm_cfg)

@@ -71,6 +71,20 @@ def validate(args=None):
     loader = build_val_loader(val_utts, tokenizer, cfg.input_val, args.val_batch_size)
     decoder = build_decoder(model, blank_idx, tokenizer, args, cfg)
 
+    state_resets = None
+    if args.sr_segment and args.sr_segment > 0:
+        from caiman_asr_tpu.evaluate.state_resets import StateResetsConfig
+
+        frame_duration = (
+            cfg.input_val.logmel.window_stride * cfg.input_val.splicing.frame_subsampling
+        )
+        state_resets = StateResetsConfig.from_seconds(
+            args.sr_segment,
+            args.sr_overlap,
+            frame_duration,
+            cfg.rnnt.enc_stack_time_factor,
+        )
+
     result = evaluate(
         params,
         decoder,
@@ -84,6 +98,7 @@ def validate(args=None):
         dump_preds_dir=(out_dir / "preds") if args.dump_preds else None,
         subset="dev",
         logger=logger,
+        state_resets=state_resets,
     )
     print(json.dumps({"wer": result.wer, "loss": result.loss}))
     return result
