@@ -43,6 +43,16 @@ def add_decoder_args(parser: argparse.ArgumentParser):
     dec.add_argument("--keyword_boost_path", type=str, default=None)
 
 
+def add_latency_args(parser: argparse.ArgumentParser):
+    lat = parser.add_argument_group("latency")
+    lat.add_argument("--dump_ctm", action="store_true",
+                     help="export word-level timestamps to a CTM file")
+    lat.add_argument("--gt_ctm", type=str, default=None,
+                     help="ground-truth CTM for emission-latency measurement")
+    lat.add_argument("--latency_head_offset", type=float, default=0.0)
+    lat.add_argument("--latency_tail_offset", type=float, default=0.0)
+
+
 def add_state_reset_args(parser: argparse.ArgumentParser):
     sr = parser.add_argument_group("state resets")
     sr.add_argument("--sr_segment", type=float, default=0.0,

@@ -42,6 +42,8 @@ class EvalResult:
     refs: List[str] = field(default_factory=list)
     fnames: List[str] = field(default_factory=list)
     timestamps: List[List[int]] = field(default_factory=list)
+    word_timestamps: Optional[list] = None  # List[SequenceTimestamp]
+    latency_metrics: Optional[dict] = None
 
 
 def evaluate(
@@ -62,6 +64,9 @@ def evaluate(
     subset: str = "dev",
     logger=None,
     state_resets: Optional[StateResetsConfig] = None,
+    ctm_path: Optional[str] = None,
+    gt_ctm_path: Optional[str] = None,
+    frame_width: float = 0.06,
 ) -> EvalResult:
     """Run one full evaluation over ``loader``. ``decoder`` must expose
     ``decode(params, feats, feat_lens) -> List[Dict[int, FrameResponses]]``."""
@@ -73,6 +78,7 @@ def evaluate(
     refs: List[str] = []
     fnames: List[str] = []
     tss: List[List[int]] = []
+    pieces_list: List[List[str]] = []
     loss_sum, loss_count = 0.0, 0.0
 
     for batch in loader.epoch(0):
@@ -122,6 +128,9 @@ def evaluate(
             )
             fnames.append(batch.fnames[b])
             tss.append(ts)
+            pieces_list.append(
+                [tokenizer.id_to_piece(t).replace("▁", " ") for t in toks]
+            )
 
     wer_res: WERResult = word_error_rate(
         hyps, refs, standardize=standardize_wer, kind=error_rate
@@ -138,6 +147,28 @@ def evaluate(
         fnames=fnames,
         timestamps=tss,
     )
+
+    # word-level timestamps + CTM export + emission latency vs ground truth
+    # (reference evaluate/core.py:342-374, latency/ctm.py)
+    from caiman_asr_tpu.latency.ctm import dump_ctm, measure_emission_latency
+    from caiman_asr_tpu.latency.timestamp import Never, group_timestamps
+
+    result.word_timestamps = group_timestamps(
+        pieces_list, tss, hyps, [Never() for _ in hyps]
+    )
+    if ctm_path is not None:
+        dump_ctm(fnames, result.word_timestamps, ctm_path, frame_width)
+        if gt_ctm_path is not None:
+            result.latency_metrics = measure_emission_latency(
+                gt_ctm_path, ctm_path, frame_width=frame_width
+            )
+            if logger is not None and result.latency_metrics["n"]:
+                logger.log(
+                    (epoch, step),
+                    {f"latency_{k}": v for k, v in result.latency_metrics.items()
+                     if v is not None},
+                    subset=subset,
+                )
     if logger is not None:
         metrics = {"wer": result.wer * 100.0, "took": time.time() - t0}
         if loss is not None:

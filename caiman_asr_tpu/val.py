@@ -14,6 +14,7 @@ import jax
 
 from caiman_asr_tpu.args.shared import (
     add_decoder_args,
+    add_latency_args,
     add_shared_args,
     add_state_reset_args,
 )
@@ -39,6 +40,7 @@ def val_arg_parser() -> argparse.ArgumentParser:
     add_shared_args(parser)
     add_decoder_args(parser)
     add_state_reset_args(parser)
+    add_latency_args(parser)
     parser.add_argument("--ckpt", type=str, default=None, help="checkpoint to evaluate")
     parser.add_argument("--use_ema", action="store_true", default=True)
     parser.add_argument("--no_ema", dest="use_ema", action="store_false")
@@ -99,6 +101,13 @@ def validate(args=None):
         subset="dev",
         logger=logger,
         state_resets=state_resets,
+        ctm_path=str(out_dir / "model.ctm") if args.dump_ctm else None,
+        gt_ctm_path=args.gt_ctm,
+        frame_width=(
+            cfg.input_val.logmel.window_stride
+            * cfg.input_val.splicing.frame_subsampling
+            * cfg.rnnt.enc_stack_time_factor
+        ),
     )
     print(json.dumps({"wer": result.wer, "loss": result.loss}))
     return result
