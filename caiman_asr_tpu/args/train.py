@@ -62,6 +62,16 @@ def train_arg_parser() -> argparse.ArgumentParser:
     norm.add_argument("--norm_ramp_start_step", type=int, default=None)
     norm.add_argument("--norm_ramp_end_step", type=int, default=None)
 
+    noise = parser.add_argument_group("noise augmentation")
+    noise.add_argument("--prob_background_noise", type=float, default=0.25)
+    noise.add_argument("--prob_babble_noise", type=float, default=0.0)
+    noise.add_argument("--noise_delay_steps", type=int, default=4896)
+    noise.add_argument("--noise_ramp_steps", type=int, default=4896)
+    noise.add_argument("--noise_initial_low", type=int, default=30)
+    noise.add_argument("--noise_initial_high", type=int, default=60)
+    noise.add_argument("--noise_dataset", type=str, default=None,
+                       help="local directory of background-noise audio files")
+
     rsp = parser.add_argument_group("random state passing")
     rsp.add_argument("--rsp_delay", type=int, default=None)
     rsp.add_argument("--rsp_seq_len_freq", type=int, nargs="+", default=[99, 0, 1],

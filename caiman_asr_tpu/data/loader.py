@@ -67,6 +67,8 @@ class AudioDataLoader:
         sample_quantum_secs: float = 2.0,
         token_quantum: int = 32,
         prefetch: int = 2,
+        background_noise=None,   # (NoiseDataset, NoiseSampler)
+        babble_noise=None,       # NoiseSampler
     ):
         self.utts = list(utterances)
         self.sampler = sampler
@@ -81,6 +83,8 @@ class AudioDataLoader:
         self.token_quantum = token_quantum
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.background_noise = background_noise
+        self.babble_noise = babble_noise
         self._token_cache: Dict[int, List[int]] = {}
         max_dur = pipeline.dataset.max_duration or max(
             (u.duration for u in self.utts), default=1.0
@@ -132,6 +136,27 @@ class AudioDataLoader:
             for i in range(len(idxs))
         ]
         audios = list(self._pool.map(self._load_one, idxs, rngs))
+        if self.train and self.background_noise is not None:
+            # background noise at per-sample scheduled SNRs
+            # (reference data/dali/noise.py blend + iterator)
+            from caiman_asr_tpu.data.audio import blend_noise
+
+            ds, sampler = self.background_noise
+            for i in range(len(audios)):
+                snr, start = sampler.draw()
+                if snr < 100.0:
+                    audios[i] = blend_noise(
+                        rngs[i], audios[i], ds.get(rngs[i]), snr, start
+                    )
+        if self.train and self.babble_noise is not None and len(audios) > 1:
+            from caiman_asr_tpu.data.audio import blend_noise
+
+            for i in range(len(audios)):
+                snr, start = self.babble_noise.draw()
+                if snr < 100.0:
+                    others = [j for j in range(len(audios)) if j != i]
+                    j = others[int(rngs[i].integers(len(others)))]
+                    audios[i] = blend_noise(rngs[i], audios[i], audios[j], snr, start)
         tokens = [self._tokens(i) for i in idxs]
 
         max_s = quantise(

@@ -83,11 +83,12 @@ def load_utterances(
 
 
 def build_train_loader(
-    utts, tokenizer, pipe: PipelineConfig, batch_size: int, seed: int
+    utts, tokenizer, pipe: PipelineConfig, batch_size: int, seed: int, args=None
 ) -> AudioDataLoader:
     sampler = BucketingSampler(
         [u.duration for u in utts], batch_size=batch_size, world_size=1, seed=seed
     )
+    background, babble = build_noise(args, pipe, seed)
     return AudioDataLoader(
         utts,
         sampler,
@@ -96,7 +97,39 @@ def build_train_loader(
         train=True,
         normalize_config=normalize_config_from(pipe),
         seed=seed,
+        background_noise=background,
+        babble_noise=babble,
     )
+
+
+def build_noise(args, pipe: PipelineConfig, seed: int):
+    """Background/babble noise samplers from CLI args
+    (reference setup wiring: args/noise_augmentation.py + dali pipeline)."""
+    if args is None:
+        return None, None
+    from caiman_asr_tpu.data.noise import NoiseDataset, NoiseSampler
+
+    rng = np.random.default_rng((seed, 77))
+    background = None
+    if getattr(args, "prob_background_noise", 0.0) > 0 and getattr(
+        args, "noise_dataset", None
+    ):
+        ds = NoiseDataset(args.noise_dataset, pipe.logmel.sample_rate)
+        background = (
+            ds,
+            NoiseSampler(
+                args.prob_background_noise, rng,
+                args.noise_initial_low, args.noise_initial_high,
+            ),
+        )
+    babble = None
+    if getattr(args, "prob_babble_noise", 0.0) > 0:
+        babble = NoiseSampler(
+            args.prob_babble_noise, rng,
+            getattr(args, "noise_initial_low", 30),
+            getattr(args, "noise_initial_high", 60),
+        )
+    return background, babble
 
 
 def build_val_loader(utts, tokenizer, pipe: PipelineConfig, batch_size: int):

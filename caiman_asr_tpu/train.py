@@ -152,8 +152,22 @@ def main(args=None):
     accum = args.grad_accumulation_batches
     micro_bs = max(args.global_batch_size // accum, 1)
     train_loader = build_train_loader(
-        train_utts, tokenizer, cfg.input_train, micro_bs, args.seed
+        train_utts, tokenizer, cfg.input_train, micro_bs, args.seed, args
     )
+    noise_snr_sched = None
+    if train_loader.background_noise is not None or train_loader.babble_noise is not None:
+        from caiman_asr_tpu.data.noise import NoiseSchedule
+
+        noise_snr_sched = NoiseSchedule(
+            args.noise_delay_steps,
+            args.noise_ramp_steps,
+            args.noise_initial_low,
+            args.noise_initial_high,
+            background=train_loader.background_noise[1]
+            if train_loader.background_noise
+            else None,
+            babble=train_loader.babble_noise,
+        )
     val_loader = None
     if args.val_manifests:
         val_utts = load_utterances(args.val_manifests, args.dataset_dir, cfg.input_val)
@@ -231,6 +245,8 @@ def main(args=None):
     while step < args.training_steps:
         micro_group = []
         for batch in train_loader.epoch(epoch, resume_step=0):
+            if noise_snr_sched is not None:
+                noise_snr_sched.adjust_snrs(step)
             ratio = mel_ramp.ratio(step) if mel_ramp else 0.0
             rng, k1 = jax.random.split(rng)
             feats, feat_lens = train_fp(
