@@ -47,6 +47,8 @@ def train_arg_parser() -> argparse.ArgumentParser:
     ckpt.add_argument("--log_frequency", type=int, default=25)
     ckpt.add_argument("--prediction_frequency", type=int, default=1000)
     ckpt.add_argument("--die_if_wer_bad", action="store_true")
+    ckpt.add_argument("--skip_state_dict_check", action="store_true",
+                      help="allow serving-bundle export for non-base/large shapes")
 
     pen = parser.add_argument_group("loss penalties")
     pen.add_argument("--delay_penalty", type=str, default="0.0",

@@ -330,11 +330,12 @@ def main(args=None):
                     raise RuntimeError(f"dev WER {result.wer:.2%} at step {step}")
                 if result.wer < best_wer:
                     best_wer = result.wer
-                    ckptr.save(
+                    best_path = ckptr.save(
                         state.params, state.ema_params, state.opt_state,
                         epoch, step, best_wer, is_best=True,
                         meta=_ckpt_meta(cfg, mel_ramp, step),
                     )
+                    _maybe_export_serving_bundle(best_path, args, out_dir)
 
             if step % args.save_frequency == 0:
                 ckptr.save(
@@ -353,6 +354,24 @@ def main(args=None):
     print(f"Training done at step {step}; best dev WER {best_wer:.2%}")
     logger.close()
     return state, best_wer
+
+
+def _maybe_export_serving_bundle(ckpt_path, args, out_dir):
+    """Auto-export the serving bundle for best checkpoints when the gates
+    pass (reference export/checkpointer.py:106-140)."""
+    from caiman_asr_tpu.export.serving_bundle import create_serving_bundle
+
+    try:
+        out = create_serving_bundle(
+            ckpt_path,
+            args.model_config,
+            Path(out_dir) / "serving_bundle.npz",
+            mel_stats_path=args.mel_stats_path,
+            skip_state_dict_check=args.skip_state_dict_check,
+        )
+        print(f"exported serving bundle {out}")
+    except Exception as e:  # gates: incomplete ramp / unsupported schema
+        print(f"serving bundle not exported: {e}")
 
 
 def _ckpt_meta(cfg, mel_ramp, step):
