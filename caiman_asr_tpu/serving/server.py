@@ -1,0 +1,192 @@
+"""WebSocket streaming ASR server.
+
+Implements the reference deployment's client contract
+(docs/src/inference/websocket_api.md): path ``/asr/v0.1/stream``,
+query-encoded ``content_type=audio/x-raw;format=S16LE;channels=1;rate=16000``,
+binary frames of raw samples in, zero-length binary = EOS, JSON text frames
+out (``{start, end, is_provisional, alternatives: [{transcript,
+confidence}]}``), subprotocol ``stream.asr.api.myrtle.ai``.
+
+All connections share ONE StreamingEngine: a single ticker task advances the
+whole lane batch every frame interval, so concurrency costs one fused TPU
+program per 60 ms regardless of the number of streams.
+
+Run:  python -m caiman_asr_tpu.serving.server --model_config ... \
+        --ckpt best.npz --mel_stats stats.npz --port 8765
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import urllib.parse
+from typing import Dict
+
+import numpy as np
+
+SUBPROTOCOL = "stream.asr.api.myrtle.ai"
+
+
+class ASRServer:
+    def __init__(self, engine, tick_interval: float = 0.02):
+        self.engine = engine
+        self.tick_interval = tick_interval
+        self.queues: Dict[int, asyncio.Queue] = {}
+        self._ticker_task = None
+
+    # ------------------------------------------------------------ lifecycle
+    async def _ticker(self):
+        loop = asyncio.get_event_loop()
+        while True:
+            if self.engine.streams:
+                out = await loop.run_in_executor(None, self.engine.tick)
+                for lane, resp in out.items():
+                    q = self.queues.get(lane)
+                    if q is not None:
+                        q.put_nowait(resp)
+            await asyncio.sleep(self.tick_interval)
+
+    @staticmethod
+    def validate_params(path: str) -> str | None:
+        """Returns an error string, or None if the request is valid."""
+        parsed = urllib.parse.urlparse(path)
+        if not parsed.path.endswith("/stream"):
+            return f"unknown path {parsed.path}"
+        q = urllib.parse.parse_qs(parsed.query)
+        ct = q.get("content_type", [""])[0]
+        if not ct:
+            return "missing content_type"
+        parts = ct.split(";")
+        if parts[0] != "audio/x-raw":
+            return f"unsupported content type {parts[0]}"
+        opts = dict(p.split("=", 1) for p in parts[1:] if "=" in p)
+        if opts.get("format", "S16LE") != "S16LE":
+            return "only S16LE supported"
+        if opts.get("rate", "16000") != "16000":
+            return "only rate=16000 supported"
+        if opts.get("channels", "1") != "1":
+            return "only channels=1 supported"
+        return None
+
+    # ------------------------------------------------------------- handler
+    async def handle(self, websocket):
+        path = websocket.request.path
+        err = self.validate_params(path)
+        if err is not None:
+            await websocket.close(code=1008, reason=err)
+            return
+        lane = self.engine.open_stream()
+        if lane is None:
+            await websocket.close(code=1013, reason="server at capacity")
+            return
+        q: asyncio.Queue = asyncio.Queue()
+        self.queues[lane] = q
+
+        async def sender():
+            while True:
+                resp = await q.get()
+                if resp.get("eos"):
+                    return
+                await websocket.send(json.dumps(resp))
+
+        send_task = asyncio.create_task(sender())
+        try:
+            async for message in websocket:
+                if isinstance(message, str):
+                    continue  # text frames ignored on input
+                if len(message) == 0:
+                    self.engine.close_stream(lane)
+                    break
+                samples = (
+                    np.frombuffer(message, dtype="<i2").astype(np.float32) / 32768.0
+                )
+                self.engine.push_audio(lane, samples)
+            else:
+                self.engine.close_stream(lane)
+            await send_task
+        finally:
+            send_task.cancel()
+            self.queues.pop(lane, None)
+            if lane in self.engine.streams:
+                self.engine.close_stream(lane)
+            await websocket.close()
+
+    async def serve(self, host: str, port: int):
+        import websockets.asyncio.server
+
+        self._ticker_task = asyncio.create_task(self._ticker())
+        async with websockets.asyncio.server.serve(
+            self.handle, host, port, subprotocols=[SUBPROTOCOL], max_size=2**24
+        ):
+            await asyncio.Future()
+
+
+def build_engine(args):
+    import jax
+
+    from caiman_asr_tpu.export.checkpointer import apply_params, load_checkpoint
+    from caiman_asr_tpu.models.config import load_config
+    from caiman_asr_tpu.serving.engine import StreamingEngine
+    from caiman_asr_tpu.setup.builders import (
+        build_model,
+        build_tokenizer,
+        load_mel_stats,
+    )
+
+    bundle = load_config(args.model_config)
+    cfg = bundle.cfg
+    tokenizer = build_tokenizer(cfg, args.tokenizer_model)
+    model, blank_idx = build_model(cfg, tokenizer)
+    params = model.init(jax.random.PRNGKey(0))
+    if args.serving_bundle:
+        from caiman_asr_tpu.export.serving_bundle import load_serving_bundle
+
+        weights, extras, meta = load_serving_bundle(args.serving_bundle)
+        params = apply_params(params, weights)
+        mel_stats = (
+            (np.asarray(extras["melmeans"]), np.sqrt(np.asarray(extras["melvars"])))
+            if "melmeans" in extras
+            else None
+        )
+    else:
+        if args.ckpt:
+            loaded, ema, _, _ = load_checkpoint(args.ckpt)
+            params = apply_params(params, ema if ema is not None else loaded)
+        mel_stats = load_mel_stats(args.mel_stats_path)
+    import dataclasses
+
+    return StreamingEngine(
+        model,
+        params,
+        blank_idx,
+        tokenizer,
+        mel_stats=mel_stats,
+        max_streams=args.max_streams,
+        logmel=dataclasses.replace(cfg.input_val.logmel, dither=0.0),
+        frame_stacking=cfg.input_val.splicing.frame_stacking,
+        frame_subsampling=cfg.input_val.splicing.frame_subsampling,
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="streaming ASR WebSocket server")
+    p.add_argument("--model_config", required=True)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--serving_bundle", default=None)
+    p.add_argument("--tokenizer_model", default=None)
+    p.add_argument("--mel_stats_path", default=None)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--max_streams", type=int, default=64)
+    args = p.parse_args(argv)
+    engine = build_engine(args)
+    engine.warmup()
+    server = ASRServer(engine)
+    print(f"serving on ws://{args.host}:{args.port}/asr/v0.1/stream "
+          f"({args.max_streams} lanes)")
+    asyncio.run(server.serve(args.host, args.port))
+
+
+if __name__ == "__main__":
+    main()

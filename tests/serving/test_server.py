@@ -1,0 +1,107 @@
+"""End-to-end WebSocket serving test: in-process server + client streaming
+(reference: inference/benchmark tests + websocket_api.md contract)."""
+
+import asyncio
+import json
+import wave
+
+import jax
+import numpy as np
+import pytest
+
+from caiman_asr_tpu.models.rnnt import RNNT, RNNTModelConfig
+from caiman_asr_tpu.serving.engine import StreamingEngine
+from caiman_asr_tpu.serving.server import ASRServer
+
+N_CLASSES = 12
+BLANK = N_CLASSES - 1
+PORT = 18765
+
+
+class Tok:
+    def detokenize(self, ids):
+        return "".join(chr(97 + i) for i in ids)
+
+    def id_to_piece(self, i):
+        return chr(97 + i)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = RNNT(
+        RNNTModelConfig(
+            in_feats=240, enc_n_hid=16, enc_pre_rnn_layers=1, enc_post_rnn_layers=1,
+            enc_stack_time_factor=2, pred_n_hid=8, pred_rnn_layers=1, joint_n_hid=16,
+            enc_dropout=0.0, pred_dropout=0.0, joint_dropout=0.0,
+        ),
+        N_CLASSES,
+    )
+    params = model.init(jax.random.PRNGKey(3))
+    return StreamingEngine(model, params, BLANK, Tok(), max_streams=4)
+
+
+def test_param_validation():
+    ok = "/asr/v0.1/stream?content_type=audio/x-raw;format=S16LE;channels=1;rate=16000"
+    assert ASRServer.validate_params(ok) is None
+    assert ASRServer.validate_params("/asr/v0.1/stream") is not None
+    assert ASRServer.validate_params(
+        "/asr/v0.1/stream?content_type=audio/mp3"
+    ) is not None
+    assert ASRServer.validate_params(
+        "/asr/v0.1/stream?content_type=audio/x-raw;rate=8000"
+    ) is not None
+    assert ASRServer.validate_params("/other?content_type=audio/x-raw") is not None
+
+
+def test_server_end_to_end(engine, tmp_path):
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=16000) * 0.1).astype(np.float32)
+    wav = tmp_path / "a.wav"
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((np.clip(audio, -1, 1) * 32767).astype(np.int16).tobytes())
+
+    async def scenario():
+        from caiman_asr_tpu.inference.transcriber import transcribe_file
+
+        server = ASRServer(engine, tick_interval=0.005)
+        import websockets.asyncio.server
+
+        ticker = asyncio.create_task(server._ticker())
+        async with websockets.asyncio.server.serve(
+            server.handle, "127.0.0.1", PORT,
+            subprotocols=["stream.asr.api.myrtle.ai"],
+        ):
+            result = await asyncio.wait_for(
+                transcribe_file(
+                    f"ws://127.0.0.1:{PORT}/asr/v0.1/stream", str(wav),
+                    realtime=False,
+                ),
+                timeout=60,
+            )
+            # bad request is refused
+            import websockets.asyncio.client
+
+            with pytest.raises(Exception):
+                async with websockets.asyncio.client.connect(
+                    f"ws://127.0.0.1:{PORT}/asr/v0.1/stream?content_type=audio/mp3",
+                    subprotocols=["stream.asr.api.myrtle.ai"],
+                ) as ws:
+                    await ws.send(b"\x00\x00")
+                    await asyncio.wait_for(ws.recv(), timeout=5)
+        ticker.cancel()
+        return result
+
+    result = asyncio.run(scenario())
+    assert result.duration == pytest.approx(1.0)
+    # the untrained model emits plenty of tokens: responses flowed
+    assert len(result.responses) > 0
+    for tr in result.responses:
+        r = tr.response
+        assert set(r) >= {"start", "end", "is_provisional", "alternatives"}
+        assert r["end"] > r["start"]
+    assert len(result.transcript) > 0
+    # all lanes were released after EOS
+    assert not engine.streams
