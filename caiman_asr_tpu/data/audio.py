@@ -48,6 +48,18 @@ def read_audio(path: str | Path, target_sr: int = 16000) -> np.ndarray:
         if sr != target_sr:
             audio = resample(audio, sr, target_sr)
         return audio
+    if suffix == ".flac":
+        from caiman_asr_tpu.native import flac_decode_file
+
+        samples, sr, bps, _ = flac_decode_file(path)
+        audio = samples.astype(np.float32) / float(1 << (bps - 1))
+        if audio.shape[1] > 1:
+            audio = audio.mean(axis=1)
+        else:
+            audio = audio[:, 0]
+        if sr != target_sr:
+            audio = resample(audio, sr, target_sr)
+        return audio
     if _soundfile is not None:
         audio, sr = _soundfile.read(str(path), dtype="float32")
         if audio.ndim > 1:

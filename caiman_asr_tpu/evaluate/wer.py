@@ -23,7 +23,22 @@ class ErrorRateKind(Enum):
 
 
 def levenshtein(a: Sequence, b: Sequence) -> int:
-    """Edit distance between two sequences (numpy row DP)."""
+    """Edit distance between two sequences.
+
+    Hot path uses the native C++ kernel (caiman_asr_tpu.native, the
+    replacement for the reference's levenshtein_rs dep,
+    evaluate/metrics.py:21) by interning units to int ids; falls back to the
+    numpy row DP if the native build is unavailable.
+    """
+    try:
+        from caiman_asr_tpu.native import levenshtein as _native_lev
+
+        ids: dict = {}
+        enc = lambda seq: [ids.setdefault(u, len(ids)) for u in seq]
+        ea = enc(a)
+        return _native_lev(ea, enc(b))
+    except Exception:
+        pass
     if len(a) < len(b):
         a, b = b, a
     if len(b) == 0:
