@@ -25,6 +25,17 @@ def add_shared_args(parser: argparse.ArgumentParser):
     io.add_argument("--mel_stats_path", type=str, default=None,
                     help="npz with melmeans/melvars dataset statistics")
 
+    src = parser.add_argument_group("data source")
+    src.add_argument("--read_from_tar", action="store_true",
+                     help="read webdataset tar shards instead of JSON manifests")
+    src.add_argument("--train_tar_files", type=str, nargs="+", default=[])
+    src.add_argument("--val_tar_files", type=str, nargs="+", default=[])
+    src.add_argument("--use_hugging_face", action="store_true")
+    src.add_argument("--hugging_face_val_dataset", type=str, default=None)
+    src.add_argument("--hugging_face_val_config", type=str, default=None)
+    src.add_argument("--hugging_face_val_split", type=str, default="validation")
+    src.add_argument("--hugging_face_val_transcript_key", type=str, default="text")
+
 
 def add_decoder_args(parser: argparse.ArgumentParser):
     dec = parser.add_argument_group("decoder")

@@ -102,6 +102,54 @@ def build_train_loader(
     )
 
 
+def build_data_source_loader(
+    args, cfg: Config, tokenizer, batch_size: int, train: bool, seed: int = 0
+):
+    """Pick the loader for the requested source: JSON manifests (default),
+    webdataset tars (--read_from_tar) or HuggingFace (--use_hugging_face) —
+    reference: data/build_dataloader.py + setup/base.py:348-399."""
+    pipe = cfg.input_train if train else cfg.input_val
+    if getattr(args, "read_from_tar", False):
+        from caiman_asr_tpu.data.webdataset import WebDatasetLoader, WebDatasetReader
+
+        tars = args.train_tar_files if train else args.val_tar_files
+        tars = [
+            t if Path(t).is_absolute() else str(Path(args.dataset_dir) / t)
+            for t in tars
+        ]
+        reader = WebDatasetReader(
+            tars,
+            sample_rate=pipe.logmel.sample_rate,
+            seed=seed,
+            max_duration=pipe.dataset.max_duration if train else None,
+            max_transcript_len=pipe.dataset.max_transcript_len if train else None,
+        )
+        return WebDatasetLoader(
+            reader, tokenizer, batch_size,
+            normalize_config=normalize_config_from(pipe),
+            drop_last=train,
+        )
+    if getattr(args, "use_hugging_face", False) and not train:
+        from caiman_asr_tpu.data.hugging_face import HuggingFaceLoader, HuggingFaceReader
+
+        reader = HuggingFaceReader(
+            args.hugging_face_val_dataset,
+            split=args.hugging_face_val_split,
+            config=args.hugging_face_val_config,
+            text_column=args.hugging_face_val_transcript_key,
+            sample_rate=pipe.logmel.sample_rate,
+        )
+        return HuggingFaceLoader(
+            reader, tokenizer, batch_size,
+            normalize_config=normalize_config_from(pipe),
+        )
+    manifests = args.train_manifests if train else args.val_manifests
+    utts = load_utterances(manifests, args.dataset_dir, pipe)
+    if train:
+        return build_train_loader(utts, tokenizer, pipe, batch_size, seed, args)
+    return build_val_loader(utts, tokenizer, pipe, batch_size)
+
+
 def build_noise(args, pipe: PipelineConfig, seed: int):
     """Background/babble noise samplers from CLI args
     (reference setup wiring: args/noise_augmentation.py + dali pipeline)."""

@@ -27,14 +27,12 @@ from caiman_asr_tpu.log import init_log
 from caiman_asr_tpu.models.config import load_config
 from caiman_asr_tpu.parallel import make_mesh, replicated, shard_batch
 from caiman_asr_tpu.setup.builders import (
+    build_data_source_loader,
     build_feature_pipelines,
     build_greedy_decoder,
     build_model,
     build_tokenizer,
-    build_train_loader,
-    build_val_loader,
     load_mel_stats,
-    load_utterances,
     normalize_config_from,
 )
 from caiman_asr_tpu.training import (
@@ -147,15 +145,15 @@ def main(args=None):
     # -------------------------------------------------------------- data
     mel_stats = load_mel_stats(args.mel_stats_path)
     train_fp, val_fp = build_feature_pipelines(cfg, mel_stats)
-    train_utts = load_utterances(args.train_manifests, args.dataset_dir, cfg.input_train)
-    assert train_utts, "no training utterances after filtering"
     accum = args.grad_accumulation_batches
     micro_bs = max(args.global_batch_size // accum, 1)
-    train_loader = build_train_loader(
-        train_utts, tokenizer, cfg.input_train, micro_bs, args.seed, args
+    train_loader = build_data_source_loader(
+        args, cfg, tokenizer, micro_bs, train=True, seed=args.seed
     )
     noise_snr_sched = None
-    if train_loader.background_noise is not None or train_loader.babble_noise is not None:
+    if getattr(train_loader, "background_noise", None) is not None or getattr(
+        train_loader, "babble_noise", None
+    ) is not None:
         from caiman_asr_tpu.data.noise import NoiseSchedule
 
         noise_snr_sched = NoiseSchedule(
@@ -169,10 +167,9 @@ def main(args=None):
             babble=train_loader.babble_noise,
         )
     val_loader = None
-    if args.val_manifests:
-        val_utts = load_utterances(args.val_manifests, args.dataset_dir, cfg.input_val)
-        val_loader = build_val_loader(
-            val_utts, tokenizer, cfg.input_val, args.val_batch_size
+    if args.val_manifests or args.val_tar_files or args.use_hugging_face:
+        val_loader = build_data_source_loader(
+            args, cfg, tokenizer, args.val_batch_size, train=False
         )
 
     # ------------------------------------------------------------- steps
@@ -238,7 +235,7 @@ def main(args=None):
     audio_secs_since_log = 0.0
     utts_since_log = 0
     print(
-        f"Training: {len(train_utts)} utts, micro-batch {micro_bs} x accum {accum}, "
+        f"Training: micro-batch {micro_bs} x accum {accum}, "
         f"{mesh.devices.size} device(s), starting at step {step}"
     )
 

@@ -27,9 +27,8 @@ from caiman_asr_tpu.setup.builders import (
     build_feature_pipelines,
     build_model,
     build_tokenizer,
-    build_val_loader,
+    build_data_source_loader,
     load_mel_stats,
-    load_utterances,
     normalize_config_from,
 )
 from caiman_asr_tpu.training import make_val_loss_step
@@ -69,8 +68,9 @@ def validate(args=None):
 
     mel_stats = load_mel_stats(args.mel_stats_path)
     _, val_fp = build_feature_pipelines(cfg, mel_stats)
-    val_utts = load_utterances(args.val_manifests, args.dataset_dir, cfg.input_val)
-    loader = build_val_loader(val_utts, tokenizer, cfg.input_val, args.val_batch_size)
+    loader = build_data_source_loader(
+        args, cfg, tokenizer, args.val_batch_size, train=False
+    )
     decoder = build_decoder(model, blank_idx, tokenizer, args, cfg)
 
     state_resets = None

@@ -1,0 +1,180 @@
+"""Data source tests: webdataset tars, LibriSpeech prep, spm/eos CLIs, HF
+reader iteration (reference: tests/data/)."""
+
+import io
+import json
+import tarfile
+import wave
+
+import numpy as np
+import pytest
+
+from caiman_asr_tpu.data.make_datasets.io import audio_duration, flac_info
+from caiman_asr_tpu.data.make_datasets.librispeech import (
+    parse_trans_file,
+    prepare_subset,
+)
+from caiman_asr_tpu.data.tokenizer import Tokenizer, save_tokenizer_json, train_tokenizer
+from caiman_asr_tpu.data.webdataset import (
+    LengthUnknownError,
+    WebDatasetLoader,
+    WebDatasetReader,
+)
+from tests.native.test_native import encode_flac_verbatim
+
+TEXTS = ["hello world", "the cat sat", "a dog barks", "testing one two"]
+
+
+def wav_bytes(audio, sr=16000):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((np.clip(audio, -1, 1) * 32767).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def tok(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tok")
+    save_tokenizer_json(root / "t.json", train_tokenizer(TEXTS * 4, vocab_size=40))
+    return Tokenizer(list(" abcdefghijklmnopqrstuvwxyz'"), root / "t.json")
+
+
+@pytest.fixture(scope="module")
+def tar_shard(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wds")
+    rng = np.random.default_rng(0)
+    path = root / "shard-000.tar"
+    with tarfile.open(path, "w") as tar:
+        for i, text in enumerate(TEXTS):
+            audio = (rng.normal(size=4000 + 500 * i) * 0.1).astype(np.float32)
+            if i % 2 == 0:
+                blob = wav_bytes(audio)
+                name = f"utt{i}.wav"
+            else:
+                blob = encode_flac_verbatim((audio * 32767).astype(np.int16))
+                name = f"utt{i}.flac"
+            for fname, data in [(name, blob), (f"utt{i}.txt", text.encode())]:
+                info = tarfile.TarInfo(fname)
+                info.size = len(data)
+                tar.addfile(info, io.BytesIO(data))
+    return path
+
+
+def test_webdataset_reader(tar_shard):
+    reader = WebDatasetReader([tar_shard], shuffle_buffer=2)
+    samples = list(reader.shuffled(0))
+    assert len(samples) == 4
+    texts = sorted(s[1] for s in samples)
+    assert texts == sorted(TEXTS)
+    with pytest.raises(LengthUnknownError):
+        len(reader)
+
+
+def test_webdataset_sharding(tar_shard):
+    r0 = WebDatasetReader([tar_shard], shard_id=0, num_shards=2)
+    r1 = WebDatasetReader([tar_shard], shard_id=1, num_shards=2)
+    k0 = {s[2] for s in r0.shuffled(0)}
+    k1 = {s[2] for s in r1.shuffled(0)}
+    assert k0 | k1 == {"utt0", "utt1", "utt2", "utt3"}
+    assert not (k0 & k1)
+
+
+def test_webdataset_loader_batches(tar_shard, tok):
+    loader = WebDatasetLoader(WebDatasetReader([tar_shard]), tok, batch_size=2)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b.audio.shape[0] == 2
+    assert (b.token_lens > 0).all()
+    assert b.audio.shape[1] % loader.sample_quantum == 0
+
+
+def test_librispeech_prep(tmp_path):
+    # fabricate an extracted LibriSpeech tree
+    rng = np.random.default_rng(0)
+    chapter = tmp_path / "LibriSpeech" / "dev-clean" / "84" / "121123"
+    chapter.mkdir(parents=True)
+    trans = chapter / "84-121123.trans.txt"
+    lines = []
+    for i in range(3):
+        utt = f"84-121123-{i:04d}"
+        pcm = (rng.normal(size=16000 + i * 800) * 5000).astype(np.int16)
+        (chapter / f"{utt}.flac").write_bytes(encode_flac_verbatim(pcm))
+        lines.append(f"{utt} HELLO WORLD NUMBER {i}")
+    trans.write_text("\n".join(lines))
+
+    parsed = parse_trans_file(trans)
+    assert parsed["84-121123-0000"] == "hello world number 0"
+
+    manifest = prepare_subset(tmp_path, "dev-clean", skip_download=True)
+    entries = json.loads(manifest.read_text())
+    assert len(entries) == 3
+    assert entries[0]["files"][0]["fname"].endswith(".flac")
+    assert entries[0]["original_duration"] == pytest.approx(1.0, abs=0.01)
+
+
+def test_flac_info(tmp_path):
+    pcm = (np.zeros(32000)).astype(np.int16)
+    f = tmp_path / "x.flac"
+    f.write_bytes(encode_flac_verbatim(pcm))
+    info = flac_info(f)
+    assert info["sample_rate"] == 16000
+    assert info["total_samples"] == 32000
+    assert info["duration"] == pytest.approx(2.0)
+    assert audio_duration(f) == pytest.approx(2.0)
+
+
+def test_spm_train_cli(tmp_path):
+    from caiman_asr_tpu.data.spm_train import main as spm_main
+
+    entries = [
+        {"transcript": t, "files": [{"fname": "x.wav", "duration": 1.0}],
+         "original_duration": 1.0}
+        for t in TEXTS * 3
+    ]
+    (tmp_path / "m.json").write_text(json.dumps(entries))
+    spm_main([
+        "--manifests", "m.json", "--dataset_dir", str(tmp_path),
+        "--vocab_size", "40", "--output_prefix", str(tmp_path / "spm"),
+    ])
+    # both formats load back
+    t_json = Tokenizer(list(" abcdefghijklmnopqrstuvwxyz'"), tmp_path / "spm.json")
+    t_model = Tokenizer(list(" abcdefghijklmnopqrstuvwxyz'"), tmp_path / "spm.model")
+    ids = t_json.tokenize("hello world")
+    assert ids == t_model.tokenize("hello world")
+    assert t_json.detokenize(ids) == "hello world"
+
+
+def test_eos_add_cli(tmp_path):
+    from caiman_asr_tpu.data.eos_add import main as eos_main
+
+    entries = [{"transcript": "hi there", "files": [], "original_duration": 1.0}]
+    (tmp_path / "in.json").write_text(json.dumps(entries))
+    eos_main(["--manifest", str(tmp_path / "in.json"),
+              "--output", str(tmp_path / "out.json")])
+    out = json.loads((tmp_path / "out.json").read_text())
+    assert out[0]["transcript"] == "hi there <EOS>"
+
+
+def test_hf_reader_iteration(monkeypatch):
+    """HF reader logic without the hub: substitute the dataset object."""
+    from caiman_asr_tpu.data.hugging_face import HuggingFaceReader
+
+    reader = HuggingFaceReader.__new__(HuggingFaceReader)
+    reader.ds = [
+        {"audio": {"array": np.zeros(1600), "sampling_rate": 16000},
+         "text": "zero", "id": "a"},
+        {"audio": {"array": np.ones(800) * 0.1, "sampling_rate": 8000},
+         "text": "one", "id": "b"},
+    ]
+    reader.audio_column = "audio"
+    reader.text_column = "text"
+    reader.sr = 16000
+    reader.shard_id = 0
+    reader.num_shards = 1
+    out = list(reader)
+    assert [t for _, t, _ in out] == ["zero", "one"]
+    assert len(out[1][0]) == 1600  # resampled 8k -> 16k
