@@ -23,6 +23,9 @@ def train_arg_parser() -> argparse.ArgumentParser:
     training.add_argument("--hold_steps", type=int, default=18000)
     training.add_argument("--half_life_steps", type=int, default=10880)
     training.add_argument("--train_manifests", type=str, nargs="+", default=[])
+    training.add_argument("--profiler", action="store_true",
+                          help="capture a jax.profiler trace + phase timings")
+    training.add_argument("--timings_frequency", type=int, default=500)
 
     optim = parser.add_argument_group("optimization setup")
     optim.add_argument("--global_batch_size", type=int, default=1024)

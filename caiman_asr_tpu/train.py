@@ -228,6 +228,11 @@ def main(args=None):
         )
 
     # -------------------------------------------------------------- loop
+    from caiman_asr_tpu.log.profiling import PhaseTimers, Profiler
+
+    profiler = Profiler(out_dir, enabled=args.profiler)
+    timers = PhaseTimers(out_dir)
+    profiler.start()
     rng = jax.random.PRNGKey(args.seed + 7)
     step = start_step
     last_wer = None
@@ -241,14 +246,20 @@ def main(args=None):
 
     while step < args.training_steps:
         micro_group = []
-        for batch in train_loader.epoch(epoch, resume_step=0):
+        batch_iter = iter(train_loader.epoch(epoch, resume_step=0))
+        while True:
+            with timers.phase("dataloading"):
+                batch = next(batch_iter, None)
+            if batch is None:
+                break
             if noise_snr_sched is not None:
                 noise_snr_sched.adjust_snrs(step)
             ratio = mel_ramp.ratio(step) if mel_ramp else 0.0
             rng, k1 = jax.random.split(rng)
-            feats, feat_lens = train_fp(
-                batch.audio, batch.audio_lens, k1, dataset_to_utt_ratio=ratio
-            )
+            with timers.phase("feat_proc"):
+                feats, feat_lens = train_fp(
+                    batch.audio, batch.audio_lens, k1, dataset_to_utt_ratio=ratio
+                )
             micro_group.append(
                 {
                     "feats": feats,
@@ -274,16 +285,19 @@ def main(args=None):
                 ),
             }
             rng, k2 = jax.random.split(rng)
-            if rsp_on:
-                gates = rsp_ctl.gates(step, accum)
-                state, metrics, rnnt_state = train_step(
-                    state, device_batch, k2, scalars, rnnt_state, gates
-                )
-                if bool(metrics["skipped"]):
-                    rsp_ctl.reset()
-            else:
-                state, metrics = train_step(state, device_batch, k2, scalars)
+            with timers.phase("fwd_bwd"):
+                if rsp_on:
+                    gates = rsp_ctl.gates(step, accum)
+                    state, metrics, rnnt_state = train_step(
+                        state, device_batch, k2, scalars, rnnt_state, gates
+                    )
+                    if bool(metrics["skipped"]):
+                        rsp_ctl.reset()
+                else:
+                    state, metrics = train_step(state, device_batch, k2, scalars)
             step += 1
+            if args.profiler and step % args.timings_frequency == 0:
+                timers.dump(step)
 
             logger.accumulate(
                 {"loss": metrics["loss"], "grad_norm": metrics["grad_norm"]}
@@ -348,6 +362,8 @@ def main(args=None):
         state.params, state.ema_params, state.opt_state,
         epoch, step, best_wer, is_last=True, meta=_ckpt_meta(cfg, mel_ramp, step),
     )
+    profiler.stop()
+    timers.dump(step)
     print(f"Training done at step {step}; best dev WER {best_wer:.2%}")
     logger.close()
     return state, best_wer
