@@ -54,6 +54,14 @@ def add_decoder_args(parser: argparse.ArgumentParser):
     dec.add_argument("--keyword_boost_path", type=str, default=None)
 
 
+def add_wer_analysis_args(parser: argparse.ArgumentParser):
+    wa = parser.add_argument_group("wer analysis")
+    wa.add_argument("--wer_breakdown", action="store_true",
+                    help="print WER breakdown by case/punctuation class")
+    wa.add_argument("--breakdown_chars", type=str, default=".,?")
+    wa.add_argument("--punctuation_error_rate", action="store_true")
+
+
 def add_latency_args(parser: argparse.ArgumentParser):
     lat = parser.add_argument_group("latency")
     lat.add_argument("--dump_ctm", action="store_true",

@@ -36,6 +36,7 @@ class NormalizeConfig:
     replacements: Sequence[dict] = field(default_factory=tuple)
     remove_tags: bool = True
     user_symbols: Sequence[str] = field(default_factory=tuple)
+    verbalize_numbers: bool = True  # digits -> words (reference ito cleaners)
 
 
 def _ascii_fold(text: str) -> str:
@@ -74,6 +75,10 @@ def normalize_transcript(
     if level.value >= NormalizeLevel.UNICODE.value:
         text = _ascii_fold(text)
     if level.value >= NormalizeLevel.FULL.value:
+        if config.verbalize_numbers and any(c.isdigit() for c in text):
+            from caiman_asr_tpu.data.text.numbers import verbalize_numbers
+
+            text = verbalize_numbers(text)
         allowed = set(charset)
         text = "".join(c if c in allowed or c == " " else " " for c in text)
     text = _SPACE_RE.sub(" ", text).strip()

@@ -17,6 +17,7 @@ from caiman_asr_tpu.args.shared import (
     add_latency_args,
     add_shared_args,
     add_state_reset_args,
+    add_wer_analysis_args,
 )
 from caiman_asr_tpu.evaluate.core import evaluate
 from caiman_asr_tpu.export.checkpointer import apply_params, load_checkpoint
@@ -40,6 +41,7 @@ def val_arg_parser() -> argparse.ArgumentParser:
     add_decoder_args(parser)
     add_state_reset_args(parser)
     add_latency_args(parser)
+    add_wer_analysis_args(parser)
     parser.add_argument("--ckpt", type=str, default=None, help="checkpoint to evaluate")
     parser.add_argument("--use_ema", action="store_true", default=True)
     parser.add_argument("--no_ema", dest="use_ema", action="store_false")
@@ -109,6 +111,20 @@ def validate(args=None):
             * cfg.rnnt.enc_stack_time_factor
         ),
     )
+    if args.wer_breakdown:
+        from caiman_asr_tpu.evaluate.wer_breakdown import print_wer_breakdown
+
+        print_wer_breakdown(result.hyps, result.refs, args.breakdown_chars)
+    if args.punctuation_error_rate:
+        from caiman_asr_tpu.evaluate.punctuation_error_rate import (
+            punctuation_error_rate,
+        )
+
+        counts = punctuation_error_rate(result.refs, result.hyps)
+        for sym, c in counts.items():
+            print(f"punct {sym!r}: rate={c.rate:.3f} "
+                  f"(ok={c.correct} del={c.deletions} ins={c.insertions} "
+                  f"sub={c.substitutions})")
     print(json.dumps({"wer": result.wer, "loss": result.loss}))
     return result
 
