@@ -53,6 +53,14 @@ def add_decoder_args(parser: argparse.ArgumentParser):
     dec.add_argument("--ngram_scale_factor", type=float, default=None)
     dec.add_argument("--keyword_boost_path", type=str, default=None)
 
+    eos = parser.add_argument_group("eos decoding")
+    eos.add_argument("--eos_decoding", type=str, default="none",
+                     choices=["none", "ignore", "blank", "predict"])
+    eos.add_argument("--eos_alpha", type=float, default=1.0)
+    eos.add_argument("--eos_beta", type=float, default=0.0)
+    eos.add_argument("--eos_is_terminal", action="store_true")
+    eos.add_argument("--eos_vad_threshold", type=float, default=float("inf"))
+
 
 def add_wer_analysis_args(parser: argparse.ArgumentParser):
     wa = parser.add_argument_group("wer analysis")

@@ -55,7 +55,9 @@ def build_model(cfg: Config, tokenizer: Tokenizer, args=None) -> Tuple[RNNT, int
     return RNNT(rnnt_cfg, n_classes), tokenizer.num_labels
 
 
-def normalize_config_from(pipe: PipelineConfig) -> NormalizeConfig:
+def normalize_config_from(
+    pipe: PipelineConfig, user_tokens: Optional[dict] = None
+) -> NormalizeConfig:
     level = {
         "identity": NormalizeLevel.IDENTITY,
         "scrub": NormalizeLevel.SCRUB,
@@ -63,10 +65,13 @@ def normalize_config_from(pipe: PipelineConfig) -> NormalizeConfig:
         "unicode": NormalizeLevel.UNICODE,
         "full": NormalizeLevel.FULL,
     }.get(pipe.dataset.normalize_transcripts, NormalizeLevel.FULL)
+    from caiman_asr_tpu.utils.user_tokens import get_all_user_tokens
+
     return NormalizeConfig(
         level=level,
         remove_tags=pipe.dataset.remove_tags,
         replacements=pipe.dataset.replacements or [],
+        user_symbols=tuple(get_all_user_tokens(user_tokens).values()),
     )
 
 
@@ -126,7 +131,7 @@ def build_data_source_loader(
         )
         return WebDatasetLoader(
             reader, tokenizer, batch_size,
-            normalize_config=normalize_config_from(pipe),
+            normalize_config=normalize_config_from(pipe, cfg.user_tokens),
             drop_last=train,
         )
     if getattr(args, "use_hugging_face", False) and not train:
@@ -145,9 +150,13 @@ def build_data_source_loader(
         )
     manifests = args.train_manifests if train else args.val_manifests
     utts = load_utterances(manifests, args.dataset_dir, pipe)
+    norm_cfg = normalize_config_from(pipe, cfg.user_tokens)
     if train:
-        return build_train_loader(utts, tokenizer, pipe, batch_size, seed, args)
-    return build_val_loader(utts, tokenizer, pipe, batch_size)
+        loader = build_train_loader(utts, tokenizer, pipe, batch_size, seed, args)
+    else:
+        loader = build_val_loader(utts, tokenizer, pipe, batch_size)
+    loader.norm_cfg = norm_cfg
+    return loader
 
 
 def build_noise(args, pipe: PipelineConfig, seed: int):
@@ -227,10 +236,31 @@ def build_greedy_decoder(model, blank_idx, tokenizer, args=None) -> GreedyDecode
     return GreedyDecoder(model, blank_idx, tokenizer=tokenizer, **kw)
 
 
-def build_decoder(model, blank_idx, tokenizer, args, cfg: Optional[Config] = None):
+def build_eos_strategy(args, eos_idx: Optional[int]):
+    """EOS decoding strategy from CLI (reference: args/eos.py +
+    rnnt/eos_strategy.py)."""
+    from caiman_asr_tpu.decoding.eos import EOSBlank, EOSIgnore, EOSPredict
+
+    mode = getattr(args, "eos_decoding", "none") if args is not None else "none"
+    if mode == "none" or eos_idx is None or eos_idx < 0:
+        return None
+    if mode == "ignore":
+        return EOSIgnore(eos_idx)
+    if mode == "blank":
+        return EOSBlank(eos_idx)
+    return EOSPredict(eos_idx, args.eos_alpha, args.eos_beta)
+
+
+def build_decoder(
+    model, blank_idx, tokenizer, args, cfg: Optional[Config] = None,
+    eos_idx: Optional[int] = None,
+):
     """greedy or beam per --decoder (reference: setup/base.py:185-321)."""
+    eos_strategy = build_eos_strategy(args, eos_idx)
     if args is None or getattr(args, "decoder", "greedy") == "greedy":
-        return build_greedy_decoder(model, blank_idx, tokenizer, args)
+        dec = build_greedy_decoder(model, blank_idx, tokenizer, args)
+        dec.eos_strategy = eos_strategy
+        return dec
 
     if args.decoder == "fast_beam":
         from caiman_asr_tpu.decoding.fast_beam import FastBeamDecoder
@@ -241,6 +271,7 @@ def build_decoder(model, blank_idx, tokenizer, args, cfg: Optional[Config] = Non
             beam_width=args.beam_width,
             max_symbols_per_step=min(args.max_symbols_per_step or 4, 8),
             temperature=args.temperature if args.temperature != 1.0 else 1.4,
+            eos_strategy=eos_strategy,
             fuzzy_topk_logits=args.fuzzy_topk_logits,
             tokenizer=tokenizer,
         )
@@ -265,6 +296,10 @@ def build_decoder(model, blank_idx, tokenizer, args, cfg: Optional[Config] = Non
         model,
         blank_idx,
         tokenizer,
+        eos_strategy=eos_strategy,
+        eos_is_terminal=getattr(args, "eos_is_terminal", False),
+        eos_vad_threshold=getattr(args, "eos_vad_threshold", float("inf")),
+        user_token_ids=[i for i in [eos_idx] if i is not None and i >= 0],
         beam_width=args.beam_width,
         max_symbols_per_step=args.max_symbols_per_step or 8,
         max_symbol_per_sample=args.max_symbol_per_sample,

@@ -28,8 +28,8 @@ from caiman_asr_tpu.models.config import load_config
 from caiman_asr_tpu.parallel import make_mesh, replicated, shard_batch
 from caiman_asr_tpu.setup.builders import (
     build_data_source_loader,
+    build_decoder,
     build_feature_pipelines,
-    build_greedy_decoder,
     build_model,
     build_tokenizer,
     load_mel_stats,
@@ -178,8 +178,18 @@ def main(args=None):
         n_dev -= 1
     mesh = make_mesh(n_dev)
     state = jax.device_put(state, replicated(mesh))
-    eos_idx = -1  # EOS channel wired when the tokenizer has the user eos token
-    star_idx = -1
+    from caiman_asr_tpu.utils.user_tokens import get_user_token
+
+    def _tok_idx(name):
+        try:
+            idx = get_user_token(name, cfg.user_tokens, tokenizer)
+        except ValueError as e:
+            print(f"WARNING: user token '{name}' disabled: {e}")
+            return -1
+        return -1 if idx is None else idx
+
+    eos_idx = _tok_idx("eos")
+    star_idx = _tok_idx("star")
     rsp_on = is_rsp_on(args.rsp_seq_len_freq)
     train_step = make_train_step(
         model,
@@ -203,7 +213,7 @@ def main(args=None):
         rnnt_state = zero_rnnt_state(model, micro_bs)
         print(f"Random state passing on: delay={delay}, freq={args.rsp_seq_len_freq}")
     val_loss_step = make_val_loss_step(model, blank_idx)
-    decoder = build_greedy_decoder(model, blank_idx, tokenizer, args)
+    decoder = build_decoder(model, blank_idx, tokenizer, args, cfg, eos_idx=eos_idx)
 
     dp_sched = build_penalty_schedule(args)
     star_sched = ConstantSchedule(args.star_penalty or 0.0)

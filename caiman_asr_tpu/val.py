@@ -73,7 +73,14 @@ def validate(args=None):
     loader = build_data_source_loader(
         args, cfg, tokenizer, args.val_batch_size, train=False
     )
-    decoder = build_decoder(model, blank_idx, tokenizer, args, cfg)
+    from caiman_asr_tpu.utils.user_tokens import get_user_token
+
+    try:
+        eos_idx = get_user_token("eos", cfg.user_tokens, tokenizer)
+    except ValueError as e:
+        print(f"WARNING: eos token disabled: {e}")
+        eos_idx = None
+    decoder = build_decoder(model, blank_idx, tokenizer, args, cfg, eos_idx=eos_idx)
 
     state_resets = None
     if args.sr_segment and args.sr_segment > 0:
