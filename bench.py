@@ -72,13 +72,18 @@ def build(batch_size: int, dtype=jnp.bfloat16):
 
 def measure(batch_size: int, iters: int = 30) -> float:
     step, params, x, enc_state, dec_state = build(batch_size)
-    # warmup / compile
+    # warmup / compile (np.asarray: block_until_ready is dispatch-only on
+    # tunnelled backends — a host fetch is the only reliable barrier)
+    import numpy as np
+
     toks, n, enc_state, dec_state = step(params, x, enc_state, dec_state)
-    jax.block_until_ready(toks)
+    _ = np.asarray(toks)
     t0 = time.perf_counter()
     for _ in range(iters):
         toks, n, enc_state, dec_state = step(params, x, enc_state, dec_state)
-    jax.block_until_ready(toks)
+    # state is chained through every iteration; fetching the final tokens
+    # forces completion of all of them
+    _ = np.asarray(toks)
     return (time.perf_counter() - t0) / iters
 
 

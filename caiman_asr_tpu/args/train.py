@@ -37,6 +37,8 @@ def train_arg_parser() -> argparse.ArgumentParser:
     optim.add_argument("--beta1", type=float, default=0.9)
     optim.add_argument("--beta2", type=float, default=0.999)
     optim.add_argument("--ema", type=float, default=0.999)
+    optim.add_argument("--no_amp", action="store_true",
+                       help="disable bf16 mixed precision (f32 compute)")
     optim.add_argument("--weights_init_scale", type=float, default=0.5)
     optim.add_argument("--hidden_hidden_bias_scale", type=float, default=None)
 

@@ -119,6 +119,31 @@ def _gate_math(gates: jax.Array, c: jax.Array, hard: bool) -> Tuple[jax.Array, j
     return h_new, c_new
 
 
+import os
+
+# The Pallas recurrence kernel (ops/pallas_lstm.py) keeps w_hh resident in
+# VMEM across the time loop — ~1.7x faster than the scan on TPU at base-model
+# shapes. Used automatically when shapes are tile-aligned and fit VMEM;
+# disable with CAIMAN_PALLAS_LSTM=0.
+_PALLAS_ENABLED = os.environ.get("CAIMAN_PALLAS_LSTM", "1") != "0"
+_PALLAS_T_BLK = 4
+
+
+def _pallas_ok(T: int, B: int, H: int, dtype) -> bool:
+    if not _PALLAS_ENABLED or T < 2 * _PALLAS_T_BLK:
+        return False
+    if B % 8 != 0 or H % 128 != 0:
+        return False
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return False
+        from caiman_asr_tpu.ops.pallas_lstm import pallas_eligible
+
+        return pallas_eligible(B, H, _PALLAS_T_BLK, dtype)
+    except Exception:
+        return False
+
+
 def run_lstm_layer(
     params: Params,
     x: jax.Array,
@@ -137,6 +162,13 @@ def run_lstm_layer(
       (ys, cs): all hidden and cell states, each [T, B, H], in x.dtype.
     """
     T, B, _ = x.shape
+    H = params["w_hh"].shape[1]
+    if _pallas_ok(T, B, H, x.dtype):
+        from caiman_asr_tpu.ops.pallas_lstm import run_lstm_layer_pallas
+
+        return run_lstm_layer_pallas(
+            params, x, h0, c0, hard=hard, t_blk=_PALLAS_T_BLK, interpret=False
+        )
     dtype = x.dtype
     w_ih_t = params["w_ih"].astype(dtype).T  # [I, 4H]
     w_hh_t = params["w_hh"].astype(dtype).T  # [H, 4H]

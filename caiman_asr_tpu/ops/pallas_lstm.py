@@ -1,0 +1,247 @@
+"""Pallas TPU kernel for the LSTM recurrence.
+
+Replaces the ``lax.scan`` hot loop of ops/lstm.run_lstm_layer (itself the
+replacement for the reference CUDA kernel lib/csrc/lstm.cu:259-345) with a
+single Mosaic kernel in which the **recurrent weight matrix stays resident
+in VMEM across the entire time loop**. Under a scan, XLA re-reads
+``w_hh`` [H, 4H] from HBM every timestep — for the base encoder
+(H=1024, bf16, 8 MB) over a 500-frame utterance that is ~4 GB of redundant
+HBM traffic per layer per batch; here it is fetched once.
+
+Structure:
+- the input projection (one [T*B, I] x [I, 4H] GEMM) happens outside in
+  plain XLA — it is already MXU-optimal;
+- the kernel runs a sequential grid over T-blocks; ``h``/``c`` persist in
+  fp32 VMEM scratch across grid steps; each step does an unrolled
+  [B, H] x [H, 4H] MXU matmul + fused VPU gate math per timestep and streams
+  the gates block in / state blocks out (Pallas double-buffers grid blocks
+  automatically);
+- backward is a ``jax.custom_vjp``: pre-activations for all T are
+  recomputed with ONE big GEMM from the saved states, and only the
+  dh/dc recurrence runs as a reverse scan (same math the CUDA backward
+  fuses, lstm.cu:325-345).
+
+Falls back to the scan implementation when the weights don't fit VMEM or
+when not running on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from caiman_asr_tpu.ops.lstm import _gate_math, hard_sigmoid, hard_tanh
+
+VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM
+
+
+def _kernel(
+    gx_ref, w_hbm_ref, h0_ref, c0_ref, ys_ref, cs_ref,
+    h_scr, c_scr, w_scr, w_sem, *, hard, t_blk,
+):
+    # The weight matrix is copied HBM -> VMEM exactly ONCE (grid step 0) and
+    # stays resident in scratch for the whole sequence — the point of the
+    # kernel. (A VMEM BlockSpec would be double-buffered: 2x8 MB = OOM.)
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_scr[:] = h0_ref[:].astype(jnp.float32)
+        c_scr[:] = c0_ref[:].astype(jnp.float32)
+        dma = pltpu.make_async_copy(w_hbm_ref, w_scr, w_sem)
+        dma.start()
+        dma.wait()
+
+    def body(t, _):
+        h = h_scr[:].astype(w_scr.dtype)
+        gates = gx_ref[t].astype(jnp.float32) + jnp.dot(
+            h, w_scr[:], preferred_element_type=jnp.float32
+        )
+        h_new, c_new = _gate_math(gates, c_scr[:], hard)
+        h_scr[:] = h_new
+        c_scr[:] = c_new
+        ys_ref[t] = h_new.astype(ys_ref.dtype)
+        cs_ref[t] = c_new.astype(cs_ref.dtype)
+        return 0
+
+    lax.fori_loop(0, t_blk, body, 0)
+
+
+def _pallas_recurrence(gates_x, w_hh_t, h0, c0, *, hard: bool, t_blk: int, interpret: bool):
+    """gates_x: [T, B, 4H] (T multiple of t_blk); returns (ys, cs) [T, B, H]."""
+    T, B, H4 = gates_x.shape
+    H = H4 // 4
+    dtype = h0.dtype
+    grid = (T // t_blk,)
+    kernel = functools.partial(_kernel, hard=hard, t_blk=t_blk)
+    ys, cs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t_blk, B, H4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # weights DMA'd manually
+            pl.BlockSpec((B, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_blk, B, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_blk, B, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), dtype),
+            jax.ShapeDtypeStruct((T, B, H), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((H, H4), w_hh_t.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(gates_x, w_hh_t, h0, c0)
+    return ys, cs
+
+
+def pallas_eligible(B: int, H: int, t_blk: int, dtype) -> bool:
+    """Check the VMEM working set fits."""
+    itemsize = jnp.dtype(dtype).itemsize
+    w = H * 4 * H * itemsize
+    gx = t_blk * B * 4 * H * itemsize  # gates streamed in the compute dtype
+    blocks = 2 * t_blk * B * H * itemsize
+    scratch = 2 * B * H * 4
+    # pallas double-buffers the streamed blocks
+    return w + 2 * (gx + blocks) + scratch < VMEM_BUDGET
+
+
+# ------------------------------------------------------------- custom vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def lstm_recurrence(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret):
+    """Sequential LSTM recurrence (Pallas forward, scan backward).
+
+    gates_x: [T, B, 4H] fp32 pre-activations (x-projection + bias);
+    w_hh_t: [H, 4H]; h0, c0: [B, H]. Returns (ys, cs) each [T, B, H].
+    """
+    ys, cs = _fwd_impl(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret)
+    return ys, cs
+
+
+def _fwd_impl(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret):
+    T = gates_x.shape[0]
+    Tp = -(-T // t_blk) * t_blk
+    gx = jnp.pad(gates_x, ((0, Tp - T), (0, 0), (0, 0))) if Tp != T else gates_x
+    ys, cs = _pallas_recurrence(
+        gx, w_hh_t, h0, c0, hard=hard, t_blk=t_blk, interpret=interpret
+    )
+    return ys[:T], cs[:T]
+
+
+def _fwd(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret):
+    ys, cs = _fwd_impl(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret)
+    return (ys, cs), (gates_x, w_hh_t, h0, c0, ys, cs)
+
+
+def _bwd(hard, t_blk, interpret, res, grads):
+    gates_x, w_hh_t, h0, c0, ys, cs = res
+    dys, dcs = grads
+    T, B, H = ys.shape
+    f32 = jnp.float32
+
+    # previous-step states per t (h_{t-1}, c_{t-1})
+    h_prev = jnp.concatenate([h0[None].astype(ys.dtype), ys[:-1]], axis=0)
+    c_prev = jnp.concatenate([c0[None].astype(cs.dtype), cs[:-1]], axis=0)
+
+    # ONE big GEMM recomputes every pre-activation (no sequential matmuls)
+    gates = gates_x.astype(f32) + jnp.dot(
+        h_prev.reshape(T * B, H), w_hh_t, preferred_element_type=f32
+    ).reshape(T, B, 4 * H)
+    gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
+    if hard:
+        i_a, f_a, o_a = hard_sigmoid(gi), hard_sigmoid(gf), hard_sigmoid(go)
+        g_a = hard_tanh(gg)
+        di_a = jnp.where((gi > -4.0) & (gi < 4.0), 0.125, 0.0)
+        df_a = jnp.where((gf > -4.0) & (gf < 4.0), 0.125, 0.0)
+        do_a = jnp.where((go > -4.0) & (go < 4.0), 0.125, 0.0)
+        dg_a = jnp.where((gg > -1.0) & (gg < 1.0), 1.0, 0.0)
+        ct = cs.astype(f32)
+        tanh_c = hard_tanh(ct)
+        dtanh_c = jnp.where((ct > -1.0) & (ct < 1.0), 1.0, 0.0)
+    else:
+        i_a, f_a, o_a = jax.nn.sigmoid(gi), jax.nn.sigmoid(gf), jax.nn.sigmoid(go)
+        g_a = jnp.tanh(gg)
+        di_a = i_a * (1.0 - i_a)
+        df_a = f_a * (1.0 - f_a)
+        do_a = o_a * (1.0 - o_a)
+        dg_a = 1.0 - g_a * g_a
+        tanh_c = jnp.tanh(cs.astype(f32))
+        dtanh_c = 1.0 - tanh_c * tanh_c
+
+    w = w_hh_t.astype(f32)
+
+    def step(carry, inp):
+        dh_next, dc_next = carry
+        dy, dcs_t, i_t, f_t, g_t, o_t, dia, dfa, dga, doa, tc, dtc, cp = inp
+        dh = dy.astype(f32) + dh_next
+        dc = dc_next + dcs_t.astype(f32) + dh * o_t * dtc
+        da_o = dh * tc * doa
+        da_i = dc * g_t * dia
+        da_g = dc * i_t * dga
+        da_f = dc * cp.astype(f32) * dfa
+        dgates = jnp.concatenate([da_i, da_f, da_g, da_o], axis=-1)
+        dh_prev = jnp.dot(dgates, w.T, preferred_element_type=f32)
+        dc_prev = dc * f_t
+        return (dh_prev, dc_prev), dgates
+
+    (dh0, dc0), dgates = lax.scan(
+        step,
+        (jnp.zeros((B, H), f32), jnp.zeros((B, H), f32)),
+        (dys, dcs, i_a, f_a, g_a, o_a, di_a, df_a, dg_a, do_a, tanh_c, dtanh_c, c_prev),
+        reverse=True,
+    )
+    dw = jnp.dot(
+        h_prev.reshape(T * B, H).astype(f32).T,
+        dgates.reshape(T * B, 4 * H),
+        preferred_element_type=f32,
+    ).astype(w_hh_t.dtype)
+    return (
+        dgates.astype(gates_x.dtype),
+        dw,
+        dh0.astype(h0.dtype),
+        dc0.astype(c0.dtype),
+    )
+
+
+lstm_recurrence.defvjp(_fwd, _bwd)
+
+
+def run_lstm_layer_pallas(
+    params,
+    x: jax.Array,
+    h0: jax.Array,
+    c0: jax.Array,
+    *,
+    hard: bool = False,
+    t_blk: int = 8,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in replacement for ops.lstm.run_lstm_layer using the Pallas
+    recurrence kernel. Same contract: returns (ys, cs) each [T, B, H]."""
+    T, B, _ = x.shape
+    dtype = x.dtype
+    w_ih_t = params["w_ih"].astype(dtype).T
+    w_hh_t = params["w_hh"].astype(dtype).T
+    bias = (params["b_ih"] + params["b_hh"]).astype(jnp.float32)
+    gates_x = (
+        jnp.dot(x.reshape(T * B, -1), w_ih_t, preferred_element_type=jnp.float32)
+        .reshape(T, B, -1)
+        + bias
+    ).astype(dtype)  # stream gates in the compute dtype (fp32 accum in-kernel)
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    ys, cs = lstm_recurrence(
+        gates_x, w_hh_t, h0.astype(dtype), c0.astype(dtype), hard, t_blk, interpret
+    )
+    return ys, cs

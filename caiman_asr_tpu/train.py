@@ -201,6 +201,7 @@ def main(args=None):
         eos_penalty=args.eos_penalty,
         grad_noise=cfg.grad_noise.noise_level > 0,
         rsp=rsp_on,
+        compute_dtype=None if args.no_amp else jnp.bfloat16,
     )
     rsp_ctl, rnnt_state = None, None
     if rsp_on:

@@ -63,6 +63,20 @@ def init_train_state(model: RNNT, optimizer, rng: jax.Array) -> TrainState:
     )
 
 
+def _cast_compute(params, feats, compute_dtype):
+    """bf16 mixed precision (the reference trains under AMP by default,
+    args/train.py --no_amp): matrices/activations in bf16, vectors (biases)
+    and master weights f32. No loss scaling needed on TPU."""
+    if compute_dtype is None:
+        return params, feats
+    cast = lambda p: (
+        p.astype(compute_dtype)
+        if p.dtype == jnp.float32 and p.ndim > 1
+        else p
+    )
+    return jax.tree.map(cast, params), feats.astype(compute_dtype)
+
+
 def _micro_loss(
     model: RNNT,
     params,
@@ -71,11 +85,13 @@ def _micro_loss(
     mods: LossModifiers,
     denom: jax.Array,
     blank_idx: int,
+    compute_dtype=None,
 ):
     """Normalised loss for one microbatch. feats: [T, B, F]."""
+    params, feats = _cast_compute(params, mb["feats"], compute_dtype)
     (f, f_lens), (g, _), _ = model.enc_pred(
         params,
-        mb["feats"],
+        feats,
         mb["feat_lens"],
         mb["txt"],
         mb["txt_lens"],
@@ -106,15 +122,17 @@ def _micro_loss_rsp(
     blank_idx: int,
     rnnt_state,
     gate: jax.Array,
+    compute_dtype=None,
 ):
     """RSP microbatch loss: threads (gated) streaming state and returns the
     new state for the next microbatch (stop-gradient'd — the reference
     detaches carried state, train_utils/rsp.py:103-205)."""
     B = mb["feats"].shape[1]
     gate_b = jnp.broadcast_to(gate, (B,))
+    params, feats_c = _cast_compute(params, mb["feats"], compute_dtype)
     (f, f_lens), (g, _), new_state = model.enc_pred(
         params,
-        mb["feats"],
+        feats_c,
         mb["feat_lens"],
         mb["txt"],
         mb["txt_lens"],
@@ -149,6 +167,7 @@ def make_train_step(
     eos_penalty: float = 0.0,
     grad_noise: bool = False,
     rsp: bool = False,
+    compute_dtype=None,
     donate: bool = True,
 ):
     """Build the jitted train step.
@@ -189,7 +208,8 @@ def make_train_step(
         if rsp:
             grad_fn = jax.value_and_grad(
                 partial(
-                    _micro_loss_rsp, model, mods=mods, denom=denom, blank_idx=blank_idx
+                    _micro_loss_rsp, model, mods=mods, denom=denom,
+                    blank_idx=blank_idx, compute_dtype=compute_dtype,
                 ),
                 has_aux=True,
             )
@@ -211,7 +231,10 @@ def make_train_step(
             )
         else:
             grad_fn = jax.value_and_grad(
-                partial(_micro_loss, model, mods=mods, denom=denom, blank_idx=blank_idx)
+                partial(
+                    _micro_loss, model, mods=mods, denom=denom,
+                    blank_idx=blank_idx, compute_dtype=compute_dtype,
+                )
             )
 
             def accum(carry, inp):

@@ -1,0 +1,67 @@
+"""Pallas LSTM kernel parity vs the scan implementation (forward + VJP).
+
+Runs in Pallas interpreter mode on CPU; on a real TPU the same code paths
+compile to Mosaic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from caiman_asr_tpu.ops.lstm import init_lstm_layer, run_lstm_layer
+from caiman_asr_tpu.ops.pallas_lstm import pallas_eligible, run_lstm_layer_pallas
+
+T, B, I, H = 12, 8, 16, 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_lstm_layer(jax.random.PRNGKey(0), I, H)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(T, B, I)), jnp.float32)
+    h0 = jnp.asarray(rng.normal(size=(B, H)) * 0.1, jnp.float32)
+    c0 = jnp.asarray(rng.normal(size=(B, H)) * 0.1, jnp.float32)
+    return params, x, h0, c0
+
+
+@pytest.mark.parametrize("hard", [False, True])
+def test_forward_parity(setup, hard):
+    params, x, h0, c0 = setup
+    ys_ref, cs_ref = run_lstm_layer(params, x, h0, c0, hard=hard)
+    ys, cs = run_lstm_layer_pallas(params, x, h0, c0, hard=hard, t_blk=4,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cs), np.asarray(cs_ref), atol=2e-5)
+
+
+def test_forward_unpadded_tail(setup):
+    """T not divisible by t_blk pads internally and trims."""
+    params, x, h0, c0 = setup
+    ys_ref, _ = run_lstm_layer(params, x[:10], h0, c0)
+    ys, _ = run_lstm_layer_pallas(params, x[:10], h0, c0, t_blk=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("hard", [False, True])
+def test_gradient_parity(setup, hard):
+    params, x, h0, c0 = setup
+
+    def loss_scan(p, x, h0, c0):
+        ys, cs = run_lstm_layer(p, x, h0, c0, hard=hard)
+        return jnp.sum(ys * jnp.cos(jnp.arange(ys.size).reshape(ys.shape))) + 0.3 * jnp.sum(cs**2)
+
+    def loss_pallas(p, x, h0, c0):
+        ys, cs = run_lstm_layer_pallas(p, x, h0, c0, hard=hard, t_blk=4,
+                                       interpret=True)
+        return jnp.sum(ys * jnp.cos(jnp.arange(ys.size).reshape(ys.shape))) + 0.3 * jnp.sum(cs**2)
+
+    g_ref = jax.grad(loss_scan, argnums=(0, 1, 2, 3))(params, x, h0, c0)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(params, x, h0, c0)
+    for a, b in zip(jax.tree.leaves(g_pal), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3)
+
+
+def test_eligibility():
+    assert pallas_eligible(B=32, H=1024, t_blk=4, dtype=jnp.bfloat16)
+    assert not pallas_eligible(B=32, H=2048, t_blk=8, dtype=jnp.float32)
