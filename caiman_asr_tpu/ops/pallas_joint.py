@@ -1,0 +1,289 @@
+"""Fused joint + logsumexp Pallas kernels for the transducer loss.
+
+The training hot spot is the joint: logits over the (t, u) lattice are
+[B, T, U+1, K] — for base-85M at B=32, T'=200, U=64, K=8704 that is a
+~2.3 GB fp32 slab per step that plain XLA writes to and re-reads from HBM
+three times (forward LSE, backward softmax, dW). These kernels never
+materialize it (flash-attention-style online softmax over K tiles):
+
+- ``fused_joint_lse``: forward — for every lattice position, one pass over
+  K tiles computing the running (max, sumexp), the label logit and the blank
+  logit. Outputs three [N] vectors instead of an [N, K] slab.
+- backward (custom_vjp): two more online passes recomputing the logits tile
+  by tile: pass A accumulates ``softmax @ W^T`` per position tile (for dh);
+  pass B accumulates ``h^T @ dlogits`` per K tile (dW) and ``sum dlogits``
+  (db). dh's one-hot terms (W columns at the blank/label ids) are cheap XLA
+  gathers.
+
+Equivalent role to the reference's fused apex TransducerJoint + logsumexp
+CUDA kernels (rnnt/model.py:227-238, lib/csrc/logsumexp.cu) — designed as
+MXU-tiled online reductions rather than a translation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1.0e30
+
+
+def _fwd_kernel(h_ref, w_ref, b_ref, lab_ref, out_b, out_l, out_d,
+                m_scr, s_scr, lab_scr, blk_scr, *, kt, n_k, blank_idx):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG)
+        s_scr[:] = jnp.zeros_like(s_scr)
+        lab_scr[:] = jnp.zeros_like(lab_scr)
+        blk_scr[:] = jnp.zeros_like(blk_scr)
+
+    z = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    z = z + b_ref[0, :][None, :]
+    tp = z.shape[0]
+
+    # online logsumexp update
+    m_old = m_scr[0, :]                       # [TP]
+    zmax = jnp.max(z, axis=1)                 # [TP]
+    m_new = jnp.maximum(m_old, zmax)
+    scale = jnp.exp(m_old - m_new)
+    s_scr[0, :] = s_scr[0, :] * scale + jnp.sum(
+        jnp.exp(z - m_new[:, None]), axis=1
+    )
+    m_scr[0, :] = m_new
+
+    # label logit: one-hot extract within this K tile
+    col = lab_ref[0, :] - j * kt              # [TP]
+    k_iota = lax.broadcasted_iota(jnp.int32, (tp, kt), 1)
+    hit = k_iota == col[:, None]
+    lab_scr[0, :] += jnp.sum(jnp.where(hit, z, 0.0), axis=1)
+
+    # blank logit (blank tile/column are static)
+    if blank_idx // kt == 0:
+        pass  # handled generically below
+    blank_j = blank_idx // kt
+    blank_c = blank_idx % kt
+
+    @pl.when(j == blank_j)
+    def _():
+        blk_scr[0, :] = z[:, blank_c]
+
+    @pl.when(j == n_k - 1)
+    def _():
+        denom = m_scr[0, :] + jnp.log(jnp.maximum(s_scr[0, :], 1e-30))
+        out_d[0, :] = denom
+        out_b[0, :] = blk_scr[0, :] - denom
+        out_l[0, :] = lab_scr[0, :] - denom
+
+
+def _bwd_dh_kernel(h_ref, w_ref, b_ref, d_ref, c_ref, out_ref, acc_scr,
+                   *, kt, n_k):
+    """Pass A: out[pos] = (cb+cl)[pos] * (softmax(z)[pos] @ W^T)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    z = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    z = z + b_ref[0, :][None, :]
+    p = jnp.exp(z - d_ref[0, :][:, None])     # softmax tile [TP, KT]
+    acc_scr[:, :] += jnp.dot(
+        p.astype(w_ref.dtype), w_ref[:].T, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == n_k - 1)
+    def _():
+        out_ref[:, :] = -c_ref[0, :][:, None] * acc_scr[:, :]
+
+
+def _bwd_dw_kernel(h_ref, w_ref, b_ref, d_ref, cb_ref, cl_ref, lab_ref,
+                   dw_ref, db_ref, dw_scr, db_scr, *, kt, n_i, blank_idx):
+    """Pass B (grid: j outer, i inner): dW[:, ktile] = sum_pos h^T dz;
+    db[ktile] = sum_pos dz."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dw_scr[:] = jnp.zeros_like(dw_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
+
+    h = h_ref[:]
+    z = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+    z = z + b_ref[0, :][None, :]
+    p = jnp.exp(z - d_ref[0, :][:, None])
+    tp = z.shape[0]
+
+    cb = cb_ref[0, :]
+    cl = cl_ref[0, :]
+    dz = -(cb + cl)[:, None] * p
+    k_iota = lax.broadcasted_iota(jnp.int32, (tp, kt), 1)
+    col = lab_ref[0, :] - j * kt
+    dz = dz + jnp.where(k_iota == col[:, None], cl[:, None], 0.0)
+    blank_c = blank_idx - j * kt
+    dz = dz + jnp.where(k_iota == blank_c, cb[:, None], 0.0)
+
+    dw_scr[:, :] += jnp.dot(h.T, dz.astype(h.dtype), preferred_element_type=jnp.float32)
+    db_scr[0, :] += jnp.sum(dz, axis=0)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        dw_ref[:, :] = dw_scr[:, :]
+        db_ref[0, :] = db_scr[0, :]
+
+
+TP = 512    # position-tile rows
+KT = 1024   # vocab-tile columns
+
+
+def _pad_to(x, n, axis, value=0):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n - x.shape[axis])
+    return jnp.pad(x, pad, constant_values=value) if n != x.shape[axis] else x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_joint_lse(h, w, b, labels, blank_idx, interpret=False):
+    """h: [N, Hj]; w: [Hj, K]; b: [K]; labels: [N] int32.
+
+    Returns (lp_blank [N], lp_label [N]) — log-softmax scores of the blank
+    and per-position label token. Differentiable wrt h, w, b.
+    """
+    lp_b, lp_l, _ = _forward(h, w, b, labels, blank_idx, interpret)
+    return lp_b, lp_l
+
+
+def _forward(h, w, b, labels, blank_idx, interpret):
+    N, Hj = h.shape
+    K = w.shape[1]
+    Np = -(-N // TP) * TP
+    Kp = -(-K // KT) * KT
+    n_i, n_k = Np // TP, Kp // KT
+    hp = _pad_to(h, Np, 0)
+    wp = _pad_to(w, Kp, 1)
+    bp = _pad_to(b.reshape(1, K).astype(jnp.float32), Kp, 1, value=NEG)
+    labp = _pad_to(labels.reshape(1, N).astype(jnp.int32), Np, 1)
+
+    kernel = functools.partial(_fwd_kernel, kt=KT, n_k=n_k, blank_idx=blank_idx)
+    out_b, out_l, out_d = pl.pallas_call(
+        kernel,
+        grid=(n_i, n_k),
+        in_specs=[
+            pl.BlockSpec((TP, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, KT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TP), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, TP), jnp.float32),
+            pltpu.VMEM((1, TP), jnp.float32),
+            pltpu.VMEM((1, TP), jnp.float32),
+            pltpu.VMEM((1, TP), jnp.float32),
+        ],
+        interpret=interpret,
+    )(hp, wp, bp, labp)
+    return out_b[0, :N], out_l[0, :N], out_d[0, :N]
+
+
+def _vjp_fwd(h, w, b, labels, blank_idx, interpret):
+    lp_b, lp_l, denom = _forward(h, w, b, labels, blank_idx, interpret)
+    return (lp_b, lp_l), (h, w, b, labels, denom)
+
+
+def _vjp_bwd(blank_idx, interpret, res, grads):
+    h, w, b, labels, denom = res
+    cb, cl = grads  # [N] each
+    N, Hj = h.shape
+    K = w.shape[1]
+    Np = -(-N // TP) * TP
+    Kp = -(-K // KT) * KT
+    n_i, n_k = Np // TP, Kp // KT
+    hp = _pad_to(h, Np, 0)
+    wp = _pad_to(w, Kp, 1)
+    bp = _pad_to(b.reshape(1, K).astype(jnp.float32), Kp, 1, value=NEG)
+    dn = _pad_to(denom.reshape(1, N), Np, 1)
+    cbp = _pad_to(cb.reshape(1, N).astype(jnp.float32), Np, 1)
+    clp = _pad_to(cl.reshape(1, N).astype(jnp.float32), Np, 1)
+    labp = _pad_to(labels.reshape(1, N).astype(jnp.int32), Np, 1)
+    csum = cbp + clp
+
+    # ---- pass A: smear term of dh
+    kernel_a = functools.partial(_bwd_dh_kernel, kt=KT, n_k=n_k)
+    smear = pl.pallas_call(
+        kernel_a,
+        grid=(n_i, n_k),
+        in_specs=[
+            pl.BlockSpec((TP, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, KT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TP, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TP, Hj), jnp.float32)],
+        interpret=interpret,
+    )(hp, wp, bp, dn, csum)
+    # one-hot terms: cb * W[:, blank] + cl * W[:, label]
+    dh = (
+        smear[:N]
+        + cb[:, None] * w[:, blank_idx][None, :].astype(jnp.float32)
+        + cl[:, None] * w.T[labels].astype(jnp.float32)
+    ).astype(h.dtype)
+
+    # ---- pass B: dW and db (smaller K tile: the [Hj, KT] accumulator +
+    # double-buffered output blocks must fit VMEM alongside the matmul temps)
+    KT_B = 512
+    Kp_b = -(-K // KT_B) * KT_B
+    n_k_b = Kp_b // KT_B
+    wp_b = _pad_to(w, Kp_b, 1)
+    bp_b = _pad_to(b.reshape(1, K).astype(jnp.float32), Kp_b, 1, value=NEG)
+    kernel_b = functools.partial(_bwd_dw_kernel, kt=KT_B, n_i=n_i, blank_idx=blank_idx)
+    dw, db = pl.pallas_call(
+        kernel_b,
+        grid=(n_k_b, n_i),
+        in_specs=[
+            pl.BlockSpec((TP, Hj), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, KT_B), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KT_B), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Hj, KT_B), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KT_B), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Hj, Kp_b), jnp.float32),
+            jax.ShapeDtypeStruct((1, Kp_b), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Hj, KT_B), jnp.float32),
+            pltpu.VMEM((1, KT_B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(hp, wp_b, bp_b, dn, cbp, clp, labp)
+    return dh, dw[:, :K].astype(w.dtype), db[0, :K].astype(b.dtype), None
+
+
+fused_joint_lse.defvjp(_vjp_fwd, _vjp_bwd)

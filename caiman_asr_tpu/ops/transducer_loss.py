@@ -342,6 +342,36 @@ def _fg_chunk_scores(
     return lp_blank, lp_label
 
 
+import os
+
+_FUSED_JOINT = os.environ.get("CAIMAN_FUSED_JOINT", "1") != "0"
+
+
+def _fused_joint_ok(H: int) -> bool:
+    if not _FUSED_JOINT or H % 128 != 0:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _fused_joint_scores(f, g, w_fc, b_fc, labels, blank_idx):
+    """Pallas online-softmax joint: (lp_blank, lp_label) [B, T, U+1] without
+    the [.., K] logits slab (ops/pallas_joint.py)."""
+    from caiman_asr_tpu.ops.pallas_joint import fused_joint_lse
+
+    B, T, H = f.shape
+    U1 = g.shape[1]
+    h = jax.nn.relu(f[:, :, None, :] + g[:, None, :, :]).reshape(B * T * U1, H)
+    lab_padded = jnp.concatenate(
+        [labels.astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1
+    )
+    lab_flat = jnp.broadcast_to(lab_padded[:, None, :], (B, T, U1)).reshape(-1)
+    lp_b, lp_l = fused_joint_lse(h, w_fc.T, b_fc, lab_flat, blank_idx, False)
+    return lp_b.reshape(B, T, U1), lp_l.reshape(B, T, U1)
+
+
 def transducer_loss_from_fg(
     f: jax.Array,
     g: jax.Array,
@@ -352,18 +382,26 @@ def transducer_loss_from_fg(
     u_lens: jax.Array,
     blank_idx: int,
     mods: LossModifiers = LossModifiers(),
-    t_chunk: int = 32,
+    t_chunk: int = 16,
 ) -> jax.Array:
     """Memory-bounded fused joint + transducer loss.
 
     Computes the loss directly from the encoder projection ``f`` [B, T, H]
     and prediction projection ``g`` [B, U+1, H] plus the final joint linear
     (``w_fc`` [K, H], ``b_fc`` [K]), without ever materialising the
-    [B, T, U+1, K] logits tensor in HBM. This replaces the reference's packed
-    apex TransducerJoint + batch-splitting memory workarounds
-    (train_utils/batch_splitting.py:54-144).
+    [B, T, U+1, K] logits tensor in HBM. On TPU with 128-aligned joint dims
+    this routes to the Pallas online-softmax kernel (ops/pallas_joint.py);
+    otherwise a T-chunked + rematerialised XLA path bounds memory. Replaces
+    the reference's packed apex TransducerJoint + batch-splitting memory
+    workarounds (train_utils/batch_splitting.py:54-144).
     """
     B, T, H = f.shape
+    if _fused_joint_ok(H):
+        lp_blank, lp_label = _fused_joint_scores(
+            f, g, w_fc, b_fc, labels, blank_idx
+        )
+        null, emit = _penalised_scores(lp_blank, lp_label, labels, t_lens, mods)
+        return rnnt_lattice(null, emit, t_lens, u_lens)
     Tp = -(-T // t_chunk) * t_chunk
     if Tp != T:
         f = jnp.pad(f, ((0, 0), (0, Tp - T), (0, 0)))

@@ -152,7 +152,10 @@ def _micro_loss_rsp(
         blank_idx,
         mods,
     )
-    new_state = jax.tree.map(jax.lax.stop_gradient, new_state)
+    # detach + match the carry dtypes (state stays f32 under bf16 compute)
+    new_state = jax.tree.map(
+        lambda n, o: jax.lax.stop_gradient(n).astype(o.dtype), new_state, rnnt_state
+    )
     return per_utt.sum() / denom, new_state
 
 

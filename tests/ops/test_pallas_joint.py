@@ -1,0 +1,72 @@
+"""Fused joint+LSE kernel parity (forward + custom VJP) vs plain JAX."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from caiman_asr_tpu.ops.pallas_joint import fused_joint_lse
+
+N, Hj, K = 70, 32, 600  # deliberately unaligned (padding paths exercised)
+BLANK = K - 1
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(N, Hj)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(Hj, K)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(K,)) * 0.1, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, K - 1, (N,)), jnp.int32)
+    return h, w, b, labels
+
+
+def ref_impl(h, w, b, labels):
+    z = h @ w + b
+    denom = jax.nn.logsumexp(z, axis=-1)
+    lp_b = z[:, BLANK] - denom
+    lp_l = jnp.take_along_axis(z, labels[:, None], axis=1)[:, 0] - denom
+    return lp_b, lp_l
+
+
+def test_forward_parity(data):
+    h, w, b, labels = data
+    rb, rl = ref_impl(h, w, b, labels)
+    fb, fl = fused_joint_lse(h, w, b, labels, BLANK, True)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(rb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fl), np.asarray(rl), atol=1e-5)
+
+
+def test_vjp_parity(data):
+    h, w, b, labels = data
+    rng = np.random.default_rng(1)
+    cb = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
+    cl = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
+
+    def loss_ref(h, w, b):
+        lb, ll = ref_impl(h, w, b, labels)
+        return jnp.sum(lb * cb) + jnp.sum(ll * cl)
+
+    def loss_fused(h, w, b):
+        lb, ll = fused_joint_lse(h, w, b, labels, BLANK, True)
+        return jnp.sum(lb * cb) + jnp.sum(ll * cl)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(h, w, b)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(h, w, b)
+    for a, r in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-4, rtol=1e-4)
+
+
+def test_blank_in_nonfinal_tile():
+    """blank index in the middle of the vocab still extracts correctly."""
+    rng = np.random.default_rng(2)
+    h = jnp.asarray(rng.normal(size=(16, 8)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(8, 1024)) * 0.1, jnp.float32)
+    b = jnp.zeros((1024,), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 1023, (16,)), jnp.int32)
+    blank = 100
+    z = h @ w + b
+    denom = jax.nn.logsumexp(z, axis=-1)
+    fb, fl = fused_joint_lse(h, w, b, labels, blank, True)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(z[:, blank] - denom),
+                               atol=1e-5)
