@@ -52,6 +52,8 @@ def add_decoder_args(parser: argparse.ArgumentParser):
     dec.add_argument("--ngram_path", type=str, default=None)
     dec.add_argument("--ngram_scale_factor", type=float, default=None)
     dec.add_argument("--keyword_boost_path", type=str, default=None)
+    dec.add_argument("--beam_parallel_procs", type=int, default=1,
+                     help="decode the beam over N worker processes (CPU eval)")
 
     eos = parser.add_argument_group("eos decoding")
     eos.add_argument("--eos_decoding", type=str, default="none",

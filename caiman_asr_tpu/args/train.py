@@ -23,6 +23,11 @@ def train_arg_parser() -> argparse.ArgumentParser:
     training.add_argument("--hold_steps", type=int, default=18000)
     training.add_argument("--half_life_steps", type=int, default=10880)
     training.add_argument("--train_manifests", type=str, nargs="+", default=[])
+    training.add_argument("--multihost", action="store_true",
+                          help="initialise jax.distributed (one process/host)")
+    training.add_argument("--coordinator_address", type=str, default=None)
+    training.add_argument("--num_hosts", type=int, default=None)
+    training.add_argument("--host_id", type=int, default=None)
     training.add_argument("--profiler", action="store_true",
                           help="capture a jax.profiler trace + phase timings")
     training.add_argument("--timings_frequency", type=int, default=500)

@@ -43,6 +43,40 @@ def batch_sharding(mesh: Mesh, batch_dim: int = 0, ndim: int = 1) -> NamedShardi
     return NamedSharding(mesh, P(*spec))
 
 
+def init_multihost(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None):
+    """Initialise multi-host JAX (reference equivalent: torchrun +
+    dist.init_process_group, train_utils/torchrun.py:9-31 — here one
+    controller process per host over DCN, same mesh code afterwards)."""
+    import jax
+
+    kwargs = {}
+    if coordinator:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
+def shard_batch_multihost(mesh: Mesh, local_batch, batch_dims=None):
+    """Assemble a global sharded batch from per-host local shards
+    (jax.make_array_from_process_local_data); host h contributes the rows
+    its data loader produced (loaders shard by process_index)."""
+    import jax
+
+    if batch_dims is None:
+        batch_dims = jax.tree.map(lambda _: 0, local_batch)
+
+    def build(x, d):
+        sharding = batch_sharding(mesh, d, np.ndim(x))
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(build, local_batch, batch_dims)
+
+
 def shard_batch(mesh: Mesh, batch, batch_dims=None):
     """device_put a batch pytree with each leaf sharded on its batch dim.
 

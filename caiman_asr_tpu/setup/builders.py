@@ -88,10 +88,15 @@ def load_utterances(
 
 
 def build_train_loader(
-    utts, tokenizer, pipe: PipelineConfig, batch_size: int, seed: int, args=None
+    utts, tokenizer, pipe: PipelineConfig, batch_size: int, seed: int, args=None,
+    rank: int = 0, world_size: int = 1,
 ) -> AudioDataLoader:
+    """batch_size is the per-host microbatch; the sampler builds identical
+    global epochs on every host from the shared seed and each host takes its
+    round-robin shard (reference sampler.py:321-360)."""
     sampler = BucketingSampler(
-        [u.duration for u in utts], batch_size=batch_size, world_size=1, seed=seed
+        [u.duration for u in utts], batch_size=batch_size,
+        world_size=world_size, seed=seed,
     )
     background, babble = build_noise(args, pipe, seed)
     return AudioDataLoader(
@@ -99,6 +104,7 @@ def build_train_loader(
         sampler,
         tokenizer,
         pipe,
+        rank=rank,
         train=True,
         normalize_config=normalize_config_from(pipe),
         seed=seed,
@@ -151,8 +157,16 @@ def build_data_source_loader(
     manifests = args.train_manifests if train else args.val_manifests
     utts = load_utterances(manifests, args.dataset_dir, pipe)
     norm_cfg = normalize_config_from(pipe, cfg.user_tokens)
+    rank, world = 0, 1
+    if getattr(args, "multihost", False):
+        import jax
+
+        rank, world = jax.process_index(), jax.process_count()
     if train:
-        loader = build_train_loader(utts, tokenizer, pipe, batch_size, seed, args)
+        loader = build_train_loader(
+            utts, tokenizer, pipe, batch_size, seed, args,
+            rank=rank, world_size=world,
+        )
     else:
         loader = build_val_loader(utts, tokenizer, pipe, batch_size)
     loader.norm_cfg = norm_cfg

@@ -90,6 +90,13 @@ def build_penalty_schedule(args):
 def main(args=None):
     if args is None:
         args = train_arg_parser().parse_args()
+    if getattr(args, "multihost", False):
+        from caiman_asr_tpu.parallel.mesh import init_multihost
+
+        pid, pcount = init_multihost(
+            args.coordinator_address, args.num_hosts, args.host_id
+        )
+        print(f"multihost: process {pid}/{pcount}")
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     logger = init_log(out_dir, enable_tensorboard=args.tensorboard)
@@ -284,7 +291,13 @@ def main(args=None):
             if len(micro_group) < accum:
                 continue
 
-            device_batch = shard_batch(mesh, stack_microbatches(micro_group), BATCH_DIMS)
+            stacked = stack_microbatches(micro_group)
+            if jax.process_count() > 1:
+                from caiman_asr_tpu.parallel.mesh import shard_batch_multihost
+
+                device_batch = shard_batch_multihost(mesh, stacked, BATCH_DIMS)
+            else:
+                device_batch = shard_batch(mesh, stacked, BATCH_DIMS)
             micro_group = []
             scalars = {
                 "delay_penalty": jnp.asarray(

@@ -80,7 +80,24 @@ def validate(args=None):
     except ValueError as e:
         print(f"WARNING: eos token disabled: {e}")
         eos_idx = None
-    decoder = build_decoder(model, blank_idx, tokenizer, args, cfg, eos_idx=eos_idx)
+    if args.decoder == "beam" and args.beam_parallel_procs > 1:
+        from caiman_asr_tpu.decoding.parallel import ParallelDecoder
+
+        decoder = ParallelDecoder(
+            model,
+            args.model_config,
+            args.tokenizer_model,
+            args.ckpt,
+            decoder_kwargs=dict(
+                beam_width=args.beam_width,
+                temperature=args.temperature if args.temperature != 1.0 else 1.4,
+                beam_prune_score_thresh=args.beam_prune_score_thresh,
+                beam_prune_topk_thresh=args.beam_prune_topk_thresh,
+            ),
+            nprocs=args.beam_parallel_procs,
+        )
+    else:
+        decoder = build_decoder(model, blank_idx, tokenizer, args, cfg, eos_idx=eos_idx)
 
     state_resets = None
     if args.sr_segment and args.sr_segment > 0:
