@@ -1,0 +1,98 @@
+"""Whisper-style English text normalizer for WER standardization.
+
+Functional equivalent of the normalizer the reference vendors from OpenAI
+Whisper (data/text/whisper_text_normalizer.py): drop filler words, expand
+contractions and spoken titles, normalize possessives, strip
+symbols/diacritics, verbalize numbers, collapse whitespace. (Whisper's
+67k-entry British→American spelling table is omitted; both hypothesis and
+reference pass through the same transform, so WER comparisons stay fair.)
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+_FILLERS = r"\b(hmm+|mm+|mhm+|uh+|um+|mmhmm|uhhuh|huh|erm?)\b"
+
+_REPLACERS = {
+    r"\bwon't\b": "will not",
+    r"\bcan't\b": "can not",
+    r"\blet's\b": "let us",
+    r"\blemme\b": "let me",
+    r"\bdunno\b": "do not know",
+    r"\by'all\b": "you all",
+    r"\bwanna\b": "want to",
+    r"\bkinda\b": "kind of",
+    r"\bgotta\b": "got to",
+    r"\blotta\b": "lot of",
+    r"\bsorta\b": "sort of",
+    r"\bgonna\b": "going to",
+    r"\bi'ma\b": "i am going to",
+    r"\bimma\b": "i am going to",
+    r"\bwoulda\b": "would have",
+    r"\bcoulda\b": "could have",
+    r"\bshoulda\b": "should have",
+    r"\bma'am\b": "madam",
+    r"\balright\b": "all right",
+    r"\bmr\.?\b": "mister",
+    r"\bmrs\.?\b": "missus",
+    r"\bst\.?\b": "saint",
+    r"\bdr\.?\b": "doctor",
+    r"\bprof\.?\b": "professor",
+    r"\bcapt\.?\b": "captain",
+    r"\bgen\.?\b": "general",
+    r"\bsen\.?\b": "senator",
+    r"\brep\.?\b": "representative",
+    r"\brev\.?\b": "reverend",
+    r"\blt\.?\b": "lieutenant",
+    r"\bsgt\.?\b": "sergeant",
+    r"\bcol\.?\b": "colonel",
+    r"\bjr\.?\b": "junior",
+    r"\bsr\.?\b": "senior",
+    # standard contraction suffixes
+    r"n't\b": " not",
+    r"'re\b": " are",
+    r"'ve\b": " have",
+    r"'ll\b": " will",
+    r"'m\b": " am",
+    r"'d\b": " would",
+}
+
+_BRACKETS = re.compile(r"[<\[][^>\]]*[>\]]|\([^)]*\)")
+_SPACES = re.compile(r"\s+")
+
+
+def _remove_symbols_and_diacritics(text: str) -> str:
+    out = []
+    for ch in unicodedata.normalize("NFKD", text):
+        cat = unicodedata.category(ch)
+        if cat == "Mn":  # combining marks (diacritics)
+            continue
+        if cat.startswith(("P", "S")) and ch != "'":
+            out.append(" ")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+class EnglishTextNormalizer:
+    def __call__(self, text: str) -> str:
+        text = text.lower()
+        text = _BRACKETS.sub(" ", text)
+        text = re.sub(_FILLERS, "", text)
+        for pattern, repl in _REPLACERS.items():
+            text = re.sub(pattern, repl, text)
+        # possessives: keep the word, drop the 's marker
+        text = re.sub(r"(\w)'s\b", r"\1s", text)
+        text = re.sub(r"s'\b", "s", text)
+        if any(c.isdigit() for c in text):
+            from caiman_asr_tpu.data.text.numbers import verbalize_numbers
+
+            text = verbalize_numbers(text)
+        text = _remove_symbols_and_diacritics(text)
+        text = text.replace("'", "")
+        return _SPACES.sub(" ", text).strip()
+
+
+english_normalizer = EnglishTextNormalizer()

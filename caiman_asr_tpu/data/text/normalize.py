@@ -108,12 +108,7 @@ def standardize_text(text: str) -> str:
     punctuation (keeping intra-word apostrophes first for contraction
     matching), fold unicode, collapse whitespace.
     """
-    text = text.lower()
-    text = _BRACKET_RE.sub(" ", text)
+    from caiman_asr_tpu.data.text.english_normalizer import english_normalizer
+
     text = _TAG_RE.sub(" ", text)
-    for pat, rep in _CONTRACTIONS.items():
-        text = text.replace(pat, rep)
-    text = _ascii_fold(text)
-    text = re.sub(r"[^a-z0-9' ]", " ", text)
-    text = re.sub(r"(^|\s)'|'(\s|$)", " ", text)  # strip dangling apostrophes
-    return _SPACE_RE.sub(" ", text).strip()
+    return english_normalizer(text)

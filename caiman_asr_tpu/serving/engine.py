@@ -106,6 +106,11 @@ class StreamingEngine:
         self._init_dec = jax.tree.map(jnp.copy, self.dec_state)
         self.streams: Dict[int, StreamState] = {}
         self._free = list(range(self.B))
+        # The server ticks from an executor thread while connection handlers
+        # open/close/push from the event loop — serialize engine access.
+        import threading
+
+        self._lock = threading.RLock()
 
     def warmup(self):
         """Force-compile the tick program before serving traffic (first-tick
@@ -182,19 +187,21 @@ class StreamingEngine:
 
     # ------------------------------------------------------------- streams
     def open_stream(self) -> Optional[int]:
-        if not self._free:
-            return None
-        lane = self._free.pop(0)
-        self.streams[lane] = StreamState(
-            carry=np.zeros(self.carry_samples, np.float32)
-        )
-        self._reset_lane(lane)
-        return lane
+        with self._lock:
+            if not self._free:
+                return None
+            lane = self._free.pop(0)
+            self.streams[lane] = StreamState(
+                carry=np.zeros(self.carry_samples, np.float32)
+            )
+            self._reset_lane(lane)
+            return lane
 
     def close_stream(self, lane: int):
         """Mark EOS: remaining buffered audio is flushed on the next ticks."""
-        if lane in self.streams:
-            self.streams[lane].closed = True
+        with self._lock:
+            if lane in self.streams:
+                self.streams[lane].closed = True
 
     def _reset_lane(self, lane: int):
         z = lambda x: x.at[..., lane, :].set(0.0)
@@ -211,8 +218,9 @@ class StreamingEngine:
         )
 
     def push_audio(self, lane: int, samples: np.ndarray):
-        st = self.streams[lane]
-        st.buffer = np.concatenate([st.buffer, samples.astype(np.float32)])
+        with self._lock:
+            st = self.streams[lane]
+            st.buffer = np.concatenate([st.buffer, samples.astype(np.float32)])
 
     def _release(self, lane: int):
         del self.streams[lane]
@@ -225,6 +233,10 @@ class StreamingEngine:
         Returns {lane: response dict} for lanes that produced output this
         tick; releases lanes whose EOS flush completed.
         """
+        with self._lock:
+            return self._tick_locked()
+
+    def _tick_locked(self) -> Dict[int, dict]:
         if not self.streams:
             return {}
         samples = np.zeros((self.B, self.carry_samples + self.hop_samples), np.float32)

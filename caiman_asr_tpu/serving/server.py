@@ -37,14 +37,21 @@ class ASRServer:
 
     # ------------------------------------------------------------ lifecycle
     async def _ticker(self):
+        import traceback
+
         loop = asyncio.get_event_loop()
         while True:
-            if self.engine.streams:
-                out = await loop.run_in_executor(None, self.engine.tick)
-                for lane, resp in out.items():
-                    q = self.queues.get(lane)
-                    if q is not None:
-                        q.put_nowait(resp)
+            try:
+                if self.engine.streams:
+                    out = await loop.run_in_executor(None, self.engine.tick)
+                    for lane, resp in out.items():
+                        q = self.queues.get(lane)
+                        if q is not None:
+                            q.put_nowait(resp)
+            except Exception:
+                # A dead ticker would silently hang every stream: log & keep
+                # ticking (the engine lock makes tick itself safe).
+                traceback.print_exc()
             await asyncio.sleep(self.tick_interval)
 
     @staticmethod
@@ -184,7 +191,7 @@ def main(argv=None):
     engine.warmup()
     server = ASRServer(engine)
     print(f"serving on ws://{args.host}:{args.port}/asr/v0.1/stream "
-          f"({args.max_streams} lanes)")
+          f"({args.max_streams} lanes)", flush=True)
     asyncio.run(server.serve(args.host, args.port))
 
 

@@ -1,0 +1,42 @@
+"""Whisper-style English normalizer tests."""
+
+import pytest
+
+from caiman_asr_tpu.data.text.english_normalizer import english_normalizer
+from caiman_asr_tpu.data.text.normalize import standardize_text
+
+
+@pytest.mark.parametrize(
+    "inp,out",
+    [
+        ("Mr. Smith can't go", "mister smith can not go"),
+        ("um, I wanna go [laughs]", "i want to go"),
+        ("they're gonna win!", "they are going to win"),
+        ("the dog's bone", "the dogs bone"),
+        ("Dr. Brown & Mrs. White", "doctor brown missus white"),
+        ("café naïve", "cafe naive"),
+        ("I have 2 cats.", "i have two cats"),
+        ("it won't rain, huh?", "it will not rain"),
+    ],
+)
+def test_normalizer_cases(inp, out):
+    assert english_normalizer(inp) == out
+
+
+def test_idempotent():
+    s = "mister smith will not go"
+    assert english_normalizer(s) == s
+
+
+def test_standardize_text_uses_english_normalizer():
+    assert standardize_text("<tag> Mr. X can't") == "mister x can not"
+
+
+def test_wer_standardize_consistency():
+    """Both sides standardized identically -> equal texts give 0 WER."""
+    from caiman_asr_tpu.evaluate.wer import word_error_rate
+
+    res = word_error_rate(
+        ["they're gonna win"], ["They are going to win!"], standardize=True
+    )
+    assert res.wer == 0.0
