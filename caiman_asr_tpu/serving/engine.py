@@ -283,8 +283,19 @@ class StreamingEngine:
         return out
 
     def _response(self, st: StreamState, tokens: List[int], final: bool) -> dict:
-        """WebSocket response schema (docs/src/inference/websocket_api.md)."""
-        text = self.tokenizer.detokenize(tokens) if self.tokenizer else ""
+        """WebSocket response schema (docs/src/inference/websocket_api.md).
+
+        Word-boundary markers must survive response chunking: clients
+        concatenate finals verbatim, so a piece-initial ▁ becomes a real
+        leading space (plain detokenize() would strip it)."""
+        if self.tokenizer is not None and hasattr(self.tokenizer, "id_to_piece"):
+            text = "".join(
+                self.tokenizer.id_to_piece(t) for t in tokens
+            ).replace("▁", " ")
+        elif self.tokenizer is not None:
+            text = self.tokenizer.detokenize(tokens)
+        else:
+            text = ""
         t = st.frame_idx * self.frame_seconds
         return {
             "start": round(t, 3),
