@@ -157,7 +157,9 @@ class RNNTBeamDecoder:
 
     # ------------------------------------------------------ public decode
     def decode(self, params, feats, feat_lens) -> List[Dict[int, FrameResponses]]:
-        encs, enc_lens, _ = self.model.encode(params, feats, feat_lens)
+        from caiman_asr_tpu.decoding.unbatch import encode_lower_batch_size
+
+        encs, enc_lens = encode_lower_batch_size(self.model, params, feats, feat_lens)
         return self.decode_encs(params, np.asarray(encs), np.asarray(enc_lens))
 
     def decode_encs(self, params, encs, enc_lens) -> List[Dict[int, FrameResponses]]:

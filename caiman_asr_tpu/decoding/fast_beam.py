@@ -214,7 +214,9 @@ class FastBeamDecoder:
         return (np.asarray(toks), np.asarray(ts), np.asarray(lens), np.asarray(scores))
 
     def decode(self, params, feats, feat_lens) -> List[Dict[int, FrameResponses]]:
-        encs, enc_lens, _ = self.model.encode(params, feats, feat_lens)
+        from caiman_asr_tpu.decoding.unbatch import encode_lower_batch_size
+
+        encs, enc_lens = encode_lower_batch_size(self.model, params, feats, feat_lens)
         toks, ts, lens, scores = self.decode_encs(params, encs, enc_lens)
         return self.build_responses(toks, ts, lens, scores)
 

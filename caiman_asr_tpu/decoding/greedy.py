@@ -181,7 +181,11 @@ class GreedyDecoder:
 
         feats: [T, B, in_feats] time-major features.
         """
-        encs, enc_lens, _ = self.model.encode(params, feats, feat_lens)
+        from caiman_asr_tpu.decoding.unbatch import encode_lower_batch_size
+
+        encs, enc_lens = encode_lower_batch_size(
+            self.model, params, feats, feat_lens, self.max_inputs_per_batch
+        )
         toks, ts, lps, counts = self.decode_encs(params, encs, enc_lens)
         return self.build_responses(toks, ts, lps, counts)
 

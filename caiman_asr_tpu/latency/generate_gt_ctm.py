@@ -1,0 +1,102 @@
+"""Generate ground-truth word-level CTMs via RNN-T Viterbi forced alignment
+(reference: latency/forced_align.py, which shells out to a torchaudio CTC
+aligner; here any trained RNN-T checkpoint aligns its own data through the
+lattice — latency/forced_align.py:viterbi_alignment).
+
+The resulting CTM is the ground truth that ``--gt_ctm`` consumes for
+emission-latency measurement during validation.
+
+Run: python -m caiman_asr_tpu.latency.generate_gt_ctm \
+       --model_config cfg.yaml --ckpt best.npz --dataset_dir DATA \
+       --manifests dev.json --output_ctm gt.ctm
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="forced-alignment ground-truth CTM")
+    p.add_argument("--model_config", required=True)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--tokenizer_model", default=None)
+    p.add_argument("--dataset_dir", default=".")
+    p.add_argument("--manifests", nargs="+", required=True)
+    p.add_argument("--output_ctm", required=True)
+    p.add_argument("--mel_stats_path", default=None)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_utts", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from caiman_asr_tpu.export.checkpointer import apply_params, load_checkpoint
+    from caiman_asr_tpu.latency.ctm import to_ctm
+    from caiman_asr_tpu.latency.forced_align import (
+        alignment_to_ctm_entries,
+        viterbi_alignment,
+    )
+    from caiman_asr_tpu.latency.timestamp import Never, PerWordTimestamp, SequenceTimestamp
+    from caiman_asr_tpu.models.config import load_config
+    from caiman_asr_tpu.setup.builders import (
+        build_feature_pipelines,
+        build_model,
+        build_tokenizer,
+        build_val_loader,
+        load_mel_stats,
+        load_utterances,
+    )
+
+    bundle = load_config(args.model_config)
+    cfg = bundle.cfg
+    tokenizer = build_tokenizer(cfg, args.tokenizer_model)
+    model, blank_idx = build_model(cfg, tokenizer)
+    params = model.init(jax.random.PRNGKey(0))
+    loaded, ema, _, _ = load_checkpoint(args.ckpt)
+    params = apply_params(params, ema if ema is not None else loaded)
+
+    mel_stats = load_mel_stats(args.mel_stats_path)
+    _, val_fp = build_feature_pipelines(cfg, mel_stats)
+    utts = load_utterances(args.manifests, args.dataset_dir, cfg.input_val)
+    if args.max_utts:
+        utts = utts[: args.max_utts]
+    loader = build_val_loader(utts, tokenizer, cfg.input_val, args.batch_size)
+
+    frame_width = (
+        cfg.input_val.logmel.window_stride
+        * cfg.input_val.splicing.frame_subsampling
+        * cfg.rnnt.enc_stack_time_factor
+    )
+    out = Path(args.output_ctm)
+    out.write_text("")
+    n = 0
+    for batch in loader.epoch(0):
+        feats, feat_lens = val_fp(
+            batch.audio, batch.audio_lens, dataset_to_utt_ratio=1.0
+        )
+        frames = viterbi_alignment(
+            model, params, feats, jnp.asarray(feat_lens),
+            batch.tokens, batch.token_lens, blank_idx,
+        )
+        for b, fr in enumerate(frames):
+            toks = [int(t) for t in batch.tokens[b, : batch.token_lens[b]]]
+            rows = alignment_to_ctm_entries(fr, toks, tokenizer, frame_width)
+            seq = SequenceTimestamp(
+                [
+                    PerWordTimestamp(word, int(start / frame_width),
+                                     int(end / frame_width) - 1)
+                    for start, end, word in rows
+                ],
+                Never(),
+            )
+            to_ctm(seq, str(out), batch.fnames[b], frame_width)
+            n += 1
+    print(f"wrote {out} ({n} utterances)")
+
+
+if __name__ == "__main__":
+    main()

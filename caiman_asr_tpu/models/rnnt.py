@@ -171,6 +171,7 @@ class RNNT:
             enc_state.pre_rnn if enc_state is not None else None,
             hard=cfg.hard_activations,
             dropout=cfg.enc_dropout,
+            rw_dropout=cfg.enc_rw_dropout,
             rng=rngs[0],
             train=train,
         )
@@ -182,6 +183,7 @@ class RNNT:
             enc_state.post_rnn if enc_state is not None else None,
             hard=cfg.hard_activations,
             dropout=cfg.enc_dropout,
+            rw_dropout=cfg.enc_rw_dropout,
             rng=rngs[1],
             train=train,
         )
@@ -245,6 +247,7 @@ class RNNT:
             pred_state,
             hard=cfg.hard_activations,
             dropout=cfg.pred_dropout,
+            rw_dropout=cfg.pred_rw_dropout,
             rng=rng,
             train=train,
         )

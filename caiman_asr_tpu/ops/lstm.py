@@ -201,6 +201,7 @@ def run_lstm(
     *,
     hard: bool = False,
     dropout: float = 0.0,
+    rw_dropout: float = 0.0,
     rng: Optional[jax.Array] = None,
     train: bool = False,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
@@ -214,14 +215,18 @@ def run_lstm(
     extraction at per-utterance sequence ends).
 
     Inter-layer dropout (and output dropout, matching rnnt/rnn.py:205-206)
-    is applied when ``train`` and ``dropout > 0``.
+    is applied when ``train`` and ``dropout > 0``. ``rw_dropout`` is
+    DropConnect on the recurrent weights — a fresh mask on ``w_hh`` per
+    forward (reference: enc_rw_dropout/pred_rw_dropout, rnn.py + custom
+    lstm wrapper).
     """
     num_layers = len(params)
     T, B, _ = x.shape
     H = params["layer_0"]["w_hh"].shape[1]
 
     use_dropout = train and dropout > 0.0
-    if use_dropout and rng is None:
+    use_rw = train and rw_dropout > 0.0
+    if (use_dropout or use_rw) and rng is None:
         raise ValueError("dropout requires an rng key")
 
     all_h, all_c = [], []
@@ -237,7 +242,18 @@ def run_lstm(
         else:
             h0 = lax.stop_gradient(state[0][i])
             c0 = lax.stop_gradient(state[1][i])
-        ys, cs = run_lstm_layer(params[f"layer_{i}"], out, h0, c0, hard=hard)
+        layer_params = params[f"layer_{i}"]
+        if use_rw:
+            rng, sub = jax.random.split(rng)
+            w_hh = layer_params["w_hh"]
+            keep = jax.random.bernoulli(sub, 1.0 - rw_dropout, w_hh.shape)
+            layer_params = dict(
+                layer_params,
+                w_hh=jnp.where(keep, w_hh / (1.0 - rw_dropout), 0.0).astype(
+                    w_hh.dtype
+                ),
+            )
+        ys, cs = run_lstm_layer(layer_params, out, h0, c0, hard=hard)
         all_h.append(ys)
         all_c.append(cs)
         out = ys

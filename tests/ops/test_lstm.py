@@ -125,3 +125,23 @@ def test_dropout_zero_is_identity_and_train_dropout_changes():
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
     o3, _, _ = run_lstm(params, x, dropout=0.5, train=True, rng=jax.random.PRNGKey(5))
     assert not np.allclose(np.asarray(o1), np.asarray(o3))
+
+
+def test_rw_dropout_changes_output_only_in_train():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from caiman_asr_tpu.ops.lstm import init_lstm, run_lstm
+
+    params = init_lstm(jax.random.PRNGKey(0), 8, 16, 1)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(6, 4, 8)), jnp.float32)
+    base, _, _ = run_lstm(params, x)
+    # eval mode: rw_dropout ignored
+    same, _, _ = run_lstm(params, x, rw_dropout=0.5, train=False)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    # train mode: DropConnect mask perturbs the recurrence
+    drop, _, _ = run_lstm(
+        params, x, rw_dropout=0.5, train=True, rng=jax.random.PRNGKey(1)
+    )
+    assert float(jnp.abs(drop - base).max()) > 1e-4
