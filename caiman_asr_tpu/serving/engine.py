@@ -100,6 +100,8 @@ class StreamingEngine:
             model, blank_idx, max_symbols_per_step=max_symbols_per_step
         )
         self._jit_tick = jax.jit(self._tick_impl, donate_argnums=(2, 3))
+        self._tick_count = 0
+        self._rng0 = jax.random.PRNGKey(4242)
 
         self.enc_state = self._zero_enc_state()
         self.dec_state = self._zero_dec_state()
@@ -118,9 +120,11 @@ class StreamingEngine:
         samples = jnp.zeros((self.B, self.carry_samples + self.hop_samples), self.dtype)
         adv = jnp.zeros((self.B,), bool)
         toks, n, self.enc_state, self.dec_state = self._jit_tick(
-            self.params, samples, self.enc_state, self.dec_state, adv
+            self.params, samples, self.enc_state, self.dec_state, adv,
+            jax.random.fold_in(self._rng0, 0),
         )
-        jax.block_until_ready(toks)
+        _ = np.asarray(toks)  # real barrier (block_until_ready is dispatch-only
+        # over tunnelled backends)
 
     # --------------------------------------------------------- device step
     def _zero_enc_state(self) -> EncoderState:
@@ -151,9 +155,16 @@ class StreamingEngine:
         g = _linear(self.params["joint_pred"], y)
         return (g, h, cc)
 
-    def _tick_impl(self, params, samples, enc_state, dec_state, adv):
+    def _tick_impl(self, params, samples, enc_state, dec_state, adv, rng):
         """samples: [B, carry+hop]; adv: [B] bool — lanes that advance."""
         cfg = self.cfg
+        if cfg.dither != 0.0:
+            # The model is trained/validated with dithered features; without
+            # it, digital-silence frames sit ~30 log-mel units below anything
+            # seen in training and suppress emissions.
+            samples = samples + cfg.dither * jax.random.normal(
+                rng, samples.shape, samples.dtype
+            )
         # preemphasis over the carried window
         pre = samples[:, 1:] - cfg.preemph * samples[:, :-1]  # [B, 1200]
         idx = (
@@ -260,12 +271,14 @@ class StreamingEngine:
 
         out: Dict[int, dict] = {}
         if adv.any():
+            self._tick_count += 1
             toks, n, self.enc_state, self.dec_state = self._jit_tick(
                 self.params,
                 jnp.asarray(samples, self.dtype),
                 self.enc_state,
                 self.dec_state,
                 jnp.asarray(adv),
+                jax.random.fold_in(self._rng0, self._tick_count),
             )
             toks, n = np.asarray(toks), np.asarray(n)
             for lane, st in list(self.streams.items()):

@@ -161,8 +161,6 @@ def build_engine(args):
             loaded, ema, _, _ = load_checkpoint(args.ckpt)
             params = apply_params(params, ema if ema is not None else loaded)
         mel_stats = load_mel_stats(args.mel_stats_path)
-    import dataclasses
-
     return StreamingEngine(
         model,
         params,
@@ -170,7 +168,7 @@ def build_engine(args):
         tokenizer,
         mel_stats=mel_stats,
         max_streams=args.max_streams,
-        logmel=dataclasses.replace(cfg.input_val.logmel, dither=0.0),
+        logmel=cfg.input_val.logmel,
         frame_stacking=cfg.input_val.splicing.frame_stacking,
         frame_subsampling=cfg.input_val.splicing.frame_subsampling,
     )
