@@ -262,3 +262,119 @@ class FastBeamDecoder:
             )
             out.append(resp)
         return out
+
+
+# --------------------------------------------------------------------------
+# Streaming beam step (serving): the per-frame body of FastBeamDecoder as a
+# standalone state machine, so the engine can advance one 60 ms frame at a
+# time with the full W-beam carried per lane.
+# --------------------------------------------------------------------------
+def make_streaming_beam_step(
+    model: RNNT,
+    blank_idx: int,
+    beam_width: int = 4,
+    expansions: int = 4,
+    temperature: float = 1.4,
+    cap: int = 256,
+):
+    """Returns (init_state, step).
+
+    init_state(params, B, dtype) -> state dict with the per-lane beam:
+      scores [B, W], toks/ts [B, W, cap], lens [B, W], g [B, W, Hj],
+      h/c [L, B, W, Hp].
+    step(params, f [B, Hj], state) -> new state (one frame advanced).
+
+    The host derives partials (n-best buffers) and finals (common-prefix
+    growth) from the buffers; streams are bounded to ``cap`` emitted tokens
+    (~minutes) — long-form serving should use state resets.
+    """
+    W, E, K = beam_width, expansions, model.n_classes
+    L, Hp = model.cfg.pred_rnn_layers, model.cfg.pred_n_hid
+
+    def logprobs(params, f, g):
+        logits = _linear(params["joint_fc"], jax.nn.relu(f[:, None, :] + g))
+        return jax.nn.log_softmax(logits.astype(jnp.float32) / temperature, -1)
+
+    def pred_advance(params, tokens, h, c):
+        Lc, B, Wc, Hpc = h.shape
+        embed = params["prediction"]["embed"]
+        emb = embed[jnp.clip(tokens.reshape(B * Wc), 0, embed.shape[0] - 1)]
+        out, h2, c2 = lstm_step(
+            params["prediction"]["dec_rnn"], emb,
+            h.reshape(Lc, B * Wc, Hpc), c.reshape(Lc, B * Wc, Hpc),
+            hard=model.cfg.hard_activations,
+        )
+        g = _linear(params["joint_pred"], out).reshape(B, Wc, -1)
+        return g, h2.reshape(Lc, B, Wc, Hpc), c2.reshape(Lc, B, Wc, Hpc)
+
+    def gather_w(tree, idx):
+        def g(x):
+            if x.ndim == 4 and x.shape[0] == L:
+                return jnp.take_along_axis(x, idx[None, :, :, None], axis=2)
+            extra = (1,) * (x.ndim - 2)
+            return jnp.take_along_axis(x, idx.reshape(idx.shape + extra), axis=1)
+        return jax.tree.map(g, tree)
+
+    def concat_w(a, b):
+        def c(x, y):
+            axis = 2 if (x.ndim == 4 and x.shape[0] == L) else 1
+            return jnp.concatenate([x, y], axis=axis)
+        return jax.tree.map(c, a, b)
+
+    def init_state(params, B: int, dtype=jnp.float32):
+        h0 = jnp.zeros((L, B * W, Hp), dtype)
+        c0 = jnp.zeros((L, B * W, Hp), dtype)
+        out0, h0, c0 = lstm_step(
+            params["prediction"]["dec_rnn"],
+            jnp.zeros((B * W, Hp), dtype), h0, c0,
+            hard=model.cfg.hard_activations,
+        )
+        g0 = _linear(params["joint_pred"], out0).reshape(B, W, -1)
+        lane = lax.broadcasted_iota(jnp.int32, (B, W), 1)
+        return dict(
+            scores=jnp.where(lane == 0, 0.0, NEG_INF),
+            toks=jnp.full((B, W, cap), blank_idx, jnp.int32),
+            ts=jnp.zeros((B, W, cap), jnp.int32),
+            lens=jnp.zeros((B, W), jnp.int32),
+            g=g0,
+            h=h0.reshape(L, B, W, Hp),
+            c=c0.reshape(L, B, W, Hp),
+            frame=jnp.zeros((B,), jnp.int32),
+        )
+
+    def step(params, f_t, state):
+        B = f_t.shape[0]
+        frame = state.pop("frame")
+        finished = dict(state, scores=jnp.full((B, W), NEG_INF))
+        active = state
+        for e in range(E):
+            lp = logprobs(params, f_t, active["g"])
+            fin_cand = dict(active, scores=active["scores"] + lp[..., blank_idx])
+            pool = concat_w(finished, fin_cand)
+            top_s, top_i = lax.top_k(pool["scores"], W)
+            finished = gather_w(pool, top_i)
+            finished["scores"] = top_s
+            if e == E - 1:
+                break
+            exp = active["scores"][:, :, None] + lp
+            exp = exp.at[..., blank_idx].set(NEG_INF)
+            top_es, top_ei = lax.top_k(exp.reshape(B, W * K), W)
+            parent = top_ei // K
+            token = (top_ei % K).astype(jnp.int32)
+            new = gather_w(active, parent)
+            pos = jnp.clip(new["lens"], 0, cap - 1)
+            bix = lax.broadcasted_iota(jnp.int32, (B, W), 0)
+            wix = lax.broadcasted_iota(jnp.int32, (B, W), 1)
+            new["toks"] = new["toks"].at[bix, wix, pos].set(token)
+            new["ts"] = new["ts"].at[bix, wix, pos].set(frame[:, None] * jnp.ones((1, W), jnp.int32))
+            new["lens"] = jnp.minimum(new["lens"] + 1, cap)
+            new["scores"] = top_es
+            new["g"], new["h"], new["c"] = pred_advance(
+                params, token, new["h"], new["c"]
+            )
+            active = new
+        finished["frame"] = frame + 1
+        state["frame"] = frame  # restore caller's dict shape
+        return finished
+
+    return init_state, step

@@ -49,6 +49,7 @@ class StreamState:
     carry: Optional[np.ndarray] = None  # [1201] trailing samples incl. preemph
     frame_idx: int = 0                  # decoder frames emitted so far
     closed: bool = False                # EOS received; flush then free
+    committed: int = 0                  # beam tokens already shipped as finals
 
 
 class StreamingEngine:
@@ -61,6 +62,9 @@ class StreamingEngine:
         mel_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
         max_streams: int = 64,
         max_symbols_per_step: int = 8,
+        decoder: str = "greedy",
+        beam_width: int = 4,
+        beam_cap: int = 256,
         logmel: LogMelConfig = LogMelConfig(),
         frame_stacking: int = 3,
         frame_subsampling: int = 3,
@@ -96,9 +100,19 @@ class StreamingEngine:
             self._mean = jnp.zeros((logmel.n_mels,), dtype)
             self._std = jnp.ones((logmel.n_mels,), dtype)
 
-        self._decode_step = make_streaming_step(
-            model, blank_idx, max_symbols_per_step=max_symbols_per_step
-        )
+        self.decoder = decoder
+        self.beam_width = beam_width
+        if decoder == "beam":
+            from caiman_asr_tpu.decoding.fast_beam import make_streaming_beam_step
+
+            self._init_beam, self._beam_step = make_streaming_beam_step(
+                model, blank_idx, beam_width=beam_width,
+                expansions=min(max_symbols_per_step, 8), cap=beam_cap,
+            )
+        else:
+            self._decode_step = make_streaming_step(
+                model, blank_idx, max_symbols_per_step=max_symbols_per_step
+            )
         self._jit_tick = jax.jit(self._tick_impl, donate_argnums=(2, 3))
         self._tick_count = 0
         self._rng0 = jax.random.PRNGKey(4242)
@@ -142,6 +156,8 @@ class StreamingEngine:
         )
 
     def _zero_dec_state(self):
+        if self.decoder == "beam":
+            return self._init_beam(self.params, self.B, self.dtype)
         c = self.model.cfg
         h = jnp.zeros((c.pred_rnn_layers, self.B, c.pred_n_hid), self.dtype)
         cc = jnp.zeros_like(h)
@@ -188,7 +204,12 @@ class StreamingEngine:
 
         lens = jnp.full((samples.shape[0],), x.shape[0], jnp.int32)
         f, _, new_enc_state = self.model.encode(params, x, lens, enc_state)
-        toks, n, new_dec_state = self._decode_step(params, f[:, 0], dec_state)
+        if self.decoder == "beam":
+            new_dec_state = self._beam_step(params, f[:, 0], dec_state)
+            toks = new_dec_state["toks"]
+            n = new_dec_state["lens"]
+        else:
+            toks, n, new_dec_state = self._decode_step(params, f[:, 0], dec_state)
 
         # freeze state on lanes that did not advance
         new_enc_state = _gate_state(new_enc_state, enc_state, adv)
@@ -220,13 +241,27 @@ class StreamingEngine:
             pre_rnn=tuple(z(h) for h in self.enc_state.pre_rnn),
             post_rnn=tuple(z(h) for h in self.enc_state.post_rnn),
         )
-        g0, h0, c0 = self._init_dec
-        g, h, c = self.dec_state
-        self.dec_state = (
-            g.at[lane].set(g0[lane]),
-            h.at[:, lane].set(h0[:, lane]),
-            c.at[:, lane].set(c0[:, lane]),
-        )
+        if self.decoder == "beam":
+            def set_lane(cur, init):
+                if cur.ndim == 4:          # [L, B, W, H]
+                    return cur.at[:, lane].set(init[:, lane])
+                if cur.ndim == 3 and cur.shape[1] != self.B:  # [B, W, *]
+                    return cur.at[lane].set(init[lane])
+                if cur.ndim == 3:          # [L, B, H] (not used in beam)
+                    return cur.at[:, lane].set(init[:, lane])
+                if cur.ndim == 2:          # [B, W]
+                    return cur.at[lane].set(init[lane])
+                return cur.at[lane].set(init[lane])  # [B]
+
+            self.dec_state = jax.tree.map(set_lane, self.dec_state, self._init_dec)
+        else:
+            g0, h0, c0 = self._init_dec
+            g, h, c = self.dec_state
+            self.dec_state = (
+                g.at[lane].set(g0[lane]),
+                h.at[:, lane].set(h0[:, lane]),
+                c.at[:, lane].set(c0[:, lane]),
+            )
 
     def push_audio(self, lane: int, samples: np.ndarray):
         with self._lock:
@@ -281,19 +316,68 @@ class StreamingEngine:
                 jax.random.fold_in(self._rng0, self._tick_count),
             )
             toks, n = np.asarray(toks), np.asarray(n)
-            for lane, st in list(self.streams.items()):
-                if not adv[lane]:
-                    continue
-                emitted = [int(t) for t in toks[lane, : n[lane]]]
-                if emitted:
-                    out[lane] = self._response(st, emitted, final=True)
-                st.frame_idx += 1
+            if self.decoder == "beam":
+                scores = np.asarray(self.dec_state["scores"])
+                for lane, st in list(self.streams.items()):
+                    if not adv[lane]:
+                        continue
+                    resp = self._beam_responses(st, toks[lane], n[lane], scores[lane])
+                    if resp:
+                        out[lane] = resp
+                    st.frame_idx += 1
+            else:
+                for lane, st in list(self.streams.items()):
+                    if not adv[lane]:
+                        continue
+                    emitted = [int(t) for t in toks[lane, : n[lane]]]
+                    if emitted:
+                        out[lane] = self._response(st, emitted, final=True)
+                    st.frame_idx += 1
 
         for lane in finishing:
-            out[lane] = {"eos": True}
+            msgs = []
+            if self.decoder == "beam":
+                st = self.streams[lane]
+                toks_l = np.asarray(self.dec_state["toks"][lane])
+                lens_l = np.asarray(self.dec_state["lens"][lane])
+                scores_l = np.asarray(self.dec_state["scores"][lane])
+                norm = scores_l / np.maximum(lens_l + 1, 1)
+                best = int(np.argmax(norm))
+                tail = [int(t) for t in toks_l[best, st.committed : lens_l[best]]]
+                if tail:
+                    msgs.append(self._response(st, tail, final=True))
+            msgs.append({"eos": True})
+            out[lane] = msgs if len(msgs) > 1 else msgs[0]
             self._reset_lane(lane)
             self._release(lane)
         return out
+
+    def _beam_responses(self, st: StreamState, toks, lens, scores):
+        """Derive final (common-prefix growth) + provisional (best hyp tail)
+        responses from the lane's beam buffers
+        (reference serialise_responses.py semantics)."""
+        alive = scores > -1e29
+        if not alive.any():
+            return None
+        norm = np.where(alive, scores / np.maximum(lens + 1, 1), -np.inf)
+        best = int(np.argmax(norm))
+        min_len = int(lens[alive].min())
+        p = st.committed
+        while p < min_len and len(set(int(t) for t in toks[alive, p])) == 1:
+            p += 1
+        msgs = []
+        if p > st.committed:
+            msgs.append(
+                self._response(st, [int(t) for t in toks[best, st.committed : p]],
+                               final=True)
+            )
+            st.committed = p
+        tail = [int(t) for t in toks[best, p : int(lens[best])]]
+        if tail:
+            msgs.append(self._response(st, tail, final=False))
+        if not msgs:
+            return None
+        return msgs if len(msgs) > 1 else msgs[0]
 
     def _response(self, st: StreamState, tokens: List[int], final: bool) -> dict:
         """WebSocket response schema (docs/src/inference/websocket_api.md).
@@ -318,16 +402,22 @@ class StreamingEngine:
         }
 
 
-def _gate_state(new, old, adv):
-    """Select new vs old per lane; state arrays have the lane dim second-to-
-    last ([L, B, H]) or first ([B, H])."""
+def _gate_state(new, old, adv, lane_axis_rank4: int = 1):
+    """Select new vs old per lane. Lane-batch axis conventions: rank-1 [B];
+    rank-2 [B, *]; rank-3 [L, B, H] for LSTM stacks, else [B, *, *];
+    rank-4 [L, B, W, H]."""
 
     def g(a, b):
-        if a.ndim == 3:  # [L, B, H]
-            m = adv[None, :, None]
-        elif a.ndim == 2:  # [B, H]
+        if a.ndim == 4:       # [L, B, W, H]
+            m = adv[None, :, None, None]
+        elif a.ndim == 3:
+            if a.shape[1] == adv.shape[0] and a.shape[0] != adv.shape[0]:
+                m = adv[None, :, None]   # [L, B, H]
+            else:
+                m = adv[:, None, None]   # [B, W, cap] / [B, W, Hj]
+        elif a.ndim == 2:     # [B, *]
             m = adv[:, None]
-        else:
+        else:                 # [B]
             m = adv
         return jnp.where(m, a, b)
 

@@ -47,7 +47,8 @@ class ASRServer:
                     for lane, resp in out.items():
                         q = self.queues.get(lane)
                         if q is not None:
-                            q.put_nowait(resp)
+                            for r in resp if isinstance(resp, list) else [resp]:
+                                q.put_nowait(r)
             except Exception:
                 # A dead ticker would silently hang every stream: log & keep
                 # ticking (the engine lock makes tick itself safe).
@@ -168,6 +169,8 @@ def build_engine(args):
         tokenizer,
         mel_stats=mel_stats,
         max_streams=args.max_streams,
+        decoder=getattr(args, "decoder", "greedy"),
+        beam_width=getattr(args, "beam_width", 4),
         logmel=cfg.input_val.logmel,
         frame_stacking=cfg.input_val.splicing.frame_stacking,
         frame_subsampling=cfg.input_val.splicing.frame_subsampling,
@@ -184,6 +187,8 @@ def main(argv=None):
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--max_streams", type=int, default=64)
+    p.add_argument("--decoder", default="greedy", choices=["greedy", "beam"])
+    p.add_argument("--beam_width", type=int, default=4)
     args = p.parse_args(argv)
     engine = build_engine(args)
     engine.warmup()
