@@ -214,7 +214,7 @@ class StreamingEngine:
         # freeze state on lanes that did not advance
         new_enc_state = _gate_state(new_enc_state, enc_state, adv)
         new_dec_state = _gate_state(new_dec_state, dec_state, adv)
-        n = jnp.where(adv, n, 0)
+        n = jnp.where(adv[:, None] if n.ndim == 2 else adv, n, 0)
         return toks, n, new_enc_state, new_dec_state
 
     # ------------------------------------------------------------- streams
