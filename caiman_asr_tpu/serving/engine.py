@@ -133,10 +133,13 @@ class StreamingEngine:
         JIT latency would otherwise hit the first streams)."""
         samples = jnp.zeros((self.B, self.carry_samples + self.hop_samples), self.dtype)
         adv = jnp.zeros((self.B,), bool)
-        toks, n, self.enc_state, self.dec_state = self._jit_tick(
-            self.params, samples, self.enc_state, self.dec_state, adv,
-            jax.random.fold_in(self._rng0, 0),
-        )
+        # two passes: the second absorbs the weak-type-settling retrace so
+        # live traffic never pays a compile
+        for i in range(2):
+            toks, n, self.enc_state, self.dec_state = self._jit_tick(
+                self.params, samples, self.enc_state, self.dec_state, adv,
+                jax.random.fold_in(self._rng0, i),
+            )
         _ = np.asarray(toks)  # real barrier (block_until_ready is dispatch-only
         # over tunnelled backends)
 
