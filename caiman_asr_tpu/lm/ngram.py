@@ -103,13 +103,14 @@ class NGramLM:
         backoffs = np.asarray(
             [self.backoffs.get(ng, math.nan) for ng in self.probs], np.float32
         )
-        np.savez(
-            path,
-            order=np.int32(self.order),
-            keys=np.asarray(keys, dtype="S"),
-            probs=probs,
-            backoffs=backoffs,
-        )
+        with open(path, "wb") as fh:  # keep the exact name (.binary, no .npz)
+            np.savez(
+                fh,
+                order=np.int32(self.order),
+                keys=np.asarray(keys, dtype="S"),
+                probs=probs,
+                backoffs=backoffs,
+            )
 
     # ------------------------------------------------------------- scoring
     def initial_state(self) -> Tuple[str, ...]:
