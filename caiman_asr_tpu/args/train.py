@@ -23,6 +23,11 @@ def train_arg_parser() -> argparse.ArgumentParser:
     training.add_argument("--hold_steps", type=int, default=18000)
     training.add_argument("--half_life_steps", type=int, default=10880)
     training.add_argument("--train_manifests", type=str, nargs="+", default=[])
+    training.add_argument("--train_manifest_ratios", type=float, nargs="+",
+                          default=None, help="absolute epoch share per manifest")
+    training.add_argument("--relative_train_manifest_ratios", type=float,
+                          nargs="+", default=None)
+    training.add_argument("--canary_manifest_exponent", type=float, default=None)
     training.add_argument("--multihost", action="store_true",
                           help="initialise jax.distributed (one process/host)")
     training.add_argument("--coordinator_address", type=str, default=None)

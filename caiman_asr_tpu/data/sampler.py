@@ -109,3 +109,86 @@ class BucketingSampler(Sampler):
         order = np.arange(len(out_batches))
         rng.shuffle(order)
         return np.concatenate([out_batches[i] for i in order]) if out_batches else np.array([], np.int64)
+
+
+class WeightedBucketingSampler(BucketingSampler):
+    """Bucketing sampler with per-manifest epoch weighting
+    (reference: data/dali/manifest_ratios.py + sampler weighted epochs).
+
+    Modes (mutually exclusive, matching the reference CLI):
+    - ``absolute_ratios``: target fraction of the epoch per manifest
+      (normalised); manifests are over/under-sampled to hit it;
+    - ``relative_ratios``: multiply each manifest's natural (duration-
+      proportional) share by the given factor;
+    - ``canary_exponent``: weight each manifest by
+      ``duration(manifest) ** exponent`` (the NVIDIA Canary temperature
+      trick; exponent < 1 upweights small manifests).
+
+    A weight w means every utterance of that manifest appears
+    ``floor(w)`` times per epoch plus once more with probability frac(w).
+    """
+
+    def __init__(
+        self,
+        durations,
+        manifest_ids,
+        batch_size: int,
+        world_size: int = 1,
+        seed: int = 0,
+        num_buckets: int = 6,
+        absolute_ratios=None,
+        relative_ratios=None,
+        canary_exponent=None,
+        **kw,
+    ):
+        super().__init__(durations, batch_size, world_size, seed=seed,
+                         num_buckets=num_buckets, **kw)
+        self.manifest_ids = np.asarray(manifest_ids, np.int64)
+        n_manifests = int(self.manifest_ids.max()) + 1 if len(self.manifest_ids) else 0
+        modes = [absolute_ratios is not None, relative_ratios is not None,
+                 canary_exponent is not None]
+        if sum(modes) > 1:
+            raise ValueError("set at most one manifest-weighting mode")
+        dur_per = np.array([
+            self.durations[self.manifest_ids == m].sum() for m in range(n_manifests)
+        ])
+        total = dur_per.sum() or 1.0
+        if absolute_ratios is not None:
+            if len(absolute_ratios) != n_manifests:
+                raise ValueError("one absolute ratio per manifest required")
+            target = np.asarray(absolute_ratios, float)
+            target = target / target.sum()
+            self.weights = target * total / np.maximum(dur_per, 1e-9)
+        elif relative_ratios is not None:
+            if len(relative_ratios) != n_manifests:
+                raise ValueError("one relative ratio per manifest required")
+            self.weights = np.asarray(relative_ratios, float)
+        elif canary_exponent is not None:
+            w = dur_per ** float(canary_exponent)
+            share = w / w.sum()
+            self.weights = share * total / np.maximum(dur_per, 1e-9)
+        else:
+            self.weights = np.ones(n_manifests)
+
+    def _order(self, epoch, rng):
+        w = self.weights[self.manifest_ids]  # per-utterance weight
+        repeats = np.floor(w).astype(np.int64)
+        repeats += (rng.random(len(w)) < (w - np.floor(w))).astype(np.int64)
+        idxs = np.repeat(np.arange(len(w)), repeats)
+        if len(idxs) == 0:
+            return np.array([], np.int64)
+        perm = idxs[rng.permutation(len(idxs))]
+        srt = perm[np.argsort(self.durations[perm], kind="stable")]
+        bucket_size = self.global_batch * self.num_buckets
+        out_batches = []
+        for s in range(0, len(srt), bucket_size):
+            bucket = srt[s : s + bucket_size].copy()
+            rng.shuffle(bucket)
+            for b in range(0, len(bucket), self.global_batch):
+                chunk = bucket[b : b + self.global_batch]
+                if len(chunk) == self.global_batch or not self.drop_last:
+                    out_batches.append(chunk)
+        order = np.arange(len(out_batches))
+        rng.shuffle(order)
+        return (np.concatenate([out_batches[i] for i in order])
+                if out_batches else np.array([], np.int64))

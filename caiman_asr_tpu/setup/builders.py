@@ -94,10 +94,25 @@ def build_train_loader(
     """batch_size is the per-host microbatch; the sampler builds identical
     global epochs on every host from the shared seed and each host takes its
     round-robin shard (reference sampler.py:321-360)."""
-    sampler = BucketingSampler(
-        [u.duration for u in utts], batch_size=batch_size,
-        world_size=world_size, seed=seed,
-    )
+    ratio_modes = {
+        "absolute_ratios": getattr(args, "train_manifest_ratios", None),
+        "relative_ratios": getattr(args, "relative_train_manifest_ratios", None),
+        "canary_exponent": getattr(args, "canary_manifest_exponent", None),
+    }
+    if any(v is not None for v in ratio_modes.values()):
+        from caiman_asr_tpu.data.sampler import WeightedBucketingSampler
+
+        sampler = WeightedBucketingSampler(
+            [u.duration for u in utts],
+            [u.manifest_idx for u in utts],
+            batch_size=batch_size, world_size=world_size, seed=seed,
+            **{k: v for k, v in ratio_modes.items() if v is not None},
+        )
+    else:
+        sampler = BucketingSampler(
+            [u.duration for u in utts], batch_size=batch_size,
+            world_size=world_size, seed=seed,
+        )
     background, babble = build_noise(args, pipe, seed)
     return AudioDataLoader(
         utts,

@@ -262,9 +262,17 @@ def main(args=None):
         f"{mesh.devices.size} device(s), starting at step {step}"
     )
 
+    resume_batches = 0
+    if start_step and hasattr(train_loader, "steps_per_epoch"):
+        try:
+            spe = max(train_loader.steps_per_epoch(epoch) // accum, 1)
+            resume_batches = (start_step % spe) * accum
+        except Exception:
+            resume_batches = 0
     while step < args.training_steps:
         micro_group = []
-        batch_iter = iter(train_loader.epoch(epoch, resume_step=0))
+        batch_iter = iter(train_loader.epoch(epoch, resume_step=resume_batches))
+        resume_batches = 0  # only the first resumed epoch is partial
         while True:
             with timers.phase("dataloading"):
                 batch = next(batch_iter, None)

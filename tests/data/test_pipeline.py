@@ -142,3 +142,39 @@ def test_val_pipeline_deterministic(tiny_dataset):
     f1, _ = fp(b1.audio, b1.audio_lens)
     f2, _ = fp(b1.audio, b1.audio_lens)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2))
+
+
+def test_weighted_manifest_sampler():
+    from caiman_asr_tpu.data.sampler import WeightedBucketingSampler
+
+    rng = np.random.default_rng(0)
+    # manifest 0: 100 utts of 1s; manifest 1: 20 utts of 1s
+    durs = np.ones(120)
+    mids = np.array([0] * 100 + [1] * 20)
+
+    # relative: manifest 1 sampled 5x per epoch
+    s = WeightedBucketingSampler(durs, mids, batch_size=10, world_size=1,
+                                 seed=1, relative_ratios=[1.0, 5.0])
+    order = np.concatenate(s.epoch_batches(0))
+    counts = np.bincount(mids[order], minlength=2)
+    assert 90 <= counts[0] <= 100 and 85 <= counts[1] <= 105
+
+    # absolute 50/50 epoch split
+    s2 = WeightedBucketingSampler(durs, mids, batch_size=10, world_size=1,
+                                  seed=1, absolute_ratios=[0.5, 0.5])
+    order2 = np.concatenate(s2.epoch_batches(0))
+    counts2 = np.bincount(mids[order2], minlength=2)
+    assert abs(counts2[0] - counts2[1]) < 25
+
+    # canary exponent < 1 upweights the small manifest vs natural share
+    s3 = WeightedBucketingSampler(durs, mids, batch_size=10, world_size=1,
+                                  seed=1, canary_exponent=0.5)
+    order3 = np.concatenate(s3.epoch_batches(0))
+    counts3 = np.bincount(mids[order3], minlength=2)
+    assert counts3[1] / max(counts3.sum(), 1) > 20 / 120
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        WeightedBucketingSampler(durs, mids, batch_size=10,
+                                 absolute_ratios=[1.0, 1.0],
+                                 relative_ratios=[1.0, 1.0])
