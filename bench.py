@@ -89,7 +89,7 @@ def measure(batch_size: int, iters: int = 30) -> float:
 
 def main():
     platform = jax.devices()[0].platform
-    ladder = [1024, 4096, 16384, 32768] if platform == "tpu" else [8]
+    ladder = [4096, 8192, 16384] if platform == "tpu" else [8]
     best_rts, best = 0.0, None
     for B in ladder:
         try:

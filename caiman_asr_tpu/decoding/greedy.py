@@ -252,6 +252,15 @@ def make_streaming_step(
         lp = jax.nn.log_softmax(logits.astype(jnp.float32) / temperature, axis=-1)
         return apply_eos_strategy(lp, eos_strategy, blank_idx)
 
+    # Serving fast path: with no EOS correction, argmax(logits) ==
+    # argmax(log_softmax(logits/T)) — skip materialising the normalised
+    # [B, K] tensor entirely (saves ~1/3 of the decode-step HBM traffic).
+    fast = eos_strategy is None and not fuzzy_topk_logits
+
+    def argmax_tokens(params, f, g):
+        logits = model.joint_step(params, f, g)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
     def step(params, f, dec_state):
         g, h, c = dec_state
         B = f.shape[0]
@@ -259,8 +268,11 @@ def make_streaming_step(
         stopped = jnp.zeros(B, bool)
         n = jnp.zeros(B, jnp.int32)
         for i in range(max_symbols_per_step):
-            lp = logprobs(params, f, g)
-            k = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+            if fast:
+                k = argmax_tokens(params, f, g)
+            else:
+                lp = logprobs(params, f, g)
+                k = jnp.argmax(lp, axis=-1).astype(jnp.int32)
             emit = (~stopped) & (k != blank_idx)
             toks = toks.at[:, i].set(jnp.where(emit, k, blank_idx))
             n = n + emit.astype(jnp.int32)
