@@ -70,43 +70,66 @@ def build(batch_size: int, dtype=jnp.bfloat16):
     return step, params, x, enc_state, dec_state
 
 
-def measure(batch_size: int, iters: int = 30) -> float:
+def measure(batch_size: int, iters: int = 30):
+    """Returns (mean_chunk_seconds, p99_chunk_seconds)."""
     step, params, x, enc_state, dec_state = build(batch_size)
-    # warmup / compile (np.asarray: block_until_ready is dispatch-only on
-    # tunnelled backends — a host fetch is the only reliable barrier)
+    # warmup x2 (second pass absorbs the weak-type retrace); np.asarray:
+    # block_until_ready is dispatch-only on tunnelled backends — a host
+    # fetch is the only reliable barrier
     import numpy as np
 
-    toks, n, enc_state, dec_state = step(params, x, enc_state, dec_state)
-    _ = np.asarray(toks)
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(2):
         toks, n, enc_state, dec_state = step(params, x, enc_state, dec_state)
-    # state is chained through every iteration; fetching the final tokens
-    # forces completion of all of them
     _ = np.asarray(toks)
-    return (time.perf_counter() - t0) / iters
+    # time in groups of 10 chained chunks with one host fetch per group:
+    # amortizes the transport round trip (which co-located serving does not
+    # pay) while still bounding tail behaviour per group
+    group = 10
+    times = []
+    for _ in range(max(iters // group, 3)):
+        t0 = time.perf_counter()
+        for _ in range(group):
+            toks, n, enc_state, dec_state = step(params, x, enc_state, dec_state)
+        _ = np.asarray(n)
+        times.append((time.perf_counter() - t0) / group)
+    times.sort()
+    mean = sum(times) / len(times)
+    p99 = times[-1]
+    return mean, p99
 
 
 def main():
     platform = jax.devices()[0].platform
     ladder = [4096, 8192, 16384] if platform == "tpu" else [8]
-    best_rts, best = 0.0, None
+    results = []
     for B in ladder:
         try:
-            t = measure(B)
+            t, p99 = measure(B)
         except Exception:
             break
-        rts = B * CHUNK_SECONDS / t
-        if rts > best_rts:
-            best_rts, best = rts, (B, t)
-    B, t = best
+        results.append((B, t, p99))
+    # headline = the largest batch whose p99 chunk time fits the real-time
+    # budget: B streams VERIFIED sustainable (no extrapolation); fall back
+    # to the best throughput estimate if nothing fits
+    verified = [(B, t, p99) for B, t, p99 in results if p99 <= CHUNK_SECONDS]
+    if verified:
+        B, t, p99 = max(verified)
+        value = float(B)
+        kind = "verified"
+    else:
+        B, t, p99 = max(results, key=lambda r: r[0] / r[1])
+        value = round(B * CHUNK_SECONDS / t, 1)
+        kind = "throughput-extrapolated"
     print(
         json.dumps(
             {
                 "metric": "streaming_rts_base85m_greedy",
-                "value": round(best_rts, 1),
-                "unit": f"real-time streams/chip (B={B}, {t * 1e3:.2f} ms/60ms-chunk, {platform})",
-                "vs_baseline": round(best_rts / BASELINE_RTS, 3),
+                "value": value,
+                "unit": (
+                    f"{kind} real-time streams/chip ({t * 1e3:.2f} ms mean / "
+                    f"{p99 * 1e3:.2f} ms p99 per 60 ms chunk at B={B}, {platform})"
+                ),
+                "vs_baseline": round(value / BASELINE_RTS, 3),
             }
         )
     )
