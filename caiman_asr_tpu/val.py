@@ -43,6 +43,8 @@ def val_arg_parser() -> argparse.ArgumentParser:
     add_latency_args(parser)
     add_wer_analysis_args(parser)
     parser.add_argument("--ckpt", type=str, default=None, help="checkpoint to evaluate")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force CPU execution (reference ValCPUSetup)")
     parser.add_argument("--use_ema", action="store_true", default=True)
     parser.add_argument("--no_ema", dest="use_ema", action="store_false")
     parser.add_argument("--calc_loss", action="store_true")
@@ -52,6 +54,11 @@ def val_arg_parser() -> argparse.ArgumentParser:
 def validate(args=None):
     if args is None:
         args = val_arg_parser().parse_args()
+    if getattr(args, "cpu", False):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception as e:  # backend already initialised
+            print(f"WARNING: --cpu ignored (backend already initialised: {e})")
     out_dir = Path(args.output_dir)
     logger = init_log(out_dir, enable_tensorboard=False)
 
