@@ -45,11 +45,20 @@ from caiman_asr_tpu.ops.logmel import LogMelConfig, dft_bases, hann_window, mel_
 class StreamState:
     """Host-side per-lane bookkeeping."""
 
-    buffer: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
+    # buffered-but-unprocessed audio as a chunk list + length counter:
+    # appending is O(chunk) (a growing flat array would re-copy the whole
+    # buffer on every websocket frame — the staging loop dominates tick time
+    # past ~4k lanes)
+    chunks: List[np.ndarray] = field(default_factory=list)
+    buf_len: int = 0
     carry: Optional[np.ndarray] = None  # [1201] trailing samples incl. preemph
     frame_idx: int = 0                  # decoder frames emitted so far
     closed: bool = False                # EOS received; flush then free
     committed: int = 0                  # beam tokens already shipped as finals
+    # best-hypothesis token history (beam only): snapshot of window tokens as
+    # they slide past, so finals can ship even if agreement stalls past the
+    # device->host window
+    hist: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
 
 
 class StreamingEngine:
@@ -69,7 +78,17 @@ class StreamingEngine:
         frame_stacking: int = 3,
         frame_subsampling: int = 3,
         dtype=jnp.float32,
+        pipeline_depth: int = 0,
+        beam_win: int = 64,
     ):
+        """pipeline_depth: number of in-flight ticks before results are
+        consumed on the host. 0 = synchronous (each tick() returns its own
+        responses — simplest, used by tests). N>0 = dispatch tick i, start an
+        async device->host copy of its packed outputs, and consume tick
+        i-N's results — the copy then overlaps N ticks of device work plus
+        the real-time idle gap, hiding transfer latency entirely on
+        co-located hosts and most of the RTT on tunnelled ones, at the cost
+        of N chunks (N*60 ms) of added response latency."""
         self.model = model
         self.params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
         self.blank_idx = blank_idx
@@ -109,6 +128,10 @@ class StreamingEngine:
                 model, blank_idx, beam_width=beam_width,
                 expansions=min(max_symbols_per_step, 8), cap=beam_cap,
             )
+            # device->host token window per tick: newest _beam_win positions
+            # of every hypothesis. Must exceed per-tick growth (expansions)
+            # by a comfortable agreement margin, and be <= cap.
+            self._beam_win = min(beam_win, beam_cap)
         else:
             self._decode_step = make_streaming_step(
                 model, blank_idx, max_symbols_per_step=max_symbols_per_step
@@ -116,6 +139,10 @@ class StreamingEngine:
         self._jit_tick = jax.jit(self._tick_impl, donate_argnums=(2, 3))
         self._tick_count = 0
         self._rng0 = jax.random.PRNGKey(4242)
+        self.pipeline_depth = pipeline_depth
+        from collections import deque
+
+        self._pending = deque()  # (packed device array, host adv mask)
 
         self.enc_state = self._zero_enc_state()
         self.dec_state = self._zero_dec_state()
@@ -136,11 +163,11 @@ class StreamingEngine:
         # two passes: the second absorbs the weak-type-settling retrace so
         # live traffic never pays a compile
         for i in range(2):
-            toks, n, self.enc_state, self.dec_state = self._jit_tick(
+            out, self.enc_state, self.dec_state = self._jit_tick(
                 self.params, samples, self.enc_state, self.dec_state, adv,
                 jax.random.fold_in(self._rng0, i),
             )
-        _ = np.asarray(toks)  # real barrier (block_until_ready is dispatch-only
+        _ = np.asarray(out)  # real barrier (block_until_ready is dispatch-only
         # over tunnelled backends)
 
     # --------------------------------------------------------- device step
@@ -209,16 +236,47 @@ class StreamingEngine:
         f, _, new_enc_state = self.model.encode(params, x, lens, enc_state)
         if self.decoder == "beam":
             new_dec_state = self._beam_step(params, f[:, 0], dec_state)
-            toks = new_dec_state["toks"]
-            n = new_dec_state["lens"]
+            # host transfer stays O(win) per lane: a sliding window of the
+            # newest tokens (full [B, W, cap] buffers would dominate tick
+            # time at scale)
+            win = self._beam_win
+            lens = new_dec_state["lens"]
+            base = jnp.maximum(jnp.max(lens, axis=1) - win, 0)  # [B]
+            pos = base[:, None, None] + jnp.arange(win)[None, None, :]
+            toks = jnp.take_along_axis(
+                new_dec_state["toks"],
+                jnp.broadcast_to(pos, (lens.shape[0], lens.shape[1], win)),
+                axis=2,
+            )
+            n = (lens, base, new_dec_state["scores"])
         else:
             toks, n, new_dec_state = self._decode_step(params, f[:, 0], dec_state)
 
         # freeze state on lanes that did not advance
         new_enc_state = _gate_state(new_enc_state, enc_state, adv)
         new_dec_state = _gate_state(new_dec_state, dec_state, adv)
-        n = jnp.where(adv[:, None] if n.ndim == 2 else adv, n, 0)
-        return toks, n, new_enc_state, new_dec_state
+        # pack every host-bound output into ONE int32 array: a single
+        # device->host transfer per tick (per-array fetches each pay a full
+        # round trip on remote transports)
+        if self.decoder == "beam":
+            lens, base, scores = n
+            lens = jnp.where(adv[:, None], lens, 0)
+            B = lens.shape[0]
+            out = jnp.concatenate(
+                [
+                    toks.astype(jnp.int32).reshape(B, -1),      # W*win
+                    lens.astype(jnp.int32),                     # W
+                    base.astype(jnp.int32)[:, None],            # 1
+                    scores.astype(jnp.float32).view(jnp.int32),  # W
+                ],
+                axis=1,
+            )
+        else:
+            n = jnp.where(adv, n, 0)
+            out = jnp.concatenate(
+                [toks.astype(jnp.int32), n.astype(jnp.int32)[:, None]], axis=1
+            )
+        return out, new_enc_state, new_dec_state
 
     # ------------------------------------------------------------- streams
     def open_stream(self) -> Optional[int]:
@@ -269,7 +327,8 @@ class StreamingEngine:
     def push_audio(self, lane: int, samples: np.ndarray):
         with self._lock:
             st = self.streams[lane]
-            st.buffer = np.concatenate([st.buffer, samples.astype(np.float32)])
+            st.chunks.append(np.asarray(samples, np.float32))
+            st.buf_len += len(samples)
 
     def _release(self, lane: int):
         del self.streams[lane]
@@ -285,32 +344,53 @@ class StreamingEngine:
         with self._lock:
             return self._tick_locked()
 
+    def _pop_into(self, st: StreamState, dst: np.ndarray) -> int:
+        """Move up to len(dst) buffered samples into dst (zero-padding any
+        shortfall); returns the number of real samples consumed."""
+        need, got = len(dst), 0
+        while st.chunks and got < need:
+            c = st.chunks[0]
+            take = min(len(c), need - got)
+            dst[got : got + take] = c[:take]
+            if take == len(c):
+                st.chunks.pop(0)
+            else:
+                st.chunks[0] = c[take:]
+            got += take
+        if got < need:
+            dst[got:] = 0.0
+        st.buf_len -= got
+        return got
+
     def _tick_locked(self) -> Dict[int, dict]:
         if not self.streams:
             return {}
-        samples = np.zeros((self.B, self.carry_samples + self.hop_samples), np.float32)
+        if not hasattr(self, "_staging"):
+            # persistent staging matrix: rows of idle lanes keep stale data,
+            # which is harmless — the jitted tick gates their state on `adv`
+            self._staging = np.zeros(
+                (self.B, self.carry_samples + self.hop_samples), np.float32
+            )
+        samples = self._staging
         adv = np.zeros(self.B, bool)
         finishing: List[int] = []
         for lane, st in self.streams.items():
-            if len(st.buffer) >= self.hop_samples:
-                chunk, st.buffer = st.buffer[: self.hop_samples], st.buffer[self.hop_samples :]
-            elif st.closed:
-                if len(st.buffer) == 0:
+            if st.buf_len < self.hop_samples:
+                if not st.closed:
+                    continue
+                if st.buf_len == 0:
                     finishing.append(lane)
                     continue
-                chunk = np.zeros(self.hop_samples, np.float32)
-                chunk[: len(st.buffer)] = st.buffer
-                st.buffer = st.buffer[:0]
-            else:
-                continue
-            samples[lane] = np.concatenate([st.carry, chunk])
-            st.carry = samples[lane, -self.carry_samples :].copy()
+            row = samples[lane]
+            row[: self.carry_samples] = st.carry
+            self._pop_into(st, row[self.carry_samples :])
+            st.carry = row[-self.carry_samples :].copy()
             adv[lane] = True
 
-        out: Dict[int, dict] = {}
+        out: Dict[int, List[dict]] = {}
         if adv.any():
             self._tick_count += 1
-            toks, n, self.enc_state, self.dec_state = self._jit_tick(
+            packed, self.enc_state, self.dec_state = self._jit_tick(
                 self.params,
                 jnp.asarray(samples, self.dtype),
                 self.enc_state,
@@ -318,27 +398,21 @@ class StreamingEngine:
                 jnp.asarray(adv),
                 jax.random.fold_in(self._rng0, self._tick_count),
             )
-            toks, n = np.asarray(toks), np.asarray(n)
-            if self.decoder == "beam":
-                scores = np.asarray(self.dec_state["scores"])
-                for lane, st in list(self.streams.items()):
-                    if not adv[lane]:
-                        continue
-                    resp = self._beam_responses(st, toks[lane], n[lane], scores[lane])
-                    if resp:
-                        out[lane] = resp
-                    st.frame_idx += 1
-            else:
-                for lane, st in list(self.streams.items()):
-                    if not adv[lane]:
-                        continue
-                    emitted = [int(t) for t in toks[lane, : n[lane]]]
-                    if emitted:
-                        out[lane] = self._response(st, emitted, final=True)
-                    st.frame_idx += 1
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass  # backend without async copies: consume() fetches sync
+            self._pending.append((packed, adv))
+            while len(self._pending) > self.pipeline_depth:
+                self._consume(self._pending.popleft(), out)
 
+        if finishing:
+            # final flush reads the lane's full device-side buffers; drain
+            # every in-flight tick first so `committed` is up to date
+            while self._pending:
+                self._consume(self._pending.popleft(), out)
         for lane in finishing:
-            msgs = []
+            msgs = out.get(lane, [])
             if self.decoder == "beam":
                 st = self.streams[lane]
                 toks_l = np.asarray(self.dec_state["toks"][lane])
@@ -350,32 +424,111 @@ class StreamingEngine:
                 if tail:
                     msgs.append(self._response(st, tail, final=True))
             msgs.append({"eos": True})
-            out[lane] = msgs if len(msgs) > 1 else msgs[0]
+            out[lane] = msgs
             self._reset_lane(lane)
             self._release(lane)
-        return out
+        return {
+            lane: (msgs if len(msgs) > 1 else msgs[0]) for lane, msgs in out.items()
+        }
 
-    def _beam_responses(self, st: StreamState, toks, lens, scores):
+    def _consume(self, entry, out: Dict[int, List[dict]]):
+        """Fetch one in-flight tick's packed outputs and append the derived
+        responses to `out` (a lane can accumulate responses from several
+        drained ticks)."""
+        packed, adv = entry
+        packed = np.asarray(packed)
+        if self.decoder == "beam":
+            W, win = self.beam_width, self._beam_win
+            toks = packed[:, : W * win].reshape(-1, W, win)
+            lens = packed[:, W * win : W * win + W]
+            base = packed[:, W * win + W]
+            scores = packed[:, W * win + W + 1 :].view(np.float32)
+            # batch-vectorized pre-computation (a python loop over hyps per
+            # lane costs ~25 us/lane — 25 ms/tick at B=1024):
+            alive = scores > -1e29
+            norm = np.where(alive, scores / np.maximum(lens + 1, 1), -np.inf)
+            best = np.argmax(norm, axis=1)                       # [B]
+            # agree[b, j]: every alive hypothesis matches the best one at
+            # window position j
+            bt = np.take_along_axis(toks, best[:, None, None], axis=1)  # [B,1,win]
+            agree = ((toks == bt) | ~alive[:, :, None]).all(axis=1)     # [B,win]
+            min_len = np.where(alive, lens, np.iinfo(np.int64).max).min(axis=1)
+            for lane, st in list(self.streams.items()):
+                if not adv[lane]:
+                    continue
+                resp = self._beam_responses(
+                    st, toks[lane], lens[lane], scores[lane], int(base[lane]),
+                    bool(alive[lane].any()), int(best[lane]),
+                    agree[lane], int(min_len[lane]),
+                )
+                if resp:
+                    out.setdefault(lane, []).extend(
+                        resp if isinstance(resp, list) else [resp]
+                    )
+                st.frame_idx += 1
+        else:
+            toks, n = packed[:, :-1], packed[:, -1]
+            for lane, st in list(self.streams.items()):
+                if not adv[lane]:
+                    continue
+                emitted = [int(t) for t in toks[lane, : n[lane]]]
+                if emitted:
+                    out.setdefault(lane, []).append(
+                        self._response(st, emitted, final=True)
+                    )
+                st.frame_idx += 1
+
+    def _beam_responses(
+        self, st: StreamState, win_toks, lens, scores, base,
+        any_alive, best, agree, min_len,
+    ):
         """Derive final (common-prefix growth) + provisional (best hyp tail)
-        responses from the lane's beam buffers
-        (reference serialise_responses.py semantics)."""
-        alive = scores > -1e29
-        if not alive.any():
+        responses from a windowed view of the lane's beam buffers
+        (reference serialise_responses.py semantics).
+
+        win_toks: [W, win] — the newest `_beam_win` token slots of every
+        hypothesis, covering absolute positions [base, base+win). Only the
+        window crosses device->host per tick (full [W, cap] buffers dominate
+        tick time at scale). The best hypothesis' window is snapshotted into
+        st.hist so that if the beam agreement point ever stalls more than a
+        window behind the longest hypothesis, the gap is force-committed
+        from history (standard streaming commit-on-timeout behaviour).
+
+        any_alive/best/agree/min_len are precomputed batch-vectorized by the
+        caller (_consume): best = best-normalized-score hypothesis index,
+        agree[j] = all alive hypotheses match at window position j,
+        min_len = shortest alive hypothesis length."""
+        if not any_alive:
             return None
-        norm = np.where(alive, scores / np.maximum(lens + 1, 1), -np.inf)
-        best = int(np.argmax(norm))
-        min_len = int(lens[alive].min())
-        p = st.committed
-        while p < min_len and len(set(int(t) for t in toks[alive, p])) == 1:
-            p += 1
+        blen = int(lens[best])
+        if blen > len(st.hist):
+            st.hist = np.concatenate(
+                [st.hist, np.zeros(blen - len(st.hist), np.int64)]
+            )
+        if blen > base:
+            st.hist[base:blen] = win_toks[best, : blen - base]
         msgs = []
+        if st.committed < base:  # agreement slid out of the window
+            msgs.append(
+                self._response(
+                    st, [int(t) for t in st.hist[st.committed : base]], final=True
+                )
+            )
+            st.committed = base
+        p = st.committed
+        if min_len > p:
+            dis = np.flatnonzero(~agree[p - base : min_len - base])
+            p = p + int(dis[0]) if len(dis) else min_len
         if p > st.committed:
             msgs.append(
-                self._response(st, [int(t) for t in toks[best, st.committed : p]],
-                               final=True)
+                self._response(
+                    st,
+                    [int(t) for t in win_toks[best, st.committed - base : p - base]],
+                    final=True,
+                )
             )
             st.committed = p
-        tail = [int(t) for t in toks[best, p : int(lens[best])]]
+        tail = [int(t) for t in win_toks[best, p - base : blen - base]]
         if tail:
             msgs.append(self._response(st, tail, final=False))
         if not msgs:

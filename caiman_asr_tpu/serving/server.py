@@ -174,6 +174,7 @@ def build_engine(args):
         logmel=cfg.input_val.logmel,
         frame_stacking=cfg.input_val.splicing.frame_stacking,
         frame_subsampling=cfg.input_val.splicing.frame_subsampling,
+        pipeline_depth=getattr(args, "pipeline_depth", 1),
     )
 
 
@@ -189,6 +190,10 @@ def main(argv=None):
     p.add_argument("--max_streams", type=int, default=64)
     p.add_argument("--decoder", default="greedy", choices=["greedy", "beam"])
     p.add_argument("--beam_width", type=int, default=4)
+    p.add_argument("--pipeline_depth", type=int, default=1,
+                   help="in-flight ticks before host consumption; each unit "
+                        "hides one tick of device->host latency and adds one "
+                        "chunk (60 ms) of response latency")
     args = p.parse_args(argv)
     engine = build_engine(args)
     engine.warmup()

@@ -80,3 +80,143 @@ def test_beam_finals_are_monotonic_prefix(engine):
     # finals concatenation is order-consistent (prefix property): each final
     # chunk extends, never rewrites
     assert all(isinstance(f, str) for f in finals_a + finals_b)
+
+
+def _make_engine(**kw):
+    model = RNNT(
+        RNNTModelConfig(
+            in_feats=240, enc_n_hid=16, enc_pre_rnn_layers=1, enc_post_rnn_layers=1,
+            enc_stack_time_factor=2, pred_n_hid=8, pred_rnn_layers=1, joint_n_hid=16,
+            enc_dropout=0.0, pred_dropout=0.0, joint_dropout=0.0,
+        ),
+        N_CLASSES,
+    )
+    params = model.init(jax.random.PRNGKey(3))
+    # make emissions nearly free (one dominant class) so the untrained model
+    # emits aggressively — the window-slide path needs dozens of tokens per
+    # stream. (Lowering only the blank logit is NOT enough: every hypothesis
+    # pays the frame-final blank exactly once per frame, so emitting must be
+    # ~zero-cost to beat the stay-silent path.)
+    b = params["joint_fc"]["b"]
+    params["joint_fc"]["b"] = b.at[2].add(8.0)
+    return StreamingEngine(
+        model, params, BLANK, Tok(), max_streams=2, decoder="beam",
+        beam_width=3, **kw,
+    )
+
+
+def _run(engine, audio):
+    lane = engine.open_stream()
+    finals, partials = collect(engine, lane, audio)
+    return "".join(finals)
+
+
+def _packed(toks_full, lens, scores, win):
+    """Build the packed per-tick array _tick_impl produces, from full
+    [W, cap] token buffers (simulating the device side)."""
+    W = lens.shape[0]
+    base = max(0, int(lens.max()) - win)
+    window = toks_full[:, base : base + win].astype(np.int32)
+    return np.concatenate(
+        [
+            window.reshape(1, -1),
+            lens.astype(np.int32)[None, :],
+            np.array([[base]], np.int32),
+            scores.astype(np.float32).view(np.int32)[None, :],
+        ],
+        axis=1,
+    )
+
+
+def _drive_windowed(win, script):
+    """Run the host consume path over a scripted device token stream;
+    returns the concatenated final transcript."""
+    eng = _make_engine(beam_win=win)
+    lane = eng.open_stream()
+    adv = np.zeros(eng.B, bool)
+    adv[lane] = True
+    finals = []
+    for toks_full, lens, scores in script:
+        full = np.zeros((eng.B, _packed(toks_full, lens, scores, win).shape[1]),
+                        np.int32)
+        full[lane] = _packed(toks_full, lens, scores, win)[0]
+        out = {}
+        eng._consume((full, adv), out)
+        for m in out.get(lane, []):
+            if not m["is_provisional"]:
+                finals.append(m["alternatives"][0]["transcript"])
+    return "".join(finals)
+
+
+def test_window_slide_force_commit_matches_wide_window():
+    """A narrow device->host token window must produce the SAME final stream
+    as one wide enough to never slide: windowed common-prefix indexing plus
+    history force-commit is transparent to the client."""
+    W, cap = 3, 64
+    S = np.arange(45) % 10  # ground-truth token stream
+    script = []
+    for t in range(15):
+        L = 3 * (t + 1)
+        toks = np.zeros((W, cap), np.int64)
+        lens = np.full(W, L)
+        for w in range(W):
+            toks[w, :L] = S[:L]
+            if t < 14:  # final tick: full agreement, flushes everything
+                if 5 <= t < 10:
+                    # agreement stalls at position 10 while length grows:
+                    # narrow windows must force-commit from history
+                    toks[w, 10:L] = S[10:L] if w == 0 else 100 + w
+                else:
+                    toks[w, L - 2 : L] = 100 + w  # usual 2-token divergence
+        scores = np.array([-1.0, -2.0, -3.0], np.float32)
+        script.append((toks, lens, scores))
+    wide = _drive_windowed(64, script)
+    narrow = _drive_windowed(8, script)
+    assert narrow == wide == Tok().detokenize(list(S[:45]))
+
+
+def test_force_commit_ships_history_when_agreement_stalls():
+    """Direct _beam_responses unit test: when the window base advances past
+    the committed point (beam agreement stalled out of the window), the gap
+    is force-committed from the host-side history snapshot."""
+    eng = _make_engine(beam_win=8)
+    from caiman_asr_tpu.serving.engine import StreamState
+
+    st = StreamState(carry=np.zeros(eng.carry_samples, np.float32))
+    W, win = 3, 8
+    # tick 1: base=0, hyps disagree from position 2 onward
+    toks = np.zeros((W, win), np.int64)
+    toks[0, :4] = [1, 2, 3, 4]
+    toks[1, :4] = [1, 2, 5, 6]
+    toks[2, :4] = [1, 2, 7, 8]
+    lens = np.array([4, 4, 4])
+    scores = np.array([-1.0, -2.0, -3.0], np.float32)
+    agree = np.array([1, 1, 0, 0, 1, 1, 1, 1], bool)
+    eng._beam_responses(st, toks, lens, scores, 0, True, 0, agree, 4)
+    assert st.committed == 2  # common prefix [1, 2]
+    # tick 2: best hyp grew to 14 tokens, window now covers [6, 14) —
+    # positions 2..5 slid out while still uncommitted
+    toks2 = np.tile(np.arange(6, 14), (W, 1))
+    lens2 = np.array([14, 14, 14])
+    agree2 = np.zeros(win, bool)  # hyps never re-agree
+    msgs = eng._beam_responses(
+        st, toks2, lens2, scores, 6, True, 0, agree2, 14
+    )
+    assert st.committed == 6  # force-committed up to the new base
+    msgs = msgs if isinstance(msgs, list) else [msgs]
+    finals = [m for m in msgs if not m["is_provisional"]]
+    # the final must carry the history tokens [2, 6): 3, 4 from tick 1's
+    # best-hyp snapshot, then zeros (history default) for never-seen slots
+    assert len(finals) == 1
+    assert finals[0]["alternatives"][0]["transcript"].startswith(
+        Tok().detokenize([3, 4])
+    )
+
+
+def test_pipeline_depth_preserves_final_stream():
+    """pipeline_depth delays responses by N ticks but must not change them."""
+    rng = np.random.default_rng(8)
+    audio = (rng.normal(size=960 * 8) * 0.1).astype(np.float32)
+    sync = _run(_make_engine(pipeline_depth=0), audio)
+    piped = _run(_make_engine(pipeline_depth=3), audio)
+    assert piped == sync
