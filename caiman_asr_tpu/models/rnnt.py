@@ -98,8 +98,6 @@ class RNNT:
     LR_FACTOR_MODULES = ("encoder", "prediction", "joint_enc", "joint_pred", "joint_fc")
 
     def __init__(self, config: RNNTModelConfig, n_classes: int):
-        if config.enc_batch_norm or config.pred_batch_norm:
-            raise NotImplementedError("batch-norm LSTM variant not yet supported")
         self.cfg = config
         self.n_classes = n_classes
 
@@ -116,13 +114,14 @@ class RNNT:
             "encoder": {
                 "pre_rnn": init_lstm(
                     keys[0], cfg.in_feats, cfg.enc_n_hid, cfg.enc_pre_rnn_layers,
-                    **lstm_kw,
+                    batch_norm=cfg.enc_batch_norm, **lstm_kw,
                 ),
                 "post_rnn": init_lstm(
                     keys[1],
                     cfg.enc_stack_time_factor * cfg.enc_n_hid,
                     cfg.enc_n_hid,
                     cfg.enc_post_rnn_layers,
+                    batch_norm=cfg.enc_batch_norm,
                     **lstm_kw,
                 ),
             },
@@ -132,7 +131,7 @@ class RNNT:
                 ),
                 "dec_rnn": init_lstm(
                     keys[3], cfg.pred_n_hid, cfg.pred_n_hid, cfg.pred_rnn_layers,
-                    **lstm_kw,
+                    batch_norm=cfg.pred_batch_norm, **lstm_kw,
                 ),
             },
             "joint_enc": _init_linear(keys[4], cfg.enc_n_hid, cfg.joint_n_hid),
@@ -153,6 +152,7 @@ class RNNT:
         *,
         train: bool = False,
         rng: Optional[jax.Array] = None,
+        bn_updates: Optional[list] = None,
     ) -> Tuple[jax.Array, jax.Array, Optional[EncoderState]]:
         """Encoder. x: [T, B, in_feats] time-major. Returns (f, f_lens, state).
 
@@ -174,6 +174,7 @@ class RNNT:
             rw_dropout=cfg.enc_rw_dropout,
             rng=rngs[0],
             train=train,
+            bn_updates=bn_updates,
         )
         pre_state = _last_nonpadded_state(all_h0, all_c0, x_lens)
         out, out_lens = stack_time(out, x_lens, cfg.enc_stack_time_factor)
@@ -186,6 +187,7 @@ class RNNT:
             rw_dropout=cfg.enc_rw_dropout,
             rng=rngs[1],
             train=train,
+            bn_updates=bn_updates,
         )
         post_state = _last_nonpadded_state(all_h1, all_c1, out_lens)
         f = _linear(params["joint_enc"], jnp.swapaxes(out, 0, 1))  # [B, T', Hj]
@@ -207,6 +209,7 @@ class RNNT:
         train: bool = False,
         rng: Optional[jax.Array] = None,
         batch_size: int = 1,
+        bn_updates: Optional[list] = None,
     ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
         """Prediction network (reference: model.py:345-407).
 
@@ -250,6 +253,7 @@ class RNNT:
             rw_dropout=cfg.pred_rw_dropout,
             rng=rng,
             train=train,
+            bn_updates=bn_updates,
         )
         g = _linear(params["joint_pred"], jnp.swapaxes(out, 0, 1))  # [B, U+1, Hj]
         return g, hid, all_hid
@@ -317,6 +321,7 @@ class RNNT:
         state_gate: Optional[jax.Array] = None,
         train: bool = False,
         rng: Optional[jax.Array] = None,
+        bn_updates: Optional[list] = None,
     ):
         """Run encoder + prediction nets (reference: model.py:240-295).
 
@@ -343,7 +348,8 @@ class RNNT:
             )
 
         f, f_lens, new_enc_state = self.encode(
-            params, x, x_lens, enc_state, train=train, rng=rngs[0]
+            params, x, x_lens, enc_state, train=train, rng=rngs[0],
+            bn_updates=bn_updates,
         )
         g, _, all_pred_hid = self.predict(
             params,
@@ -354,11 +360,55 @@ class RNNT:
             sos_gate=state_gate,
             train=train,
             rng=rngs[1],
+            bn_updates=bn_updates,
         )
         g_lens = y_lens + 1
         new_pn_state = _get_pred_net_state(y, all_pred_hid, y_lens)
         new_state = RNNTState(enc_state=new_enc_state, pred_net_state=new_pn_state)
         return (f, f_lens), (g, g_lens), new_state
+
+    @property
+    def has_batch_norm(self) -> bool:
+        return self.cfg.enc_batch_norm or self.cfg.pred_batch_norm
+
+    def bn_stats(self, params: Params) -> tuple:
+        """Extract (mean, var) running stats in the same traversal order
+        apply_bn_updates consumes."""
+        out = []
+        for stack in (
+            params["encoder"]["pre_rnn"],
+            params["encoder"]["post_rnn"],
+            params["prediction"]["dec_rnn"],
+        ):
+            for i in range(len(stack)):
+                lp = stack[f"layer_{i}"]
+                if "bn" in lp:
+                    out.append((lp["bn"]["mean"], lp["bn"]["var"]))
+        return tuple(out)
+
+    def apply_bn_updates(self, params: Params, updates: list) -> Params:
+        """Write collected batch-norm running-stat updates back into a new
+        params tree. ``updates`` is the list filled by enc_pred's
+        ``bn_updates`` collector: (mean, var) pairs in traversal order —
+        encoder.pre_rnn layers, encoder.post_rnn layers, prediction.dec_rnn
+        layers (only stacks that have BN)."""
+        if not updates:
+            return params
+        params = jax.tree.map(lambda x: x, params)  # shallow-copy containers
+        it = iter(updates)
+        for stack in (
+            params["encoder"]["pre_rnn"],
+            params["encoder"]["post_rnn"],
+            params["prediction"]["dec_rnn"],
+        ):
+            for i in range(len(stack)):
+                lp = stack[f"layer_{i}"]
+                if "bn" in lp:
+                    mean, var = next(it)
+                    lp["bn"] = dict(lp["bn"], mean=mean, var=var)
+        rest = list(it)
+        assert not rest, f"{len(rest)} unconsumed bn updates"
+        return params
 
     def param_lr_factors(self) -> Dict[str, float]:
         cfg = self.cfg

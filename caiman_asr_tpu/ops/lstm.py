@@ -59,6 +59,7 @@ def init_lstm_layer(
     forget_gate_bias: Optional[float] = 1.0,
     weights_init_scale: float = 1.0,
     hidden_hidden_bias_scale: float = 0.0,
+    batch_norm: bool = False,
     dtype=jnp.float32,
 ) -> Params:
     """Uniform(-1/sqrt(H), 1/sqrt(H)) init with the reference's bias policy.
@@ -81,12 +82,25 @@ def init_lstm_layer(
     if forget_gate_bias is not None:
         b_ih = b_ih.at[H : 2 * H].set(forget_gate_bias)
         b_hh = b_hh.at[H : 2 * H].multiply(hidden_hidden_bias_scale)
-    return {
+    p = {
         "w_ih": w_ih.astype(dtype),
         "w_hh": w_hh.astype(dtype),
         "b_ih": b_ih.astype(dtype),
         "b_hh": b_hh.astype(dtype),
     }
+    if batch_norm:
+        # per-layer BatchNorm over the hidden features (reference
+        # rnn.py:102-127: BatchNorm1d after every 1-layer LSTM). scale/bias
+        # are trained; mean/var are running statistics updated by the train
+        # step (the optimizer must not touch them — see
+        # training/optimizer.py bn-stat mask).
+        p["bn"] = {
+            "scale": jnp.ones((H,), jnp.float32),
+            "bias": jnp.zeros((H,), jnp.float32),
+            "mean": jnp.zeros((H,), jnp.float32),
+            "var": jnp.ones((H,), jnp.float32),
+        }
+    return p
 
 
 def init_lstm(
@@ -194,6 +208,38 @@ def run_lstm_layer(
     return ys, cs
 
 
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+
+def batch_norm_apply(bn, y, train: bool, updates: Optional[list] = None):
+    """BatchNorm over the feature axis of y [..., H] (torch BatchNorm1d
+    semantics, reference rnn.py:184-186: normalizes over every (time, batch)
+    position, padded frames included).
+
+    train=True normalizes with batch statistics and, when ``updates`` is
+    given, appends the raw ``(batch_mean, unbiased_batch_var)`` pair — the
+    train step folds these into the running stats with the torch momentum
+    rule (biased batch var for normalization, unbiased for the running
+    estimate). train=False applies the stored running stats — a pure
+    per-feature affine, which XLA fuses into the surrounding matmuls."""
+    yf = y.astype(jnp.float32)
+    if train:
+        axes = tuple(range(y.ndim - 1))
+        mu = jnp.mean(yf, axes)
+        var = jnp.mean(jnp.square(yf - mu), axes)
+        if updates is not None:
+            n = math.prod(y.shape[:-1])
+            unbiased = var * (n / max(n - 1, 1))
+            updates.append(
+                (jax.lax.stop_gradient(mu), jax.lax.stop_gradient(unbiased))
+            )
+    else:
+        mu, var = bn["mean"], bn["var"]
+    out = (yf - mu) * jax.lax.rsqrt(var + BN_EPS) * bn["scale"] + bn["bias"]
+    return out.astype(y.dtype)
+
+
 def run_lstm(
     params: Params,
     x: jax.Array,
@@ -204,6 +250,7 @@ def run_lstm(
     rw_dropout: float = 0.0,
     rng: Optional[jax.Array] = None,
     train: bool = False,
+    bn_updates: Optional[list] = None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
     """Run a multi-layer LSTM stack.
 
@@ -257,6 +304,10 @@ def run_lstm(
         all_h.append(ys)
         all_c.append(cs)
         out = ys
+        if "bn" in layer_params:
+            # recurrent state stays raw (reference rnn.py:179-192: BN is on
+            # the layer output path only, h_f/c_f are the LSTM's own states)
+            out = batch_norm_apply(layer_params["bn"], out, train, bn_updates)
 
     if use_dropout:
         rng, sub = jax.random.split(rng)
@@ -302,4 +353,8 @@ def lstm_step(
         out = h_new.astype(dtype)
         hs.append(out)
         cs.append(c_new.astype(dtype))
+        if "bn" in p:
+            # inference-mode BN (running stats): pure per-feature affine;
+            # the recurrent state keeps the raw h (see run_lstm)
+            out = batch_norm_apply(p["bn"], out, train=False)
     return out, jnp.stack(hs, 0), jnp.stack(cs, 0)

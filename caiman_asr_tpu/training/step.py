@@ -86,9 +86,14 @@ def _micro_loss(
     denom: jax.Array,
     blank_idx: int,
     compute_dtype=None,
+    collect_bn: bool = False,
 ):
-    """Normalised loss for one microbatch. feats: [T, B, F]."""
+    """Normalised loss for one microbatch. feats: [T, B, F].
+
+    With collect_bn=True (batch-norm LSTM variant) returns
+    (loss, tuple of per-BN-layer (batch_mean, unbiased_batch_var))."""
     params, feats = _cast_compute(params, mb["feats"], compute_dtype)
+    bn_updates: list = [] if collect_bn else None
     (f, f_lens), (g, _), _ = model.enc_pred(
         params,
         feats,
@@ -97,6 +102,7 @@ def _micro_loss(
         mb["txt_lens"],
         train=True,
         rng=rng,
+        bn_updates=bn_updates,
     )
     per_utt = transducer_loss_from_fg(
         f,
@@ -109,7 +115,10 @@ def _micro_loss(
         blank_idx,
         mods,
     )
-    return per_utt.sum() / denom
+    loss = per_utt.sum() / denom
+    if collect_bn:
+        return loss, tuple(bn_updates)
+    return loss
 
 
 def _micro_loss_rsp(
@@ -184,7 +193,18 @@ def make_train_step(
       -> (state, metrics, new_rnnt_state)
     where state_gates[i] in {0, 1} gates whether microbatch i continues from
     the carried streaming state (training.rsp.RSPController supplies them).
+
+    Batch-norm LSTM variant: each microbatch's batch statistics are folded
+    into the running stats sequentially through the grad-accum scan (torch
+    momentum rule); the optimizer's (weight-decayed, zero-gradient) update
+    to the stat leaves is overwritten afterwards.
     """
+    has_bn = model.has_batch_norm
+    if rsp and has_bn:
+        # mirror the reference's constraint (train_utils/rsp.py:54-61)
+        raise NotImplementedError(
+            "random state passing is not supported with batch-norm LSTMs"
+        )
 
     def step_fn(
         state: TrainState,
@@ -237,20 +257,33 @@ def make_train_step(
                 partial(
                     _micro_loss, model, mods=mods, denom=denom,
                     blank_idx=blank_idx, compute_dtype=compute_dtype,
-                )
+                    collect_bn=has_bn,
+                ),
+                has_aux=has_bn,
             )
+            from caiman_asr_tpu.ops.lstm import BN_MOMENTUM
 
             def accum(carry, inp):
-                grads_acc, loss_acc = carry
+                grads_acc, loss_acc, bn_stats = carry
                 mb, i = inp
                 mb_rng = jax.random.fold_in(rng, i)
-                loss, grads = grad_fn(state.params, mb, mb_rng)
+                if has_bn:
+                    (loss, batch_stats), grads = grad_fn(state.params, mb, mb_rng)
+                    bn_stats = tuple(
+                        (
+                            (1 - BN_MOMENTUM) * m + BN_MOMENTUM * bm,
+                            (1 - BN_MOMENTUM) * v + BN_MOMENTUM * bv,
+                        )
+                        for (m, v), (bm, bv) in zip(bn_stats, batch_stats)
+                    )
+                else:
+                    loss, grads = grad_fn(state.params, mb, mb_rng)
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-                return (grads_acc, loss_acc + loss), None
+                return (grads_acc, loss_acc + loss, bn_stats), None
 
-            (grads, total_loss), _ = lax.scan(
+            (grads, total_loss, final_bn), _ = lax.scan(
                 accum,
-                (zero_grads, jnp.zeros((), jnp.float32)),
+                (zero_grads, jnp.zeros((), jnp.float32), model.bn_stats(state.params)),
                 (batch, jnp.arange(A)),
             )
 
@@ -275,6 +308,8 @@ def make_train_step(
             grads, state.opt_state, state.params
         )
         new_params = optax.apply_updates(state.params, updates)
+        if has_bn and not rsp:
+            new_params = model.apply_bn_updates(new_params, list(final_bn))
         new_ema = jax.tree.map(
             lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
             state.ema_params,
