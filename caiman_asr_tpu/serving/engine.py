@@ -52,6 +52,8 @@ class StreamState:
     chunks: List[np.ndarray] = field(default_factory=list)
     buf_len: int = 0
     carry: Optional[np.ndarray] = None  # [1201] trailing samples incl. preemph
+    dev_len: int = 0                    # max beam len at last consumed tick
+    rebase_pending: bool = False        # a rebase is in flight (beam)
     frame_idx: int = 0                  # decoder frames emitted so far
     closed: bool = False                # EOS received; flush then free
     committed: int = 0                  # beam tokens already shipped as finals
@@ -132,6 +134,8 @@ class StreamingEngine:
             # of every hypothesis. Must exceed per-tick growth (expansions)
             # by a comfortable agreement margin, and be <= cap.
             self._beam_win = min(beam_win, beam_cap)
+            self._beam_cap = beam_cap
+            self._beam_expansions = min(max_symbols_per_step, 8)
         else:
             self._decode_step = make_streaming_step(
                 model, blank_idx, max_symbols_per_step=max_symbols_per_step
@@ -166,6 +170,7 @@ class StreamingEngine:
             out, self.enc_state, self.dec_state = self._jit_tick(
                 self.params, samples, self.enc_state, self.dec_state, adv,
                 jax.random.fold_in(self._rng0, i),
+                jnp.zeros((self.B,), jnp.int32),
             )
         _ = np.asarray(out)  # real barrier (block_until_ready is dispatch-only
         # over tunnelled backends)
@@ -201,8 +206,17 @@ class StreamingEngine:
         g = _linear(self.params["joint_pred"], y)
         return (g, h, cc)
 
-    def _tick_impl(self, params, samples, enc_state, dec_state, adv, rng):
-        """samples: [B, carry+hop]; adv: [B] bool — lanes that advance."""
+    def _tick_impl(self, params, samples, enc_state, dec_state, adv, rng,
+                   rebase=None):
+        """samples: [B, carry+hop]; adv: [B] bool — lanes that advance.
+
+        rebase (beam only): [B] int32 — drop this many already-committed
+        token positions from the front of each lane's beam buffers before
+        stepping (the host only ever re-reads tokens it has NOT committed,
+        so shifting them out makes the `cap`-slot buffer a ring over the
+        committed horizon instead of a hard stream-length limit). The
+        applied value is echoed in the packed output so pipelined host
+        bookkeeping shifts coordinates at exactly the right tick."""
         cfg = self.cfg
         if cfg.dither != 0.0:
             # The model is trained/validated with dithered features; without
@@ -235,6 +249,22 @@ class StreamingEngine:
         lens = jnp.full((samples.shape[0],), x.shape[0], jnp.int32)
         f, _, new_enc_state = self.model.encode(params, x, lens, enc_state)
         if self.decoder == "beam":
+            if rebase is not None:
+                cap = dec_state["toks"].shape[2]
+                r = rebase[:, None, None]
+                pos = jnp.minimum(jnp.arange(cap)[None, None, :] + r, cap - 1)
+                dec_state = dict(
+                    dec_state,
+                    toks=jnp.take_along_axis(
+                        dec_state["toks"],
+                        jnp.broadcast_to(pos, dec_state["toks"].shape), axis=2,
+                    ),
+                    ts=jnp.take_along_axis(
+                        dec_state["ts"],
+                        jnp.broadcast_to(pos, dec_state["ts"].shape), axis=2,
+                    ),
+                    lens=jnp.maximum(dec_state["lens"] - rebase[:, None], 0),
+                )
             new_dec_state = self._beam_step(params, f[:, 0], dec_state)
             # host transfer stays O(win) per lane: a sliding window of the
             # newest tokens (full [B, W, cap] buffers would dominate tick
@@ -262,11 +292,15 @@ class StreamingEngine:
             lens, base, scores = n
             lens = jnp.where(adv[:, None], lens, 0)
             B = lens.shape[0]
+            echo = (
+                rebase if rebase is not None else jnp.zeros((B,), jnp.int32)
+            )
             out = jnp.concatenate(
                 [
                     toks.astype(jnp.int32).reshape(B, -1),      # W*win
                     lens.astype(jnp.int32),                     # W
                     base.astype(jnp.int32)[:, None],            # 1
+                    echo.astype(jnp.int32)[:, None],            # 1
                     scores.astype(jnp.float32).view(jnp.int32),  # W
                 ],
                 axis=1,
@@ -387,6 +421,18 @@ class StreamingEngine:
             st.carry = row[-self.carry_samples :].copy()
             adv[lane] = True
 
+        rebase = np.zeros(self.B, np.int32)
+        if self.decoder == "beam":
+            # long-form streams: shift committed tokens out of the device
+            # buffers before they can hit the cap. Margin covers in-flight
+            # growth (the trigger data is pipeline_depth ticks stale).
+            margin = (self.pipeline_depth + 2) * self._beam_expansions
+            for lane, st in self.streams.items():
+                if (adv[lane] and not st.rebase_pending and st.committed > 0
+                        and st.dev_len + margin >= self._beam_cap):
+                    rebase[lane] = st.committed
+                    st.rebase_pending = True
+
         out: Dict[int, List[dict]] = {}
         if adv.any():
             self._tick_count += 1
@@ -397,6 +443,7 @@ class StreamingEngine:
                 self.dec_state,
                 jnp.asarray(adv),
                 jax.random.fold_in(self._rng0, self._tick_count),
+                jnp.asarray(rebase),
             )
             try:
                 packed.copy_to_host_async()
@@ -442,7 +489,8 @@ class StreamingEngine:
             toks = packed[:, : W * win].reshape(-1, W, win)
             lens = packed[:, W * win : W * win + W]
             base = packed[:, W * win + W]
-            scores = packed[:, W * win + W + 1 :].view(np.float32)
+            echo = packed[:, W * win + W + 1]
+            scores = packed[:, W * win + W + 2 :].view(np.float32)
             # batch-vectorized pre-computation (a python loop over hyps per
             # lane costs ~25 us/lane — 25 ms/tick at B=1024):
             alive = scores > -1e29
@@ -456,6 +504,14 @@ class StreamingEngine:
             for lane, st in list(self.streams.items()):
                 if not adv[lane]:
                     continue
+                r = int(echo[lane])
+                if r:
+                    # the device dropped r committed positions this tick:
+                    # shift host coordinates before interpreting its outputs
+                    st.committed -= r
+                    st.hist = st.hist[r:]
+                    st.rebase_pending = False
+                st.dev_len = int(lens[lane].max())
                 resp = self._beam_responses(
                     st, toks[lane], lens[lane], scores[lane], int(base[lane]),
                     bool(alive[lane].any()), int(best[lane]),

@@ -122,6 +122,7 @@ def _packed(toks_full, lens, scores, win):
             window.reshape(1, -1),
             lens.astype(np.int32)[None, :],
             np.array([[base]], np.int32),
+            np.array([[0]], np.int32),  # rebase echo
             scores.astype(np.float32).view(np.int32)[None, :],
         ],
         axis=1,
@@ -211,6 +212,104 @@ def test_force_commit_ships_history_when_agreement_stalls():
     assert finals[0]["alternatives"][0]["transcript"].startswith(
         Tok().detokenize([3, 4])
     )
+
+
+def test_rebase_shift_equals_preshifted_state():
+    """Dispatching a tick with rebase=r must produce the same packed output
+    and decoder state as manually pre-shifting the lane's buffers — the
+    device-side half of the long-form ring-buffer contract."""
+    import jax.numpy as jnp
+
+    eng = _make_engine()
+    for _ in range(2):
+        eng.open_stream()
+    rng = np.random.default_rng(3)
+    cap = eng._beam_cap
+    # craft a mid-stream beam state: tokens 0..79, lens 80, staggered per hyp
+    toks = np.zeros((eng.B, eng.beam_width, cap), np.int32)
+    toks[:, :, :80] = np.arange(80) % 11
+    st0 = dict(eng.dec_state)
+    st0["toks"] = jnp.asarray(toks)
+    st0["ts"] = jnp.asarray(toks)
+    st0["lens"] = jnp.full((eng.B, eng.beam_width), 80, jnp.int32)
+    samples = jnp.asarray(
+        rng.normal(size=(eng.B, eng.carry_samples + eng.hop_samples)) * 0.05,
+        eng.dtype,
+    )
+    adv = jnp.ones((eng.B,), bool)
+    key = jax.random.PRNGKey(9)
+    r = 30
+
+    shifted = dict(st0)
+    shifted["toks"] = jnp.concatenate(
+        [st0["toks"][:, :, r:],
+         jnp.broadcast_to(st0["toks"][:, :, -1:],
+                          (eng.B, eng.beam_width, r))], axis=2)
+    shifted["ts"] = jnp.copy(shifted["toks"])
+    shifted["lens"] = st0["lens"] - r
+
+    rebase = jnp.full((eng.B,), r, jnp.int32)
+    out_a, _, dec_a = eng._jit_tick(
+        eng.params, samples, jax.tree.map(jnp.copy, eng.enc_state),
+        jax.tree.map(jnp.copy, st0), adv, key, rebase)
+    out_b, _, dec_b = eng._jit_tick(
+        eng.params, samples, jax.tree.map(jnp.copy, eng.enc_state),
+        shifted, adv, key, jnp.zeros((eng.B,), jnp.int32))
+    pa, pb = np.array(out_a), np.array(out_b)
+    # echo column differs by design (r vs 0); everything else must match
+    W, win = eng.beam_width, eng._beam_win
+    echo_col = W * win + W + 1
+    assert pa[0, echo_col] == r and pb[0, echo_col] == 0
+    pa[:, echo_col] = pb[:, echo_col] = 0
+    np.testing.assert_array_equal(pa, pb)
+    np.testing.assert_array_equal(
+        np.asarray(dec_a["lens"]), np.asarray(dec_b["lens"])
+    )
+
+
+def test_long_form_rebase_host_bookkeeping():
+    """Host-sim: an echoed rebase shifts committed/history coordinates and
+    the final stream stays byte-identical to the never-rebased run."""
+    W, cap = 3, 64
+    S = np.arange(45) % 10
+    base_script = []
+    for t in range(15):
+        L = 3 * (t + 1)
+        toks = np.zeros((W, cap), np.int64)
+        lens = np.full(W, L)
+        for w in range(W):
+            toks[w, :L] = S[:L]
+            if t < 14:
+                toks[w, L - 2 : L] = 100 + w
+        scores = np.array([-1.0, -2.0, -3.0], np.float32)
+        base_script.append((toks, lens, scores))
+
+    def drive(with_rebase):
+        eng = _make_engine(beam_win=16)
+        lane = eng.open_stream()
+        adv = np.zeros(eng.B, bool)
+        adv[lane] = True
+        finals, shift = [], 0
+        for t, (toks, lens, scores) in enumerate(base_script):
+            r = 0
+            if with_rebase and t == 8 and shift == 0:
+                # mid-stream rebase by the host's then-committed count: from
+                # here on the "device" presents shifted coordinates
+                r = shift = eng.streams[lane].committed
+            tk = np.roll(toks, -shift, axis=1) if shift else toks
+            ln = lens - shift
+            pk = _packed(tk, ln, scores, 16)
+            pk[0, 3 * 16 + 3 + 1] = r  # echo column (W*win + W + 1)
+            full = np.zeros((eng.B, pk.shape[1]), np.int32)
+            full[lane] = pk[0]
+            out = {}
+            eng._consume((full, adv), out)
+            for m in out.get(lane, []):
+                if not m["is_provisional"]:
+                    finals.append(m["alternatives"][0]["transcript"])
+        return "".join(finals)
+
+    assert drive(True) == drive(False) == Tok().detokenize(list(S[:45]))
 
 
 def test_pipeline_depth_preserves_final_stream():
