@@ -117,6 +117,142 @@ def pallas_eligible(B: int, H: int, t_blk: int, dtype) -> bool:
     return w + 2 * (gx + blocks) + scratch < VMEM_BUDGET
 
 
+def _bwd_kernel(
+    g_ref, cp_ref, cs_ref, dy_ref, dcs_ref, w_hbm_ref,
+    dg_ref, dh0_ref, dc0_ref,
+    dh_scr, dc_scr, w_scr, w_sem, *, hard, t_blk, n_blk,
+):
+    """Reverse recurrence with the [4H, H] matrix resident in VMEM.
+
+    Streams (in reverse time order): gates (recomputed pre-activations),
+    c_prev, c, dy, dc cotangents; emits dgates per step plus (dh0, dc0).
+    The dgates -> dh_prev matmul runs against w_scr, so the 8 MB matrix is
+    fetched from HBM once instead of once per timestep (the lax.scan
+    backward re-reads it every step: ~16 GB/step for the base encoder)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        dma = pltpu.make_async_copy(w_hbm_ref, w_scr, w_sem)
+        dma.start()
+        dma.wait()
+
+    f32 = jnp.float32
+    H = dh_scr.shape[1]
+
+    def body(k, _):
+        t = t_blk - 1 - k
+        gates = g_ref[t].astype(f32)          # [B, 4H]
+        gi = gates[:, 0 * H : 1 * H]
+        gf = gates[:, 1 * H : 2 * H]
+        gg = gates[:, 2 * H : 3 * H]
+        go = gates[:, 3 * H : 4 * H]
+        ct = cs_ref[t].astype(f32)
+        if hard:
+            i_a, f_a, o_a = hard_sigmoid(gi), hard_sigmoid(gf), hard_sigmoid(go)
+            g_a = hard_tanh(gg)
+            di_a = jnp.where((gi > -4.0) & (gi < 4.0), 0.125, 0.0)
+            df_a = jnp.where((gf > -4.0) & (gf < 4.0), 0.125, 0.0)
+            do_a = jnp.where((go > -4.0) & (go < 4.0), 0.125, 0.0)
+            dg_a = jnp.where((gg > -1.0) & (gg < 1.0), 1.0, 0.0)
+            tanh_c = hard_tanh(ct)
+            dtanh_c = jnp.where((ct > -1.0) & (ct < 1.0), 1.0, 0.0)
+        else:
+            i_a, f_a, o_a = (
+                jax.nn.sigmoid(gi), jax.nn.sigmoid(gf), jax.nn.sigmoid(go)
+            )
+            g_a = jnp.tanh(gg)
+            di_a = i_a * (1.0 - i_a)
+            df_a = f_a * (1.0 - f_a)
+            do_a = o_a * (1.0 - o_a)
+            dg_a = 1.0 - g_a * g_a
+            tanh_c = jnp.tanh(ct)
+            dtanh_c = 1.0 - tanh_c * tanh_c
+
+        dh = dy_ref[t].astype(f32) + dh_scr[:]
+        dc = dc_scr[:] + dcs_ref[t].astype(f32) + dh * o_a * dtanh_c
+        da_i = dc * g_a * di_a
+        da_f = dc * cp_ref[t].astype(f32) * df_a
+        da_g = dc * i_a * dg_a
+        da_o = dh * tanh_c * do_a
+        dgates = jnp.concatenate([da_i, da_f, da_g, da_o], axis=-1)
+        dg_ref[t] = dgates.astype(dg_ref.dtype)
+        dh_scr[:] = jnp.dot(
+            dgates.astype(w_scr.dtype), w_scr[:], preferred_element_type=f32
+        )
+        dc_scr[:] = dc * f_a
+        return 0
+
+    lax.fori_loop(0, t_blk, body, 0)
+
+    @pl.when(i == n_blk - 1)
+    def _():
+        dh0_ref[:] = dh_scr[:].astype(dh0_ref.dtype)
+        dc0_ref[:] = dc_scr[:].astype(dc0_ref.dtype)
+
+
+def _bwd_t_blk(B: int, H: int, dtype) -> Optional[int]:
+    """Largest reverse-block size whose working set fits VMEM (None = use
+    the scan fallback)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    w = 4 * H * H * itemsize
+    for t_blk in (8, 4, 2, 1):
+        gates = t_blk * B * 4 * H * itemsize
+        aux = 4 * t_blk * B * H * itemsize
+        dg = t_blk * B * 4 * H * itemsize
+        scratch = 2 * B * H * 4
+        if w + 2 * (gates + aux + dg) + scratch < VMEM_BUDGET + 2 * 1024 * 1024:
+            return t_blk
+    return None
+
+
+def _pallas_bwd_recurrence(gates, c_prev, cs, dys, dcs, w_hh, *, hard, t_blk, interpret):
+    """gates/c_prev/cs/dys/dcs: [T, B, *]; w_hh: [4H, H] (= w_hh_t.T).
+
+    Returns (dgates [T, B, 4H], dh0 [B, H] f32, dc0 [B, H] f32)."""
+    T, B, H4 = gates.shape
+    H = H4 // 4
+    Tp = -(-T // t_blk) * t_blk
+    if Tp != T:
+        padt = lambda a: jnp.pad(a, ((0, Tp - T), (0, 0), (0, 0)))
+        gates, c_prev, cs, dys, dcs = map(padt, (gates, c_prev, cs, dys, dcs))
+    n_blk = Tp // t_blk
+    rev = lambda i: (n_blk - 1 - i, 0, 0)
+    kernel = functools.partial(_bwd_kernel, hard=hard, t_blk=t_blk, n_blk=n_blk)
+    dgates, dh0, dc0 = pl.pallas_call(
+        kernel,
+        grid=(n_blk,),
+        in_specs=[
+            pl.BlockSpec((t_blk, B, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_blk, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_blk, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_blk, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_blk, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # w_hh DMA'd manually
+        ],
+        out_specs=[
+            pl.BlockSpec((t_blk, B, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, B, H4), gates.dtype),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((H4, H), w_hh.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(gates, c_prev, cs, dys, dcs, w_hh)
+    return dgates[:T], dh0, dc0
+
+
 # ------------------------------------------------------------- custom vjp
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def lstm_recurrence(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret):
@@ -153,6 +289,35 @@ def _bwd(hard, t_blk, interpret, res, grads):
     # previous-step states per t (h_{t-1}, c_{t-1})
     h_prev = jnp.concatenate([h0[None].astype(ys.dtype), ys[:-1]], axis=0)
     c_prev = jnp.concatenate([c0[None].astype(cs.dtype), cs[:-1]], axis=0)
+
+    bwd_blk = _bwd_t_blk(B, H, w_hh_t.dtype)
+    if bwd_blk is not None:
+        # Pallas reverse kernel: W resident in VMEM, gates recomputed by one
+        # big GEMM and streamed in the compute dtype.
+        gates_c = (
+            gates_x
+            + jnp.dot(
+                h_prev.reshape(T * B, H).astype(w_hh_t.dtype),
+                w_hh_t,
+                preferred_element_type=f32,
+            ).reshape(T, B, 4 * H).astype(gates_x.dtype)
+        )
+        dgates, dh0, dc0 = _pallas_bwd_recurrence(
+            gates_c, c_prev, cs, dys, dcs,
+            jnp.swapaxes(w_hh_t, 0, 1),
+            hard=hard, t_blk=bwd_blk, interpret=interpret,
+        )
+        dw = jnp.dot(
+            h_prev.reshape(T * B, H).astype(w_hh_t.dtype).T,
+            dgates.reshape(T * B, 4 * H).astype(w_hh_t.dtype),
+            preferred_element_type=f32,
+        ).astype(w_hh_t.dtype)
+        return (
+            dgates.astype(gates_x.dtype),
+            dw,
+            dh0.astype(h0.dtype),
+            dc0.astype(c0.dtype),
+        )
 
     # ONE big GEMM recomputes every pre-activation (no sequential matmuls)
     gates = gates_x.astype(f32) + jnp.dot(

@@ -1,0 +1,177 @@
+"""Training-step microbenchmark + component breakdown for base-85M / large-196M.
+
+Times (on the attached chip):
+  - full jitted train step (grad-accum A microbatches of B utts x DUR s)
+  - encoder+pred forward/backward alone
+  - fused joint+loss forward/backward alone
+
+Reports audio-s/s per chip. Reference baseline: 2,900 audio-s/s per A100
+(8xA100 = 23,200 aggregate, docs/src/training/training_times.md:7).
+
+Timing methodology (remote-TPU safe): ``jax.block_until_ready`` does not
+reliably wait on the tunneled "axon" platform, so each measurement syncs via
+a host fetch, dispatches N iterations, then fetches one scalar from the LAST
+iteration's output. The device executes serially, so
+(fetch_end - t0) / N bounds the per-iteration device time (plus one RTT/N).
+
+Usage: python scripts/bench_train.py [--large] [-B 32] [-A 1] [--dur 12] [-U 40]
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def _fetch(out):
+    """Pull one element of one leaf to the host (forces completion)."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
+
+
+def timeit(fn, *args, warmup=2, iters=10):
+    for _ in range(warmup):
+        out = fn(*args)
+    _fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _fetch(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--large", action="store_true")
+    ap.add_argument("-B", type=int, default=32)
+    ap.add_argument("-A", type=int, default=1)
+    ap.add_argument("--dur", type=float, default=12.0)
+    ap.add_argument("-U", type=int, default=40)
+    ap.add_argument("--step-only", action="store_true")
+    ap.add_argument("--profile", type=str, default=None, help="trace dir")
+    args = ap.parse_args()
+
+    from caiman_asr_tpu.models.rnnt import RNNT, RNNTModelConfig
+    from caiman_asr_tpu.ops.transducer_loss import transducer_loss_from_fg
+    from caiman_asr_tpu.training import OptimizerConfig, build_optimizer
+    from caiman_asr_tpu.training.step import init_train_state, make_train_step
+
+    if args.large:
+        cfg = RNNTModelConfig(
+            in_feats=240, enc_n_hid=1536, enc_pre_rnn_layers=2,
+            enc_post_rnn_layers=6, enc_stack_time_factor=2,
+            pred_n_hid=768, pred_rnn_layers=2, joint_n_hid=1024,
+        )
+        n_classes = 17408
+    else:
+        cfg = RNNTModelConfig(
+            in_feats=240, enc_n_hid=1024, enc_pre_rnn_layers=2,
+            enc_post_rnn_layers=6, enc_stack_time_factor=2,
+            pred_n_hid=512, pred_rnn_layers=2, joint_n_hid=768,
+        )
+        n_classes = 8704
+    model = RNNT(cfg, n_classes)
+    blank = n_classes - 1
+
+    A, B, U = args.A, args.B, args.U
+    T = int(args.dur * 100 / 3)  # 10ms hop, stack 3
+    audio_s = A * B * args.dur
+
+    opt = build_optimizer(OptimizerConfig(), model.param_lr_factors())
+    state = init_train_state(model, opt, jax.random.PRNGKey(0))
+    step = make_train_step(model, opt, blank_idx=blank, compute_dtype=jnp.bfloat16,
+                           donate=False)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "feats": jnp.asarray(rng.normal(size=(A, T, B, 240)), jnp.float32),
+        "feat_lens": jnp.full((A, B), T, jnp.int32),
+        "txt": jnp.asarray(rng.integers(0, blank - 1, (A, B, U)), jnp.int32),
+        "txt_lens": jnp.full((A, B), U, jnp.int32),
+    }
+    scalars = {
+        "delay_penalty": jnp.zeros(()),
+        "star_penalty": jnp.zeros(()),
+        "grad_noise_std": jnp.zeros(()),
+    }
+    key = jax.random.PRNGKey(1)
+
+    # chain the state through iterations: forces serial execution on device
+    def chained_step(st):
+        st, m = step(st, batch, key, scalars)
+        return st
+
+    t_step = timeit(chained_step, state)
+    print(f"full step: {t_step*1e3:.1f} ms  -> {audio_s/t_step:.0f} audio-s/s/chip")
+    if args.step_only:
+        return
+
+    # ---- component breakdown (single microbatch, same shapes) ----
+    params_bf = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 and p.ndim > 1 else p,
+        state.params)
+    mb = {k: v[0] for k, v in batch.items()}
+    feats_bf = mb["feats"].astype(jnp.bfloat16)
+
+    @jax.jit
+    def encpred_fwdbwd(params, feats):
+        def loss_fn(p):
+            (f, f_lens), (g, _), _ = model.enc_pred(
+                p, feats, mb["feat_lens"], mb["txt"], mb["txt_lens"],
+                train=True, rng=key)
+            return (f.astype(jnp.float32).sum() + g.astype(jnp.float32).sum())
+        return jax.grad(loss_fn)(params)
+
+    t_enc = timeit(lambda: encpred_fwdbwd(params_bf, feats_bf))
+    print(f"enc+pred fwd+bwd: {t_enc*1e3:.1f} ms")
+
+    @jax.jit
+    def encpred_fwd(params, feats):
+        (f, f_lens), (g, _), _ = model.enc_pred(
+            params, feats, mb["feat_lens"], mb["txt"], mb["txt_lens"],
+            train=True, rng=key)
+        return f, f_lens, g
+
+    f, f_lens, g = encpred_fwd(params_bf, feats_bf)
+    _fetch(f)
+    t_encf = timeit(lambda: encpred_fwd(params_bf, feats_bf))
+    print(f"enc+pred fwd only: {t_encf*1e3:.1f} ms")
+
+    @jax.jit
+    def loss_fwdbwd(f, g, w, b):
+        def loss_fn(f, g, w, b):
+            return transducer_loss_from_fg(
+                f, g, w, b, mb["txt"], f_lens, mb["txt_lens"], blank).sum()
+        return jax.grad(loss_fn, argnums=(0, 1, 2, 3))(f, g, w, b)
+
+    w, b = params_bf["joint_fc"]["w"], params_bf["joint_fc"]["b"]
+    t_loss = timeit(lambda: loss_fwdbwd(f, g, w, b))
+    print(f"joint+loss fwd+bwd: {t_loss*1e3:.1f} ms")
+
+    @jax.jit
+    def loss_fwd(f, g, w, b):
+        return transducer_loss_from_fg(
+            f, g, w, b, mb["txt"], f_lens, mb["txt_lens"], blank).sum()
+
+    t_lossf = timeit(lambda: loss_fwd(f, g, w, b))
+    print(f"joint+loss fwd only: {t_lossf*1e3:.1f} ms")
+
+    print(f"unaccounted (step - enc_bwd - loss_bwd): "
+          f"{(t_step - A*(t_enc + t_loss))*1e3:.1f} ms")
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            st = state
+            for _ in range(3):
+                st = chained_step(st)
+            _fetch(st)
+        print("trace written to", args.profile)
+
+
+if __name__ == "__main__":
+    main()
