@@ -307,6 +307,13 @@ def transducer_loss(
     return rnnt_lattice(null, emit, t_lens, u_lens)
 
 
+def _joint_dropout(rng, h, rate):
+    """Inverted dropout on the joint hidden (reference: ReLU -> dropout ->
+    joint_fc, rnnt/model.py:227-238 fused apex dropout_prob)."""
+    keep = jax.random.bernoulli(rng, 1.0 - rate, h.shape)
+    return jnp.where(keep, h / (1.0 - rate), 0.0).astype(h.dtype)
+
+
 def _fg_chunk_scores(
     f_chunk: jax.Array,
     g: jax.Array,
@@ -314,6 +321,8 @@ def _fg_chunk_scores(
     b_fc: jax.Array,
     labels: jax.Array,
     blank_idx: int,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Joint + reduce for one T-chunk: returns (denom, lp_blank, lp_label).
 
@@ -322,6 +331,8 @@ def _fg_chunk_scores(
     rematerialised in the backward pass under jax.checkpoint).
     """
     h = jax.nn.relu(f_chunk[:, :, None, :] + g[:, None, :, :])
+    if dropout_rng is not None and dropout_rate > 0.0:
+        h = _joint_dropout(dropout_rng, h, dropout_rate)
     logits = (
         jnp.dot(h, w_fc.T.astype(h.dtype), preferred_element_type=jnp.float32)
         + b_fc.astype(jnp.float32)
@@ -356,7 +367,9 @@ def _fused_joint_ok(H: int) -> bool:
         return False
 
 
-def _fused_joint_scores(f, g, w_fc, b_fc, labels, blank_idx):
+def _fused_joint_scores(
+    f, g, w_fc, b_fc, labels, blank_idx, dropout_rng=None, dropout_rate=0.0
+):
     """Pallas online-softmax joint: (lp_blank, lp_label) [B, T, U+1] without
     the [.., K] logits slab (ops/pallas_joint.py)."""
     from caiman_asr_tpu.ops.pallas_joint import fused_joint_lse
@@ -364,6 +377,8 @@ def _fused_joint_scores(f, g, w_fc, b_fc, labels, blank_idx):
     B, T, H = f.shape
     U1 = g.shape[1]
     h = jax.nn.relu(f[:, :, None, :] + g[:, None, :, :]).reshape(B * T * U1, H)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        h = _joint_dropout(dropout_rng, h, dropout_rate)
     lab_padded = jnp.concatenate(
         [labels.astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1
     )
@@ -383,6 +398,8 @@ def transducer_loss_from_fg(
     blank_idx: int,
     mods: LossModifiers = LossModifiers(),
     t_chunk: int = 16,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
 ) -> jax.Array:
     """Memory-bounded fused joint + transducer loss.
 
@@ -398,7 +415,7 @@ def transducer_loss_from_fg(
     B, T, H = f.shape
     if _fused_joint_ok(H):
         lp_blank, lp_label = _fused_joint_scores(
-            f, g, w_fc, b_fc, labels, blank_idx
+            f, g, w_fc, b_fc, labels, blank_idx, dropout_rng, dropout_rate
         )
         null, emit = _penalised_scores(lp_blank, lp_label, labels, t_lens, mods)
         return rnnt_lattice(null, emit, t_lens, u_lens)
@@ -410,14 +427,23 @@ def transducer_loss_from_fg(
         f.reshape(B, n_chunks, t_chunk, H), 1, 0
     )  # [n_chunks, B, Tc, H]
 
-    chunk_fn = jax.checkpoint(
-        lambda fc: _fg_chunk_scores(fc, g, w_fc, b_fc, labels, blank_idx)
-    )
+    if dropout_rng is not None and dropout_rate > 0.0:
+        chunk_rngs = jax.random.split(dropout_rng, n_chunks)
+        chunk_fn = jax.checkpoint(
+            lambda fc, rng: _fg_chunk_scores(
+                fc, g, w_fc, b_fc, labels, blank_idx, rng, dropout_rate
+            )
+        )
+        scan_xs = (f_chunks, chunk_rngs)
+        scan_body = lambda _, xs: (None, chunk_fn(*xs))
+    else:
+        chunk_fn = jax.checkpoint(
+            lambda fc: _fg_chunk_scores(fc, g, w_fc, b_fc, labels, blank_idx)
+        )
+        scan_xs = f_chunks
+        scan_body = lambda _, fc: (None, chunk_fn(fc))
 
-    def scan_body(_, fc):
-        return None, chunk_fn(fc)
-
-    _, (lp_blank_c, lp_label_c) = lax.scan(scan_body, None, f_chunks)
+    _, (lp_blank_c, lp_label_c) = lax.scan(scan_body, None, scan_xs)
     # [n_chunks, B, Tc, U1] -> [B, T, U1]
     join = lambda a: jnp.moveaxis(a, 0, 1).reshape(B, Tp, -1)[:, :T]
     lp_blank, lp_label = join(lp_blank_c), join(lp_label_c)

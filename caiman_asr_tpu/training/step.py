@@ -94,6 +94,7 @@ def _micro_loss(
     (loss, tuple of per-BN-layer (batch_mean, unbiased_batch_var))."""
     params, feats = _cast_compute(params, mb["feats"], compute_dtype)
     bn_updates: list = [] if collect_bn else None
+    rng_model, rng_joint = jax.random.split(rng)
     (f, f_lens), (g, _), _ = model.enc_pred(
         params,
         feats,
@@ -101,7 +102,7 @@ def _micro_loss(
         mb["txt"],
         mb["txt_lens"],
         train=True,
-        rng=rng,
+        rng=rng_model,
         bn_updates=bn_updates,
     )
     per_utt = transducer_loss_from_fg(
@@ -114,6 +115,8 @@ def _micro_loss(
         mb["txt_lens"],
         blank_idx,
         mods,
+        dropout_rng=rng_joint,
+        dropout_rate=model.cfg.joint_dropout,
     )
     loss = per_utt.sum() / denom
     if collect_bn:
@@ -139,6 +142,7 @@ def _micro_loss_rsp(
     B = mb["feats"].shape[1]
     gate_b = jnp.broadcast_to(gate, (B,))
     params, feats_c = _cast_compute(params, mb["feats"], compute_dtype)
+    rng_model, rng_joint = jax.random.split(rng)
     (f, f_lens), (g, _), new_state = model.enc_pred(
         params,
         feats_c,
@@ -148,7 +152,7 @@ def _micro_loss_rsp(
         rnnt_state,
         state_gate=gate_b,
         train=True,
-        rng=rng,
+        rng=rng_model,
     )
     per_utt = transducer_loss_from_fg(
         f,
@@ -160,6 +164,8 @@ def _micro_loss_rsp(
         mb["txt_lens"],
         blank_idx,
         mods,
+        dropout_rng=rng_joint,
+        dropout_rate=model.cfg.joint_dropout,
     )
     # detach + match the carry dtypes (state stays f32 under bf16 compute)
     new_state = jax.tree.map(

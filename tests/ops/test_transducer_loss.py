@@ -229,3 +229,37 @@ def test_loss_is_proper_nll():
     loss = np.asarray(fn(jnp.asarray(logits)))
     assert np.all(np.isfinite(loss))
     assert np.all(loss > 0)
+
+
+def test_joint_dropout_applied_in_training_loss():
+    """Training-path parity: the reference applies dropout between the joint
+    ReLU and joint_fc (rnnt/model.py:227-238). With a dropout rng the loss
+    must change (and differ across rngs); without one it is deterministic."""
+    rng = np.random.default_rng(7)
+    B, T, U, H, K = 2, 6, 3, 8, 12
+    f = jnp.asarray(rng.normal(size=(B, T, H)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, U + 1, H)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, H)) * 0.3, jnp.float32)
+    bias = jnp.zeros((K,), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, K - 2, (B, U)), jnp.int32)
+    t_lens = jnp.full((B,), T, jnp.int32)
+    u_lens = jnp.full((B,), U, jnp.int32)
+
+    def loss(rng_key, rate):
+        return transducer_loss_from_fg(
+            f, g, w, bias, labels, t_lens, u_lens, K - 1,
+            t_chunk=3, dropout_rng=rng_key, dropout_rate=rate,
+        ).sum()
+
+    base = float(loss(None, 0.0))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    d1, d1b, d2 = float(loss(k1, 0.5)), float(loss(k1, 0.5)), float(loss(k2, 0.5))
+    assert d1 == d1b  # same rng -> deterministic
+    assert d1 != base and d2 != base and d1 != d2
+    # rate 0 with an rng is a no-op
+    assert float(loss(k1, 0.0)) == base
+    # gradients flow through the dropout mask
+    gr = jax.grad(lambda ff: transducer_loss_from_fg(
+        ff, g, w, bias, labels, t_lens, u_lens, K - 1,
+        t_chunk=3, dropout_rng=k1, dropout_rate=0.5).sum())(f)
+    assert np.all(np.isfinite(np.asarray(gr)))
