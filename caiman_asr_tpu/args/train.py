@@ -19,6 +19,11 @@ def train_arg_parser() -> argparse.ArgumentParser:
 
     training = parser.add_argument_group("training setup")
     training.add_argument("--training_steps", type=int, default=100000)
+    training.add_argument(
+        "--no_lattice_packing", action="store_true",
+        help="disable the packed-joint loss path (pack the O(N*K) joint to "
+             "valid lattice positions when batches are ragged enough)",
+    )
     training.add_argument("--warmup_steps", type=int, default=1632)
     training.add_argument("--hold_steps", type=int, default=18000)
     training.add_argument("--half_life_steps", type=int, default=10880)

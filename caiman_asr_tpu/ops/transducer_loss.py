@@ -307,11 +307,30 @@ def transducer_loss(
     return rnnt_lattice(null, emit, t_lens, u_lens)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _joint_dropout(rng, h, rate):
     """Inverted dropout on the joint hidden (reference: ReLU -> dropout ->
-    joint_fc, rnnt/model.py:227-238 fused apex dropout_prob)."""
+    joint_fc, rnnt/model.py:227-238 fused apex dropout_prob).
+
+    custom_vjp so the backward needs neither a saved mask nor an RNG
+    replay: h >= 0 post-ReLU, so the kept-and-nonzero positions of the
+    OUTPUT (already a residual of the downstream joint) identify exactly
+    where d(dropout . relu) is nonzero."""
     keep = jax.random.bernoulli(rng, 1.0 - rate, h.shape)
     return jnp.where(keep, h / (1.0 - rate), 0.0).astype(h.dtype)
+
+
+def _joint_dropout_fwd(rng, h, rate):
+    out = _joint_dropout(rng, h, rate)
+    return out, out
+
+
+def _joint_dropout_bwd(rate, out, ct):
+    dh = jnp.where(out != 0, ct / (1.0 - rate), 0.0).astype(ct.dtype)
+    return (None, dh)
+
+
+_joint_dropout.defvjp(_joint_dropout_fwd, _joint_dropout_bwd)
 
 
 def _fg_chunk_scores(
@@ -387,6 +406,76 @@ def _fused_joint_scores(
     return lp_b.reshape(B, T, U1), lp_l.reshape(B, T, U1)
 
 
+def _packed_joint_scores(
+    f, g, w_fc, b_fc, labels, t_lens, u_lens, blank_idx,
+    pack_to, dropout_rng, dropout_rate, interpret,
+):
+    """Joint + LSE over only the VALID lattice positions.
+
+    The reference packs [B, T, U+1, K] into [sum T_i(U_i+1), K] to bound
+    CUDA memory (transducer_loss.cu:74-78, apex packed TransducerJoint).
+    Here packing bounds COMPUTE: the O(N·K) joint GEMM + softmax (the
+    dominant train-step cost) runs over ``pack_to`` rows instead of the
+    dense B·T·(U+1) — on bucketed real batches a 20-40% saving. ``pack_to``
+    must be static (one compile per quantised cap) and >= the true number
+    of valid positions (the caller computes it host-side from the length
+    metadata; see training/pack.py).
+
+    Returns dense (lp_blank, lp_label) [B, T, U+1] with garbage at invalid
+    positions (masked downstream by _masked_scores).
+    """
+    from caiman_asr_tpu.ops.pallas_joint import fused_joint_lse
+
+    B, T, H = f.shape
+    U1 = g.shape[1]
+    N = B * T * U1
+
+    # slot -> (b, t, u) by searchsorted over per-utterance lattice sizes
+    # (packed order = (b, t, u) lexicographic, same as the reference's
+    # batch_offset packing, loss.py:155-173). O(pack_to · log B), no
+    # full-lattice cumsum.
+    u1 = u_lens.astype(jnp.int32) + 1
+    sizes = t_lens.astype(jnp.int32) * u1
+    off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(sizes)])
+    slots = jnp.arange(pack_to, dtype=jnp.int32)
+    b_i = jnp.clip(
+        jnp.searchsorted(off, slots, side="right").astype(jnp.int32) - 1, 0, B - 1
+    )
+    rem = slots - off[b_i]
+    u1b = u1[b_i]
+    t_i = jnp.minimum(rem // u1b, T - 1)
+    u_i = jnp.minimum(rem % u1b, U1 - 1)
+    valid_slot = slots < off[B]
+
+    f2 = f.reshape(B * T, H)[b_i * T + t_i]
+    g2 = g.reshape(B * U1, H)[b_i * U1 + u_i]
+    h = jax.nn.relu(f2 + g2)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        h = _joint_dropout(dropout_rng, h, dropout_rate)
+
+    lab_padded = jnp.concatenate(
+        [labels.astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1
+    )
+    lab_flat = lab_padded.reshape(B * U1)[b_i * U1 + u_i]
+
+    lp_b_p, lp_l_p = fused_joint_lse(
+        h, w_fc.T.astype(h.dtype), b_fc, lab_flat, blank_idx, interpret
+    )
+    flat = jnp.where(valid_slot, (b_i * T + t_i) * U1 + u_i, N)
+    # If the static cap undercounts the true valid positions (host-side
+    # length-arithmetic bug), poison the scores to -inf: the loss goes
+    # non-finite and the train step SKIPS the batch — never a silently
+    # truncated lattice.
+    overflow = off[B] > pack_to
+    scat = lambda v: jnp.where(
+        overflow,
+        -jnp.inf,
+        jnp.zeros((N + 1,), jnp.float32).at[flat].set(v, mode="drop")[:N]
+        .reshape(B, T, U1),
+    )
+    return scat(lp_b_p), scat(lp_l_p)
+
+
 def transducer_loss_from_fg(
     f: jax.Array,
     g: jax.Array,
@@ -400,6 +489,7 @@ def transducer_loss_from_fg(
     t_chunk: int = 16,
     dropout_rng: Optional[jax.Array] = None,
     dropout_rate: float = 0.0,
+    pack_to: Optional[int] = None,
 ) -> jax.Array:
     """Memory-bounded fused joint + transducer loss.
 
@@ -413,6 +503,17 @@ def transducer_loss_from_fg(
     workarounds (train_utils/batch_splitting.py:54-144).
     """
     B, T, H = f.shape
+    if pack_to is not None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except Exception:
+            interpret = True
+        lp_blank, lp_label = _packed_joint_scores(
+            f, g, w_fc, b_fc, labels, t_lens, u_lens, blank_idx,
+            pack_to, dropout_rng, dropout_rate, interpret,
+        )
+        null, emit = _penalised_scores(lp_blank, lp_label, labels, t_lens, mods)
+        return rnnt_lattice(null, emit, t_lens, u_lens)
     if _fused_joint_ok(H):
         lp_blank, lp_label = _fused_joint_scores(
             f, g, w_fc, b_fc, labels, blank_idx, dropout_rng, dropout_rate

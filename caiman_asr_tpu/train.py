@@ -54,6 +54,7 @@ from caiman_asr_tpu.training.rsp import (
     zero_rnnt_state,
 )
 from caiman_asr_tpu.training.step import BATCH_DIMS, init_train_state
+from caiman_asr_tpu.training.pack import lattice_nvalid, pack_cap
 from caiman_asr_tpu.evaluate.wer import word_error_rate
 from caiman_asr_tpu.decoding.response import frame_responses_to_tokens
 
@@ -271,6 +272,7 @@ def main(args=None):
             resume_batches = 0
     while step < args.training_steps:
         micro_group = []
+        micro_nvalid = []
         batch_iter = iter(train_loader.epoch(epoch, resume_step=resume_batches))
         resume_batches = 0  # only the first resumed epoch is partial
         while True:
@@ -294,12 +296,26 @@ def main(args=None):
                     "txt_lens": jnp.asarray(batch.token_lens),
                 }
             )
+            micro_nvalid.append(
+                lattice_nvalid(
+                    batch.audio_lens, batch.token_lens, cfg.input_train, model.cfg
+                )
+            )
             audio_secs_since_log += float(np.sum(batch.audio_lens)) / train_loader.sr
             utts_since_log += len(batch.audio_lens)
             if len(micro_group) < accum:
                 continue
 
             stacked = stack_microbatches(micro_group)
+            pack_to = None
+            if not getattr(args, "no_lattice_packing", False):
+                enc_t = -(
+                    -stacked["feats"].shape[1] // model.cfg.enc_stack_time_factor
+                )
+                dense_n = (
+                    stacked["feats"].shape[2] * enc_t * (stacked["txt"].shape[2] + 1)
+                )
+                pack_to = pack_cap(max(micro_nvalid), dense_n)
             if jax.process_count() > 1:
                 from caiman_asr_tpu.parallel.mesh import shard_batch_multihost
 
@@ -307,6 +323,7 @@ def main(args=None):
             else:
                 device_batch = shard_batch(mesh, stacked, BATCH_DIMS)
             micro_group = []
+            micro_nvalid = []
             scalars = {
                 "delay_penalty": jnp.asarray(
                     dp_sched.step(step, hints={"wer": last_wer}), jnp.float32
@@ -321,12 +338,15 @@ def main(args=None):
                 if rsp_on:
                     gates = rsp_ctl.gates(step, accum)
                     state, metrics, rnnt_state = train_step(
-                        state, device_batch, k2, scalars, rnnt_state, gates
+                        state, device_batch, k2, scalars, rnnt_state, gates,
+                        pack_to=pack_to,
                     )
                     if bool(metrics["skipped"]):
                         rsp_ctl.reset()
                 else:
-                    state, metrics = train_step(state, device_batch, k2, scalars)
+                    state, metrics = train_step(
+                        state, device_batch, k2, scalars, pack_to=pack_to
+                    )
             step += 1
             if args.profiler and step % args.timings_frequency == 0:
                 timers.dump(step)

@@ -87,6 +87,7 @@ def _micro_loss(
     blank_idx: int,
     compute_dtype=None,
     collect_bn: bool = False,
+    pack_to=None,
 ):
     """Normalised loss for one microbatch. feats: [T, B, F].
 
@@ -117,6 +118,7 @@ def _micro_loss(
         mods,
         dropout_rng=rng_joint,
         dropout_rate=model.cfg.joint_dropout,
+        pack_to=pack_to,
     )
     loss = per_utt.sum() / denom
     if collect_bn:
@@ -135,6 +137,7 @@ def _micro_loss_rsp(
     rnnt_state,
     gate: jax.Array,
     compute_dtype=None,
+    pack_to=None,
 ):
     """RSP microbatch loss: threads (gated) streaming state and returns the
     new state for the next microbatch (stop-gradient'd — the reference
@@ -166,6 +169,7 @@ def _micro_loss_rsp(
         mods,
         dropout_rng=rng_joint,
         dropout_rate=model.cfg.joint_dropout,
+        pack_to=pack_to,
     )
     # detach + match the carry dtypes (state stays f32 under bf16 compute)
     new_state = jax.tree.map(
@@ -219,6 +223,7 @@ def make_train_step(
         scalars: Dict[str, jax.Array],
         rnnt_state=None,
         state_gates=None,
+        pack_to=None,
     ):
         A = batch["feats"].shape[0]
         B = batch["feats"].shape[2]
@@ -239,6 +244,7 @@ def make_train_step(
                 partial(
                     _micro_loss_rsp, model, mods=mods, denom=denom,
                     blank_idx=blank_idx, compute_dtype=compute_dtype,
+                    pack_to=pack_to,
                 ),
                 has_aux=True,
             )
@@ -263,7 +269,7 @@ def make_train_step(
                 partial(
                     _micro_loss, model, mods=mods, denom=denom,
                     blank_idx=blank_idx, compute_dtype=compute_dtype,
-                    collect_bn=has_bn,
+                    collect_bn=has_bn, pack_to=pack_to,
                 ),
                 has_aux=has_bn,
             )
@@ -345,7 +351,11 @@ def make_train_step(
             return new_state, metrics, new_rs
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return jax.jit(
+        step_fn,
+        donate_argnums=(0,) if donate else (),
+        static_argnames=("pack_to",),
+    )
 
 
 def make_val_loss_step(model: RNNT, blank_idx: int):

@@ -263,3 +263,44 @@ def test_joint_dropout_applied_in_training_loss():
         ff, g, w, bias, labels, t_lens, u_lens, K - 1,
         t_chunk=3, dropout_rng=k1, dropout_rate=0.5).sum())(f)
     assert np.all(np.isfinite(np.asarray(gr)))
+
+
+def test_packed_lattice_loss_matches_dense():
+    """pack_to path == dense path (values and grads) on a ragged batch."""
+    rng = np.random.default_rng(11)
+    B, T, U, H, K = 3, 7, 4, 8, 12
+    f = jnp.asarray(rng.normal(size=(B, T, H)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, U + 1, H)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, H)) * 0.3, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(K,)) * 0.1, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, K - 2, (B, U)), jnp.int32)
+    t_lens = jnp.asarray([7, 5, 3], jnp.int32)
+    u_lens = jnp.asarray([4, 2, 1], jnp.int32)
+    nvalid = int(sum(int(t) * (int(u) + 1) for t, u in zip(t_lens, u_lens)))
+
+    def dense(f, g, w, bias):
+        return transducer_loss_from_fg(
+            f, g, w, bias, labels, t_lens, u_lens, K - 1, t_chunk=4,
+        ).sum()
+
+    def packed(f, g, w, bias):
+        return transducer_loss_from_fg(
+            f, g, w, bias, labels, t_lens, u_lens, K - 1,
+            pack_to=nvalid + 5,  # a little slack, like the quantised cap
+        ).sum()
+
+    args = (f, g, w, bias)
+    np.testing.assert_allclose(dense(*args), packed(*args), rtol=2e-4, atol=1e-4)
+    gd = jax.grad(dense, argnums=(0, 1, 2, 3))(*args)
+    gp = jax.grad(packed, argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(gd, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+    # exact-cap packing (no slack) must also work
+    np.testing.assert_allclose(
+        dense(*args),
+        transducer_loss_from_fg(
+            f, g, w, bias, labels, t_lens, u_lens, K - 1, pack_to=nvalid
+        ).sum(),
+        rtol=2e-4, atol=1e-4,
+    )
