@@ -122,8 +122,31 @@ def _bwd_dw_kernel(h_ref, w_ref, b_ref, d_ref, cb_ref, cl_ref, lab_ref,
         db_ref[0, :] = db_scr[0, :]
 
 
-TP = 512    # position-tile rows
+TP = 512    # position-tile rows (default; see _tiles)
 KT = 1024   # vocab-tile columns
+
+
+def _tiles(Hj: int) -> Tuple[int, int, int, int, int, int]:
+    """Per-shape tile sizes (TP_fwd, KT_fwd, TP_a, KT_a, TP_b, KT_b).
+
+    The kernels have a DMA component on top of the MXU time: per position
+    tile the whole [Hj, K] weight matrix is streamed through VMEM, so W
+    traffic scales with n_i = N/TP — taller position tiles cut it
+    proportionally (W traffic is independent of KT). Pass B streams the
+    whole h matrix once per K tile (n_k_b = K/KT_b), so wider K tiles cut
+    h traffic. Ceilings are VMEM: the fp32 z tile is [TP, KT]; fwd also
+    holds h[TP,Hj] + w[Hj,KT] blocks + [TP,128] scratch; pass A adds two
+    [TP,Hj] fp32 accumulators; pass B holds a [Hj,KT_b] fp32 accumulator
+    + double-buffered output blocks. Values chosen by
+    scripts/sweep_joint_tiles.py on v5e.
+
+    Measured finding (v5e, base 85M shapes, N=262k): the kernels are
+    compute-bound, not DMA-bound — W re-streaming fully overlaps the MXU.
+    Taller position tiles (tp=1024, which is the Mosaic compile ceiling
+    here together with kt<=512 / tp*kt<=512K) change fwd+bwd by ~1%.
+    The defaults below are therefore the original 512-row tiles.
+    """
+    return 512, 1024, 512, 1024, 512, 512
 
 
 def _pad_to(x, n, axis, value=0):
@@ -146,30 +169,31 @@ def fused_joint_lse(h, w, b, labels, blank_idx, interpret=False):
 def _forward(h, w, b, labels, blank_idx, interpret):
     N, Hj = h.shape
     K = w.shape[1]
-    Np = -(-N // TP) * TP
-    Kp = -(-K // KT) * KT
-    n_i, n_k = Np // TP, Kp // KT
+    tp, kt, _, _, _, _ = _tiles(Hj)
+    Np = -(-N // tp) * tp
+    Kp = -(-K // kt) * kt
+    n_i, n_k = Np // tp, Kp // kt
     hp = _pad_to(h, Np, 0)
     wp = _pad_to(w, Kp, 1)
     bp = _pad_to(b.reshape(1, K).astype(jnp.float32), Kp, 1, value=NEG)
 
-    kernel = functools.partial(_fwd_kernel, kt=KT, n_k=n_k)
+    kernel = functools.partial(_fwd_kernel, kt=kt, n_k=n_k)
     (out_d,) = pl.pallas_call(
         kernel,
         grid=(n_i, n_k),
         in_specs=[
-            pl.BlockSpec((TP, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hj, KT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TP), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, Np), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TP, LANES), jnp.float32),
+            pltpu.VMEM((tp, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(hp, wp, bp)
@@ -200,9 +224,13 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
     cb, cl = grads  # [N] each
     N, Hj = h.shape
     K = w.shape[1]
-    Np = -(-N // TP) * TP
-    Kp = -(-K // KT) * KT
-    n_i, n_k = Np // TP, Kp // KT
+    import math
+
+    _, _, tp_a, kt_a, tp_b, kt_b = _tiles(Hj)
+    tp_lcm = math.lcm(tp_a, tp_b)
+    Np = -(-N // tp_lcm) * tp_lcm
+    Kp = -(-K // kt_a) * kt_a
+    n_i, n_k = Np // tp_a, Kp // kt_a
     hp = _pad_to(h, Np, 0)
     wp = _pad_to(w, Kp, 1)
     bp = _pad_to(b.reshape(1, K).astype(jnp.float32), Kp, 1, value=NEG)
@@ -213,20 +241,20 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
     csum = cbp + clp
 
     # ---- pass A: smear term of dh
-    kernel_a = functools.partial(_bwd_dh_kernel, kt=KT, n_k=n_k)
+    kernel_a = functools.partial(_bwd_dh_kernel, kt=kt_a, n_k=n_k)
     smear = pl.pallas_call(
         kernel_a,
         grid=(n_i, n_k),
         in_specs=[
-            pl.BlockSpec((TP, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hj, KT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TP), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TP), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp_a, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, kt_a), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt_a), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp_a), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp_a), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TP, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tp_a, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TP, Hj), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tp_a, Hj), jnp.float32)],
         interpret=interpret,
     )(hp, wp, bp, dn, csum)
     # one-hot terms: cb * W[:, blank] + cl * W[:, label]
@@ -236,37 +264,38 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
         + cl[:, None] * w.T[labels].astype(jnp.float32)
     ).astype(h.dtype)
 
-    # ---- pass B: dW and db (smaller K tile: the [Hj, KT] accumulator +
-    # double-buffered output blocks must fit VMEM alongside the matmul temps)
-    KT_B = 512
-    Kp_b = -(-K // KT_B) * KT_B
-    n_k_b = Kp_b // KT_B
+    # ---- pass B: dW and db (narrower K tile: the [Hj, kt_b] accumulator +
+    # double-buffered output blocks must fit VMEM alongside the matmul temps;
+    # wider kt_b cuts the per-K-tile re-stream of the whole h matrix)
+    n_i_b = Np // tp_b
+    Kp_b = -(-K // kt_b) * kt_b
+    n_k_b = Kp_b // kt_b
     wp_b = _pad_to(w, Kp_b, 1)
     bp_b = _pad_to(b.reshape(1, K).astype(jnp.float32), Kp_b, 1, value=NEG)
-    kernel_b = functools.partial(_bwd_dw_kernel, kt=KT_B, n_i=n_i, blank_idx=blank_idx)
+    kernel_b = functools.partial(_bwd_dw_kernel, kt=kt_b, n_i=n_i_b, blank_idx=blank_idx)
     dw, db = pl.pallas_call(
         kernel_b,
-        grid=(n_k_b, n_i),
+        grid=(n_k_b, n_i_b),
         in_specs=[
-            pl.BlockSpec((TP, Hj), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hj, KT_B), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KT_B), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TP), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TP), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TP), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TP), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp_b, Hj), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((Hj, KT_B), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KT_B), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Hj, Kp_b), jnp.float32),
             jax.ShapeDtypeStruct((1, Kp_b), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Hj, KT_B), jnp.float32),
-            pltpu.VMEM((1, KT_B), jnp.float32),
+            pltpu.VMEM((Hj, kt_b), jnp.float32),
+            pltpu.VMEM((1, kt_b), jnp.float32),
         ],
         interpret=interpret,
     )(hp, wp_b, bp_b, dn, cbp, clp, labp)
