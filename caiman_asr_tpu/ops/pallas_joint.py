@@ -65,6 +65,39 @@ def _fwd_kernel(h_ref, w_ref, b_ref, out_d, s_scr, *, kt, n_k):
         out_d[0, :] = jnp.log(jnp.sum(s_scr[:, :], axis=1))
 
 
+def _fwd_kernel_store(h_ref, w_ref, b_ref, out_d, out_u, s_scr, *, kt, n_k):
+    """Forward that additionally stores u = exp(z) as bf16.
+
+    Used on the training path when the [N, K] bf16 slab fits the HBM
+    budget: the backward passes then run straight GEMMs on u instead of
+    re-deriving z with a GEMM + exp each, cutting the backward from 4
+    matmul-equivalents (plus 2 full exp sweeps) to 2 (with none).
+
+    bf16 u (not bf16 z): softmax sensitivity is to ABSOLUTE error in z
+    but RELATIVE error in u, and floating point gives uniform ~2^-9
+    relative error on u at any magnitude. The softmax row scale exp(-d)
+    is folded into the per-position coefficient vectors outside the
+    kernels. u overflow (z > 88) makes the denominator inf — identical
+    envelope to the existing no-max-subtraction contract (train step
+    skips non-finite batches)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        s_scr[:] = jnp.zeros_like(s_scr)
+
+    z = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    z = z + b_ref[0, :][None, :]
+    u = jnp.exp(z)
+    out_u[:, :] = u.astype(jnp.bfloat16)
+    tp = z.shape[0]
+    s_scr[:, :] += jnp.sum(u.reshape(tp, kt // LANES, LANES), axis=1)
+
+    @pl.when(j == n_k - 1)
+    def _():
+        out_d[0, :] = jnp.log(jnp.sum(s_scr[:, :], axis=1))
+
+
 def _bwd_dh_kernel(h_ref, w_ref, b_ref, d_ref, c_ref, out_ref, acc_scr,
                    *, kt, n_k):
     """Pass A: out[pos] = (cb+cl)[pos] * (softmax(z)[pos] @ W^T)."""
@@ -84,6 +117,59 @@ def _bwd_dh_kernel(h_ref, w_ref, b_ref, d_ref, c_ref, out_ref, acc_scr,
     @pl.when(j == n_k - 1)
     def _():
         out_ref[:, :] = -c_ref[0, :][:, None] * acc_scr[:, :]
+
+
+def _bwd_dh_kernel_u(u_ref, w_ref, cs_ref, out_ref, acc_scr, *, n_k):
+    """Pass A, stored-u variant: the per-tile work is ONE bf16 GEMM on the
+    stored softmax numerators, nothing else. cs = (cb+cl) * exp(-d) is
+    precomputed per position, so smear = -cs * (u @ W^T)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    acc_scr[:, :] += jnp.dot(
+        u_ref[:], w_ref[:].T, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == n_k - 1)
+    def _():
+        out_ref[:, :] = -cs_ref[0, :][:, None] * acc_scr[:, :]
+
+
+def _bwd_dw_kernel_u(h_ref, u_ref, cs_ref, cb_ref, cl_ref, lab_ref,
+                     dw_ref, db_ref, dw_scr, db_scr, *, kt, n_i, blank_idx):
+    """Pass B, stored-u variant: dz = -cs*u + one-hots, then one GEMM
+    (h^T dz) per tile — no z re-derivation, no exp."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dw_scr[:] = jnp.zeros_like(dw_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
+
+    h = h_ref[:]
+    u = u_ref[:].astype(jnp.float32)
+    tp = u.shape[0]
+
+    cb = cb_ref[0, :]
+    cl = cl_ref[0, :]
+    dz = -cs_ref[0, :][:, None] * u
+    k_iota = lax.broadcasted_iota(jnp.int32, (tp, kt), 1)
+    col = lab_ref[0, :] - j * kt
+    dz = dz + jnp.where(k_iota == col[:, None], cl[:, None], 0.0)
+    blank_c = blank_idx - j * kt
+    dz = dz + jnp.where(k_iota == blank_c, cb[:, None], 0.0)
+
+    dw_scr[:, :] += jnp.dot(h.T, dz.astype(h.dtype), preferred_element_type=jnp.float32)
+    db_scr[0, :] += jnp.sum(dz, axis=0)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        dw_ref[:, :] = dw_scr[:, :]
+        db_ref[0, :] = db_scr[0, :]
 
 
 def _bwd_dw_kernel(h_ref, w_ref, b_ref, d_ref, cb_ref, cl_ref, lab_ref,
@@ -155,6 +241,14 @@ def _pad_to(x, n, axis, value=0):
     return jnp.pad(x, pad, constant_values=value) if n != x.shape[axis] else x
 
 
+import os
+
+# HBM budget for the stored-u training fast path (see _fwd_kernel_store):
+# enabled when the padded [N, K] bf16 slab fits. ~4.7 GB at base-85M
+# B=32x12s shapes (on by default there); ~9.7 GB at large-196M (off).
+Z_STORE_LIMIT_BYTES = int(os.environ.get("CAIMAN_JOINT_ZSTORE_MB", 5120)) << 20
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def fused_joint_lse(h, w, b, labels, blank_idx, interpret=False):
     """h: [N, Hj]; w: [Hj, K]; b: [K]; labels: [N] int32.
@@ -162,11 +256,11 @@ def fused_joint_lse(h, w, b, labels, blank_idx, interpret=False):
     Returns (lp_blank [N], lp_label [N]) — log-softmax scores of the blank
     and per-position label token. Differentiable wrt h, w, b.
     """
-    lp_b, lp_l, _ = _forward(h, w, b, labels, blank_idx, interpret)
+    lp_b, lp_l, _, _ = _forward(h, w, b, labels, blank_idx, interpret)
     return lp_b, lp_l
 
 
-def _forward(h, w, b, labels, blank_idx, interpret):
+def _forward(h, w, b, labels, blank_idx, interpret, store_z=False):
     N, Hj = h.shape
     K = w.shape[1]
     tp, kt, _, _, _, _ = _tiles(Hj)
@@ -177,26 +271,51 @@ def _forward(h, w, b, labels, blank_idx, interpret):
     wp = _pad_to(w, Kp, 1)
     bp = _pad_to(b.reshape(1, K).astype(jnp.float32), Kp, 1, value=NEG)
 
-    kernel = functools.partial(_fwd_kernel, kt=kt, n_k=n_k)
-    (out_d,) = pl.pallas_call(
-        kernel,
-        grid=(n_i, n_k),
-        in_specs=[
-            pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, Np), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tp, LANES), jnp.float32),
-        ],
-        interpret=interpret,
-    )(hp, wp, bp)
+    if store_z:
+        kernel = functools.partial(_fwd_kernel_store, kt=kt, n_k=n_k)
+        out_d, up = pl.pallas_call(
+            kernel,
+            grid=(n_i, n_k),
+            in_specs=[
+                pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tp, kt), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, Np), jnp.float32),
+                jax.ShapeDtypeStruct((Np, Kp), jnp.bfloat16),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tp, LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(hp, wp, bp)
+    else:
+        kernel = functools.partial(_fwd_kernel, kt=kt, n_k=n_k)
+        (out_d,) = pl.pallas_call(
+            kernel,
+            grid=(n_i, n_k),
+            in_specs=[
+                pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, Np), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tp, LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(hp, wp, bp)
+        up = None
     denom = out_d[0, :N]
 
     # label / blank logits via O(N·H) gathered-column dots (outside the
@@ -211,16 +330,24 @@ def _forward(h, w, b, labels, blank_idx, interpret):
         jnp.dot(h, w[:, blank_idx], preferred_element_type=jnp.float32)
         + b32[blank_idx]
     )
-    return z_blank - denom, z_lab - denom, denom
+    return z_blank - denom, z_lab - denom, denom, up
 
 
 def _vjp_fwd(h, w, b, labels, blank_idx, interpret):
-    lp_b, lp_l, denom = _forward(h, w, b, labels, blank_idx, interpret)
-    return (lp_b, lp_l), (h, w, b, labels, denom)
+    N, Hj = h.shape
+    K = w.shape[1]
+    tp, kt, _, _, _, _ = _tiles(Hj)
+    Np = -(-N // tp) * tp
+    Kp = -(-K // kt) * kt
+    store = Np * Kp * 2 <= Z_STORE_LIMIT_BYTES
+    lp_b, lp_l, denom, up = _forward(
+        h, w, b, labels, blank_idx, interpret, store_z=store
+    )
+    return (lp_b, lp_l), (h, w, b, labels, denom, up)
 
 
 def _vjp_bwd(blank_idx, interpret, res, grads):
-    h, w, b, labels, denom = res
+    h, w, b, labels, denom, up = res
     cb, cl = grads  # [N] each
     N, Hj = h.shape
     K = w.shape[1]
@@ -230,6 +357,15 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
     tp_lcm = math.lcm(tp_a, tp_b)
     Np = -(-N // tp_lcm) * tp_lcm
     Kp = -(-K // kt_a) * kt_a
+    if up is not None:
+        # reuse the forward's padded-u layout; its row/col padding must be
+        # compatible (today all position tiles are 512 and kt divides the
+        # fwd kt, so these are no-op re-pads / exact matches).
+        Np = max(Np, up.shape[0])
+        Kp = max(Kp, up.shape[1])
+        assert Np == up.shape[0] and Kp % kt_a == 0 and Kp % kt_b == 0, (
+            "stored-u layout incompatible with backward tiles"
+        )
     n_i, n_k = Np // tp_a, Kp // kt_a
     hp = _pad_to(h, Np, 0)
     wp = _pad_to(w, Kp, 1)
@@ -239,24 +375,43 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
     clp = _pad_to(cl.reshape(1, N).astype(jnp.float32), Np, 1)
     labp = _pad_to(labels.reshape(1, N).astype(jnp.int32), Np, 1)
     csum = cbp + clp
+    # stored-u path: softmax row scale exp(-d) folded into the coefficient
+    # vector once (p = u * exp(-d)); pad rows have csum = 0.
+    cs = csum * jnp.exp(-dn) if up is not None else None
 
     # ---- pass A: smear term of dh
-    kernel_a = functools.partial(_bwd_dh_kernel, kt=kt_a, n_k=n_k)
-    smear = pl.pallas_call(
-        kernel_a,
-        grid=(n_i, n_k),
-        in_specs=[
-            pl.BlockSpec((tp_a, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hj, kt_a), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kt_a), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp_a), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp_a), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tp_a, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tp_a, Hj), jnp.float32)],
-        interpret=interpret,
-    )(hp, wp, bp, dn, csum)
+    if up is not None:
+        kernel_a = functools.partial(_bwd_dh_kernel_u, n_k=n_k)
+        smear = pl.pallas_call(
+            kernel_a,
+            grid=(n_i, n_k),
+            in_specs=[
+                pl.BlockSpec((tp_a, kt_a), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Hj, kt_a), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp_a), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tp_a, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((tp_a, Hj), jnp.float32)],
+            interpret=interpret,
+        )(up, wp, cs)
+    else:
+        kernel_a = functools.partial(_bwd_dh_kernel, kt=kt_a, n_k=n_k)
+        smear = pl.pallas_call(
+            kernel_a,
+            grid=(n_i, n_k),
+            in_specs=[
+                pl.BlockSpec((tp_a, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Hj, kt_a), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kt_a), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp_a), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp_a), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tp_a, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((tp_a, Hj), jnp.float32)],
+            interpret=interpret,
+        )(hp, wp, bp, dn, csum)
     # one-hot terms: cb * W[:, blank] + cl * W[:, label]
     dh = (
         smear[:N]
@@ -268,37 +423,69 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
     # double-buffered output blocks must fit VMEM alongside the matmul temps;
     # wider kt_b cuts the per-K-tile re-stream of the whole h matrix)
     n_i_b = Np // tp_b
-    Kp_b = -(-K // kt_b) * kt_b
+    Kp_b = Kp if up is not None else -(-K // kt_b) * kt_b
     n_k_b = Kp_b // kt_b
-    wp_b = _pad_to(w, Kp_b, 1)
-    bp_b = _pad_to(b.reshape(1, K).astype(jnp.float32), Kp_b, 1, value=NEG)
-    kernel_b = functools.partial(_bwd_dw_kernel, kt=kt_b, n_i=n_i_b, blank_idx=blank_idx)
-    dw, db = pl.pallas_call(
-        kernel_b,
-        grid=(n_k_b, n_i_b),
-        in_specs=[
-            pl.BlockSpec((tp_b, Hj), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hj, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((Hj, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Hj, Kp_b), jnp.float32),
-            jax.ShapeDtypeStruct((1, Kp_b), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((Hj, kt_b), jnp.float32),
-            pltpu.VMEM((1, kt_b), jnp.float32),
-        ],
-        interpret=interpret,
-    )(hp, wp_b, bp_b, dn, cbp, clp, labp)
+    if up is not None:
+        kernel_b = functools.partial(
+            _bwd_dw_kernel_u, kt=kt_b, n_i=n_i_b, blank_idx=blank_idx
+        )
+        dw, db = pl.pallas_call(
+            kernel_b,
+            grid=(n_k_b, n_i_b),
+            in_specs=[
+                pl.BlockSpec((tp_b, Hj), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tp_b, kt_b), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((Hj, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Hj, Kp_b), jnp.float32),
+                jax.ShapeDtypeStruct((1, Kp_b), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Hj, kt_b), jnp.float32),
+                pltpu.VMEM((1, kt_b), jnp.float32),
+            ],
+            interpret=interpret,
+        )(hp, up, cs, cbp, clp, labp)
+    else:
+        wp_b = _pad_to(w, Kp_b, 1)
+        bp_b = _pad_to(b.reshape(1, K).astype(jnp.float32), Kp_b, 1, value=NEG)
+        kernel_b = functools.partial(
+            _bwd_dw_kernel, kt=kt_b, n_i=n_i_b, blank_idx=blank_idx
+        )
+        dw, db = pl.pallas_call(
+            kernel_b,
+            grid=(n_k_b, n_i_b),
+            in_specs=[
+                pl.BlockSpec((tp_b, Hj), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Hj, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((Hj, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Hj, Kp_b), jnp.float32),
+                jax.ShapeDtypeStruct((1, Kp_b), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Hj, kt_b), jnp.float32),
+                pltpu.VMEM((1, kt_b), jnp.float32),
+            ],
+            interpret=interpret,
+        )(hp, wp_b, bp_b, dn, cbp, clp, labp)
     return dh, dw[:, :K].astype(w.dtype), db[0, :K].astype(b.dtype), None
 
 

@@ -37,7 +37,14 @@ def test_forward_parity(data):
     np.testing.assert_allclose(np.asarray(fl), np.asarray(rl), atol=1e-5)
 
 
-def test_vjp_parity(data):
+@pytest.mark.parametrize("store_z", [False, True])
+def test_vjp_parity(data, monkeypatch, store_z):
+    """store_z=True exercises the stored-fp16-z backward (2-GEMM); False the
+    recompute backward (4-GEMM). The stored path trades ~|dz|=eps_fp16*|z|
+    absolute logit error for the two saved GEMMs, hence looser tolerances."""
+    import caiman_asr_tpu.ops.pallas_joint as pj
+
+    monkeypatch.setattr(pj, "Z_STORE_LIMIT_BYTES", (1 << 62) if store_z else 0)
     h, w, b, labels = data
     rng = np.random.default_rng(1)
     cb = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
@@ -53,8 +60,9 @@ def test_vjp_parity(data):
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(h, w, b)
     g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(h, w, b)
+    atol, rtol = (2e-3, 1e-3) if store_z else (2e-4, 1e-4)
     for a, r in zip(g_fused, g_ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=atol, rtol=rtol)
 
 
 def test_blank_in_nonfinal_tile():

@@ -265,8 +265,15 @@ def test_joint_dropout_applied_in_training_loss():
     assert np.all(np.isfinite(np.asarray(gr)))
 
 
-def test_packed_lattice_loss_matches_dense():
-    """pack_to path == dense path (values and grads) on a ragged batch."""
+def test_packed_lattice_loss_matches_dense(monkeypatch):
+    """pack_to path == dense path (values and grads) on a ragged batch.
+
+    The stored-u backward is pinned OFF: this test is about packing
+    semantics at tight tolerance; the stored-u path's bf16 numerator
+    rounding is covered by test_pallas_joint.test_vjp_parity[True]."""
+    import caiman_asr_tpu.ops.pallas_joint as pj
+
+    monkeypatch.setattr(pj, "Z_STORE_LIMIT_BYTES", 0)
     rng = np.random.default_rng(11)
     B, T, U, H, K = 3, 7, 4, 8, 12
     f = jnp.asarray(rng.normal(size=(B, T, H)), jnp.float32)
