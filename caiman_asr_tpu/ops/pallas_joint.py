@@ -62,7 +62,7 @@ def _fwd_kernel(h_ref, w_ref, b_ref, out_d, s_scr, *, kt, n_k):
 
     @pl.when(j == n_k - 1)
     def _():
-        out_d[0, :] = jnp.log(jnp.sum(s_scr[:, :], axis=1))
+        out_d[0, :] = jnp.sum(s_scr[:, :], axis=1)
 
 
 def _fwd_kernel_store(h_ref, w_ref, b_ref, out_d, out_u, s_scr, *, kt, n_k):
@@ -95,7 +95,7 @@ def _fwd_kernel_store(h_ref, w_ref, b_ref, out_d, out_u, s_scr, *, kt, n_k):
 
     @pl.when(j == n_k - 1)
     def _():
-        out_d[0, :] = jnp.log(jnp.sum(s_scr[:, :], axis=1))
+        out_d[0, :] = jnp.sum(s_scr[:, :], axis=1)
 
 
 def _bwd_dh_kernel(h_ref, w_ref, b_ref, d_ref, c_ref, out_ref, acc_scr,
@@ -260,63 +260,95 @@ def fused_joint_lse(h, w, b, labels, blank_idx, interpret=False):
     return lp_b, lp_l
 
 
-def _forward(h, w, b, labels, blank_idx, interpret, store_z=False):
-    N, Hj = h.shape
-    K = w.shape[1]
-    tp, kt, _, _, _, _ = _tiles(Hj)
-    Np = -(-N // tp) * tp
-    Kp = -(-K // kt) * kt
-    n_i, n_k = Np // tp, Kp // kt
-    hp = _pad_to(h, Np, 0)
-    wp = _pad_to(w, Kp, 1)
-    bp = _pad_to(b.reshape(1, K).astype(jnp.float32), Kp, 1, value=NEG)
+# Partial (hybrid) storage is opt-in: measured on v5e, large-196M at B=32
+# sits at the HBM ceiling already (even a 1 GB chunk RESOURCE_EXHAUSTs), so
+# by default storage is all-or-nothing — full slab fits the budget or none.
+Z_STORE_PARTIAL = os.environ.get("CAIMAN_JOINT_ZSTORE_PARTIAL", "0") == "1"
 
-    if store_z:
+
+def _store_cols(Np: int, Kp: int, kt: int) -> int:
+    """Number of vocab columns (multiple of kt, <= Kp) whose bf16 u slab
+    fits the HBM budget. Kp -> full stored-u backward; 0 -> pure recompute;
+    in between -> hybrid split (stored chunk + recompute chunk), only with
+    Z_STORE_PARTIAL."""
+    cols = (Z_STORE_LIMIT_BYTES // max(Np * 2, 1)) // kt * kt
+    cols = min(Kp, max(int(cols), 0))
+    if cols < Kp and not Z_STORE_PARTIAL:
+        return 0
+    return cols
+
+
+def _fwd_chunk(hp, w, b, lo, hi, tp, kt, store, interpret):
+    """One forward pallas call over vocab columns [lo, hi) of the ORIGINAL
+    (unpadded-K) w/b. Returns (row sumexp [Np], u-slab or None). hi - lo
+    need not be tile-aligned; the chunk is padded with NEG bias columns
+    (exp -> 0, so partial sums add exactly)."""
+    Np, Hj = hp.shape
+    Kc = hi - lo
+    Kcp = -(-Kc // kt) * kt
+    n_i, n_k = Np // tp, Kcp // kt
+    wp = _pad_to(w[:, lo:hi], Kcp, 1)
+    bp = _pad_to(
+        b[lo:hi].reshape(1, Kc).astype(jnp.float32), Kcp, 1, value=NEG
+    )
+    in_specs = [
+        pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    if store:
         kernel = functools.partial(_fwd_kernel_store, kt=kt, n_k=n_k)
-        out_d, up = pl.pallas_call(
+        out_s, up = pl.pallas_call(
             kernel,
             grid=(n_i, n_k),
-            in_specs=[
-                pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tp, kt), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((1, Np), jnp.float32),
-                jax.ShapeDtypeStruct((Np, Kp), jnp.bfloat16),
+                jax.ShapeDtypeStruct((Np, Kcp), jnp.bfloat16),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((tp, LANES), jnp.float32),
-            ],
+            scratch_shapes=[pltpu.VMEM((tp, LANES), jnp.float32)],
             interpret=interpret,
         )(hp, wp, bp)
+        return out_s[0], up
+    kernel = functools.partial(_fwd_kernel, kt=kt, n_k=n_k)
+    (out_s,) = pl.pallas_call(
+        kernel,
+        grid=(n_i, n_k),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, Np), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tp, LANES), jnp.float32)],
+        interpret=interpret,
+    )(hp, wp, bp)
+    return out_s[0], None
+
+
+def _forward(h, w, b, labels, blank_idx, interpret, store_z=False):
+    N, Hj = h.shape
+    K = w.shape[1]
+    tp, kt, _, _, _, _ = _tiles(Hj)
+    Np = -(-N // tp) * tp
+    Kp = -(-K // kt) * kt
+    hp = _pad_to(h, Np, 0)
+
+    ks = _store_cols(Np, Kp, kt) if store_z else 0
+    ks = min(ks, K)
+    if ks > 0:
+        s1, up = _fwd_chunk(hp, w, b, 0, ks, tp, kt, True, interpret)
+        if ks < K:
+            s2, _ = _fwd_chunk(hp, w, b, ks, K, tp, kt, False, interpret)
+            sums = s1 + s2
+        else:
+            sums = s1
     else:
-        kernel = functools.partial(_fwd_kernel, kt=kt, n_k=n_k)
-        (out_d,) = pl.pallas_call(
-            kernel,
-            grid=(n_i, n_k),
-            in_specs=[
-                pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((1, Np), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((tp, LANES), jnp.float32),
-            ],
-            interpret=interpret,
-        )(hp, wp, bp)
-        up = None
-    denom = out_d[0, :N]
+        sums, up = _fwd_chunk(hp, w, b, 0, K, tp, kt, False, interpret)
+    denom = jnp.log(sums)[:N]
 
     # label / blank logits via O(N·H) gathered-column dots (outside the
     # O(N·K) loop). fp32 accumulation matches the in-kernel GEMM to ~1e-4.
@@ -334,84 +366,167 @@ def _forward(h, w, b, labels, blank_idx, interpret, store_z=False):
 
 
 def _vjp_fwd(h, w, b, labels, blank_idx, interpret):
-    N, Hj = h.shape
-    K = w.shape[1]
-    tp, kt, _, _, _, _ = _tiles(Hj)
-    Np = -(-N // tp) * tp
-    Kp = -(-K // kt) * kt
-    store = Np * Kp * 2 <= Z_STORE_LIMIT_BYTES
     lp_b, lp_l, denom, up = _forward(
-        h, w, b, labels, blank_idx, interpret, store_z=store
+        h, w, b, labels, blank_idx, interpret, store_z=True
     )
     return (lp_b, lp_l), (h, w, b, labels, denom, up)
 
 
+def _bwd_a_u(up, w, lo, hi, cs, tp, kt, interpret):
+    """Pass A over a STORED vocab chunk: smear partial = -cs * (u @ W^T)."""
+    Np = up.shape[0]
+    Hj = w.shape[0]
+    Kcp = up.shape[1]
+    n_i, n_k = Np // tp, Kcp // kt
+    wp = _pad_to(w[:, lo:hi], Kcp, 1)
+    kernel = functools.partial(_bwd_dh_kernel_u, n_k=n_k)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_i, n_k),
+        in_specs=[
+            pl.BlockSpec((tp, kt), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tp, Hj), jnp.float32)],
+        interpret=interpret,
+    )(up, wp, cs)
+
+
+def _bwd_a_recompute(hp, w, b, lo, hi, dn, csum, tp, kt, interpret):
+    """Pass A over a RECOMPUTED vocab chunk (z re-derived by GEMM + exp)."""
+    Np, Hj = hp.shape
+    Kc = hi - lo
+    Kcp = -(-Kc // kt) * kt
+    n_i, n_k = Np // tp, Kcp // kt
+    wp = _pad_to(w[:, lo:hi], Kcp, 1)
+    bp = _pad_to(b[lo:hi].reshape(1, Kc).astype(jnp.float32), Kcp, 1, value=NEG)
+    kernel = functools.partial(_bwd_dh_kernel, kt=kt, n_k=n_k)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_i, n_k),
+        in_specs=[
+            pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tp, Hj), jnp.float32)],
+        interpret=interpret,
+    )(hp, wp, bp, dn, csum)
+
+
+def _bwd_b_u(hp, up, cs, cbp, clp, labp, blank_rel, tp, kt, interpret):
+    """Pass B over a STORED vocab chunk. labp/blank_rel are RELATIVE to the
+    chunk start (out-of-chunk ids never match the in-tile iota)."""
+    Np, Hj = hp.shape
+    Kcp = up.shape[1]
+    n_i, n_k = Np // tp, Kcp // kt
+    kernel = functools.partial(_bwd_dw_kernel_u, kt=kt, n_i=n_i, blank_idx=blank_rel)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_k, n_i),
+        in_specs=[
+            pl.BlockSpec((tp, Hj), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, kt), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Hj, kt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Hj, Kcp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Kcp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Hj, kt), jnp.float32),
+            pltpu.VMEM((1, kt), jnp.float32),
+        ],
+        interpret=interpret,
+    )(hp, up, cs, cbp, clp, labp)
+
+
+def _bwd_b_recompute(hp, w, b, lo, hi, dn, cbp, clp, labp, blank_rel, tp, kt,
+                     interpret):
+    """Pass B over a RECOMPUTED vocab chunk."""
+    Np, Hj = hp.shape
+    Kc = hi - lo
+    Kcp = -(-Kc // kt) * kt
+    n_i, n_k = Np // tp, Kcp // kt
+    wp = _pad_to(w[:, lo:hi], Kcp, 1)
+    bp = _pad_to(b[lo:hi].reshape(1, Kc).astype(jnp.float32), Kcp, 1, value=NEG)
+    kernel = functools.partial(_bwd_dw_kernel, kt=kt, n_i=n_i, blank_idx=blank_rel)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_k, n_i),
+        in_specs=[
+            pl.BlockSpec((tp, Hj), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, kt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Hj, kt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Hj, Kcp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Kcp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Hj, kt), jnp.float32),
+            pltpu.VMEM((1, kt), jnp.float32),
+        ],
+        interpret=interpret,
+    )(hp, wp, bp, dn, cbp, clp, labp)
+
+
 def _vjp_bwd(blank_idx, interpret, res, grads):
+    """Backward, chunked over the vocab: columns [0, ks) use the stored-u
+    kernels (one GEMM per pass), columns [ks, K) re-derive z (two GEMMs
+    per pass). ks is whatever the forward stored (0, partial, or all)."""
     h, w, b, labels, denom, up = res
     cb, cl = grads  # [N] each
     N, Hj = h.shape
     K = w.shape[1]
-    import math
 
     _, _, tp_a, kt_a, tp_b, kt_b = _tiles(Hj)
-    tp_lcm = math.lcm(tp_a, tp_b)
-    Np = -(-N // tp_lcm) * tp_lcm
-    Kp = -(-K // kt_a) * kt_a
+    # all current tile heights are equal; the stored-u layout fixes Np
+    Np = up.shape[0] if up is not None else -(-N // tp_a) * tp_a
+    assert Np % tp_a == 0 and Np % tp_b == 0, "tile heights misaligned"
+    ks = min(up.shape[1], K) if up is not None else 0
     if up is not None:
-        # reuse the forward's padded-u layout; its row/col padding must be
-        # compatible (today all position tiles are 512 and kt divides the
-        # fwd kt, so these are no-op re-pads / exact matches).
-        Np = max(Np, up.shape[0])
-        Kp = max(Kp, up.shape[1])
-        assert Np == up.shape[0] and Kp % kt_a == 0 and Kp % kt_b == 0, (
-            "stored-u layout incompatible with backward tiles"
-        )
-    n_i, n_k = Np // tp_a, Kp // kt_a
+        assert up.shape[1] % kt_a == 0 and up.shape[1] % kt_b == 0
+
     hp = _pad_to(h, Np, 0)
-    wp = _pad_to(w, Kp, 1)
-    bp = _pad_to(b.reshape(1, K).astype(jnp.float32), Kp, 1, value=NEG)
     dn = _pad_to(denom.reshape(1, N), Np, 1)
     cbp = _pad_to(cb.reshape(1, N).astype(jnp.float32), Np, 1)
     clp = _pad_to(cl.reshape(1, N).astype(jnp.float32), Np, 1)
     labp = _pad_to(labels.reshape(1, N).astype(jnp.int32), Np, 1)
     csum = cbp + clp
-    # stored-u path: softmax row scale exp(-d) folded into the coefficient
+    # stored-u chunks: softmax row scale exp(-d) folded into the coefficient
     # vector once (p = u * exp(-d)); pad rows have csum = 0.
     cs = csum * jnp.exp(-dn) if up is not None else None
 
     # ---- pass A: smear term of dh
-    if up is not None:
-        kernel_a = functools.partial(_bwd_dh_kernel_u, n_k=n_k)
-        smear = pl.pallas_call(
-            kernel_a,
-            grid=(n_i, n_k),
-            in_specs=[
-                pl.BlockSpec((tp_a, kt_a), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((Hj, kt_a), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tp_a), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((tp_a, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((tp_a, Hj), jnp.float32)],
-            interpret=interpret,
-        )(up, wp, cs)
-    else:
-        kernel_a = functools.partial(_bwd_dh_kernel, kt=kt_a, n_k=n_k)
-        smear = pl.pallas_call(
-            kernel_a,
-            grid=(n_i, n_k),
-            in_specs=[
-                pl.BlockSpec((tp_a, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((Hj, kt_a), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, kt_a), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tp_a), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tp_a), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((tp_a, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((tp_a, Hj), jnp.float32)],
-            interpret=interpret,
-        )(hp, wp, bp, dn, csum)
+    smear = None
+    if ks > 0:
+        smear = _bwd_a_u(up, w, 0, ks, cs, tp_a, kt_a, interpret)
+    if ks < K:
+        s2 = _bwd_a_recompute(hp, w, b, ks, K, dn, csum, tp_a, kt_a, interpret)
+        smear = s2 if smear is None else smear + s2
     # one-hot terms: cb * W[:, blank] + cl * W[:, label]
     dh = (
         smear[:N]
@@ -419,74 +534,25 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
         + cl[:, None] * w.T[labels].astype(jnp.float32)
     ).astype(h.dtype)
 
-    # ---- pass B: dW and db (narrower K tile: the [Hj, kt_b] accumulator +
-    # double-buffered output blocks must fit VMEM alongside the matmul temps;
-    # wider kt_b cuts the per-K-tile re-stream of the whole h matrix)
-    n_i_b = Np // tp_b
-    Kp_b = Kp if up is not None else -(-K // kt_b) * kt_b
-    n_k_b = Kp_b // kt_b
-    if up is not None:
-        kernel_b = functools.partial(
-            _bwd_dw_kernel_u, kt=kt_b, n_i=n_i_b, blank_idx=blank_idx
+    # ---- pass B: dW and db
+    dws, dbs = [], []
+    if ks > 0:
+        dw1, db1 = _bwd_b_u(
+            hp, up, cs, cbp, clp, labp, blank_idx, tp_b, kt_b, interpret
         )
-        dw, db = pl.pallas_call(
-            kernel_b,
-            grid=(n_k_b, n_i_b),
-            in_specs=[
-                pl.BlockSpec((tp_b, Hj), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tp_b, kt_b), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((Hj, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((Hj, Kp_b), jnp.float32),
-                jax.ShapeDtypeStruct((1, Kp_b), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((Hj, kt_b), jnp.float32),
-                pltpu.VMEM((1, kt_b), jnp.float32),
-            ],
-            interpret=interpret,
-        )(hp, up, cs, cbp, clp, labp)
-    else:
-        wp_b = _pad_to(w, Kp_b, 1)
-        bp_b = _pad_to(b.reshape(1, K).astype(jnp.float32), Kp_b, 1, value=NEG)
-        kernel_b = functools.partial(
-            _bwd_dw_kernel, kt=kt_b, n_i=n_i_b, blank_idx=blank_idx
+        dws.append(dw1[:, :ks])
+        dbs.append(db1[:, :ks])
+    if ks < K:
+        labr = labp - ks
+        dw2, db2 = _bwd_b_recompute(
+            hp, w, b, ks, K, dn, cbp, clp, labr, blank_idx - ks,
+            tp_b, kt_b, interpret,
         )
-        dw, db = pl.pallas_call(
-            kernel_b,
-            grid=(n_k_b, n_i_b),
-            in_specs=[
-                pl.BlockSpec((tp_b, Hj), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((Hj, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tp_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((Hj, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, kt_b), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((Hj, Kp_b), jnp.float32),
-                jax.ShapeDtypeStruct((1, Kp_b), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((Hj, kt_b), jnp.float32),
-                pltpu.VMEM((1, kt_b), jnp.float32),
-            ],
-            interpret=interpret,
-        )(hp, wp_b, bp_b, dn, cbp, clp, labp)
-    return dh, dw[:, :K].astype(w.dtype), db[0, :K].astype(b.dtype), None
+        dws.append(dw2[:, : K - ks])
+        dbs.append(db2[:, : K - ks])
+    dw = jnp.concatenate(dws, axis=1) if len(dws) > 1 else dws[0]
+    db = jnp.concatenate(dbs, axis=1) if len(dbs) > 1 else dbs[0]
+    return dh, dw.astype(w.dtype), db[0].astype(b.dtype), None
 
 
 fused_joint_lse.defvjp(_vjp_fwd, _vjp_bwd)

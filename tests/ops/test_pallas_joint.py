@@ -65,6 +65,45 @@ def test_vjp_parity(data, monkeypatch, store_z):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=atol, rtol=rtol)
 
 
+def test_hybrid_split_vjp_parity(monkeypatch):
+    """Budget forces a partial stored-u chunk: columns [0, 1024) stored,
+    [1024, 2560) recomputed. Labels land in both chunks and blank in the
+    recompute chunk, exercising the relative-index one-hot paths."""
+    import caiman_asr_tpu.ops.pallas_joint as pj
+
+    # Np=512 rows x 2 B/col -> 1024 B/col; 1 MiB => 1024 columns (= one kt)
+    monkeypatch.setattr(pj, "Z_STORE_LIMIT_BYTES", 1 << 20)
+    monkeypatch.setattr(pj, "Z_STORE_PARTIAL", True)
+    rng = np.random.default_rng(3)
+    n, hj, k = 70, 16, 2560
+    blank = k - 1
+    h = jnp.asarray(rng.normal(size=(n, hj)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(hj, k)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(k,)) * 0.1, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, k - 1, (n,)), jnp.int32)
+    cb = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    cl = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+
+    def ref(h, w, b):
+        z = h @ w + b
+        denom = jax.nn.logsumexp(z, axis=-1)
+        lb = z[:, blank] - denom
+        ll = jnp.take_along_axis(z, labels[:, None], axis=1)[:, 0] - denom
+        return jnp.sum(lb * cb) + jnp.sum(ll * cl)
+
+    def fused(h, w, b):
+        lb, ll = fused_joint_lse(h, w, b, labels, blank, True)
+        return jnp.sum(lb * cb) + jnp.sum(ll * cl)
+
+    np.testing.assert_allclose(float(fused(h, w, b)), float(ref(h, w, b)),
+                               rtol=1e-5)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(h, w, b)
+    g_fused = jax.grad(fused, argnums=(0, 1, 2))(h, w, b)
+    for a, r in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-3, rtol=1e-3)
+
+
 def test_blank_in_nonfinal_tile():
     """blank index in the middle of the vocab still extracts correctly."""
     rng = np.random.default_rng(2)
