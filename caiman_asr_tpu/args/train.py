@@ -33,6 +33,12 @@ def train_arg_parser() -> argparse.ArgumentParser:
     training.add_argument("--relative_train_manifest_ratios", type=float,
                           nargs="+", default=None)
     training.add_argument("--canary_manifest_exponent", type=float, default=None)
+    training.add_argument(
+        "--model_parallel", type=int, default=1,
+        help="shard the joint vocab projection over this many devices "
+             "(tensor parallelism via the vocab-parallel loss); the "
+             "remaining devices form the data axis",
+    )
     training.add_argument("--multihost", action="store_true",
                           help="initialise jax.distributed (one process/host)")
     training.add_argument("--coordinator_address", type=str, default=None)

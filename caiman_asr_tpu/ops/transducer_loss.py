@@ -386,13 +386,29 @@ def _fused_joint_ok(H: int) -> bool:
         return False
 
 
+def _joint_lse(h, w_t, b, lab_flat, blank_idx, interpret, vocab_axis):
+    """Dispatch to the single-device or vocab-parallel fused joint+LSE.
+    Under ``vocab_axis`` (inside shard_map) w_t/b are the LOCAL vocab shard
+    and blank_idx is GLOBAL (parallel/vocab_parallel.py)."""
+    if vocab_axis is not None:
+        from caiman_asr_tpu.parallel.vocab_parallel import vp_joint_lse
+
+        # interpret=False means "caller didn't force interpret": let the
+        # vp wrapper auto-detect (the dense fused path is TPU-gated by
+        # _fused_joint_ok, but vocab_axis forces this route on any backend)
+        return vp_joint_lse(h, w_t, b, lab_flat, blank_idx, vocab_axis,
+                            True if interpret else None)
+    from caiman_asr_tpu.ops.pallas_joint import fused_joint_lse
+
+    return fused_joint_lse(h, w_t, b, lab_flat, blank_idx, interpret)
+
+
 def _fused_joint_scores(
-    f, g, w_fc, b_fc, labels, blank_idx, dropout_rng=None, dropout_rate=0.0
+    f, g, w_fc, b_fc, labels, blank_idx, dropout_rng=None, dropout_rate=0.0,
+    vocab_axis=None,
 ):
     """Pallas online-softmax joint: (lp_blank, lp_label) [B, T, U+1] without
     the [.., K] logits slab (ops/pallas_joint.py)."""
-    from caiman_asr_tpu.ops.pallas_joint import fused_joint_lse
-
     B, T, H = f.shape
     U1 = g.shape[1]
     h = jax.nn.relu(f[:, :, None, :] + g[:, None, :, :]).reshape(B * T * U1, H)
@@ -402,13 +418,14 @@ def _fused_joint_scores(
         [labels.astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1
     )
     lab_flat = jnp.broadcast_to(lab_padded[:, None, :], (B, T, U1)).reshape(-1)
-    lp_b, lp_l = fused_joint_lse(h, w_fc.T, b_fc, lab_flat, blank_idx, False)
+    lp_b, lp_l = _joint_lse(h, w_fc.T, b_fc, lab_flat, blank_idx, False,
+                            vocab_axis)
     return lp_b.reshape(B, T, U1), lp_l.reshape(B, T, U1)
 
 
 def _packed_joint_scores(
     f, g, w_fc, b_fc, labels, t_lens, u_lens, blank_idx,
-    pack_to, dropout_rng, dropout_rate, interpret,
+    pack_to, dropout_rng, dropout_rate, interpret, vocab_axis=None,
 ):
     """Joint + LSE over only the VALID lattice positions.
 
@@ -424,8 +441,6 @@ def _packed_joint_scores(
     Returns dense (lp_blank, lp_label) [B, T, U+1] with garbage at invalid
     positions (masked downstream by _masked_scores).
     """
-    from caiman_asr_tpu.ops.pallas_joint import fused_joint_lse
-
     B, T, H = f.shape
     U1 = g.shape[1]
     N = B * T * U1
@@ -458,8 +473,9 @@ def _packed_joint_scores(
     )
     lab_flat = lab_padded.reshape(B * U1)[b_i * U1 + u_i]
 
-    lp_b_p, lp_l_p = fused_joint_lse(
-        h, w_fc.T.astype(h.dtype), b_fc, lab_flat, blank_idx, interpret
+    lp_b_p, lp_l_p = _joint_lse(
+        h, w_fc.T.astype(h.dtype), b_fc, lab_flat, blank_idx, interpret,
+        vocab_axis,
     )
     flat = jnp.where(valid_slot, (b_i * T + t_i) * U1 + u_i, N)
     # If the static cap undercounts the true valid positions (host-side
@@ -490,6 +506,7 @@ def transducer_loss_from_fg(
     dropout_rng: Optional[jax.Array] = None,
     dropout_rate: float = 0.0,
     pack_to: Optional[int] = None,
+    vocab_axis: Optional[str] = None,
 ) -> jax.Array:
     """Memory-bounded fused joint + transducer loss.
 
@@ -510,13 +527,14 @@ def transducer_loss_from_fg(
             interpret = True
         lp_blank, lp_label = _packed_joint_scores(
             f, g, w_fc, b_fc, labels, t_lens, u_lens, blank_idx,
-            pack_to, dropout_rng, dropout_rate, interpret,
+            pack_to, dropout_rng, dropout_rate, interpret, vocab_axis,
         )
         null, emit = _penalised_scores(lp_blank, lp_label, labels, t_lens, mods)
         return rnnt_lattice(null, emit, t_lens, u_lens)
-    if _fused_joint_ok(H):
+    if vocab_axis is not None or _fused_joint_ok(H):
         lp_blank, lp_label = _fused_joint_scores(
-            f, g, w_fc, b_fc, labels, blank_idx, dropout_rng, dropout_rate
+            f, g, w_fc, b_fc, labels, blank_idx, dropout_rng, dropout_rate,
+            vocab_axis,
         )
         null, emit = _penalised_scores(lp_blank, lp_label, labels, t_lens, mods)
         return rnnt_lattice(null, emit, t_lens, u_lens)

@@ -182,10 +182,47 @@ def main(args=None):
 
     # ------------------------------------------------------------- steps
     n_dev = len(jax.devices())
-    while micro_bs % n_dev != 0:  # mesh must evenly divide the micro-batch
-        n_dev -= 1
-    mesh = make_mesh(n_dev)
-    state = jax.device_put(state, replicated(mesh))
+    mp = max(int(getattr(args, "model_parallel", 1) or 1), 1)
+    if mp > 1:
+        # 2-D (data x model) mesh: joint vocab projection sharded over
+        # 'model' (parallel/vocab_parallel.py), the rest data-parallel
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh, NamedSharding as _NS, PartitionSpec as _P
+
+        from caiman_asr_tpu.training.step import joint_fc_pspecs
+
+        if mp > n_dev:
+            raise SystemExit(
+                f"--model_parallel {mp} exceeds device count {n_dev}"
+            )
+        if model.n_classes % mp != 0:
+            raise SystemExit(
+                f"--model_parallel {mp} must divide n_classes "
+                f"{model.n_classes} (equal vocab shards; the canonical "
+                "8704/17408-class configs divide by any power of two)"
+            )
+        n_data = n_dev // mp
+        while micro_bs % n_data != 0:  # use fewer data shards if needed
+            n_data -= 1
+        mesh = _Mesh(
+            _np.array(jax.devices()[: n_data * mp]).reshape(n_data, mp),
+            ("data", "model"),
+        )
+        pspecs = joint_fc_pspecs(state.params)
+        put_p = lambda t: jax.device_put(
+            t, jax.tree.map(lambda s: _NS(mesh, s), pspecs)
+        )
+        state = state._replace(
+            params=put_p(state.params),
+            ema_params=put_p(state.ema_params),
+            opt_state=jax.device_put(state.opt_state, _NS(mesh, _P())),
+            step=jax.device_put(state.step, _NS(mesh, _P())),
+        )
+    else:
+        while micro_bs % n_dev != 0:  # mesh must evenly divide the micro-batch
+            n_dev -= 1
+        mesh = make_mesh(n_dev)
+        state = jax.device_put(state, replicated(mesh))
     from caiman_asr_tpu.utils.user_tokens import get_user_token
 
     def _tok_idx(name):
@@ -199,18 +236,36 @@ def main(args=None):
     eos_idx = _tok_idx("eos")
     star_idx = _tok_idx("star")
     rsp_on = is_rsp_on(args.rsp_seq_len_freq)
-    train_step = make_train_step(
-        model,
-        optimizer,
-        blank_idx,
-        ema_decay=args.ema,
-        eos_idx=eos_idx,
-        star_idx=star_idx,
-        eos_penalty=args.eos_penalty,
-        grad_noise=cfg.grad_noise.noise_level > 0,
-        rsp=rsp_on,
-        compute_dtype=None if args.no_amp else jnp.bfloat16,
-    )
+    if mp > 1:
+        if rsp_on:
+            raise SystemExit("--model_parallel does not support RSP (DP-only)")
+        from caiman_asr_tpu.training.step import make_train_step_tp
+
+        train_step = make_train_step_tp(
+            model,
+            optimizer,
+            mesh,
+            blank_idx,
+            ema_decay=args.ema,
+            eos_idx=eos_idx,
+            star_idx=star_idx,
+            eos_penalty=args.eos_penalty,
+            grad_noise=cfg.grad_noise.noise_level > 0,
+            compute_dtype=None if args.no_amp else jnp.bfloat16,
+        )
+    else:
+        train_step = make_train_step(
+            model,
+            optimizer,
+            blank_idx,
+            ema_decay=args.ema,
+            eos_idx=eos_idx,
+            star_idx=star_idx,
+            eos_penalty=args.eos_penalty,
+            grad_noise=cfg.grad_noise.noise_level > 0,
+            rsp=rsp_on,
+            compute_dtype=None if args.no_amp else jnp.bfloat16,
+        )
     rsp_ctl, rnnt_state = None, None
     if rsp_on:
         delay = (

@@ -88,6 +88,7 @@ def _micro_loss(
     compute_dtype=None,
     collect_bn: bool = False,
     pack_to=None,
+    vocab_axis=None,
 ):
     """Normalised loss for one microbatch. feats: [T, B, F].
 
@@ -119,6 +120,7 @@ def _micro_loss(
         dropout_rng=rng_joint,
         dropout_rate=model.cfg.joint_dropout,
         pack_to=pack_to,
+        vocab_axis=vocab_axis,
     )
     loss = per_utt.sum() / denom
     if collect_bn:
@@ -350,6 +352,151 @@ def make_train_step(
             )
             return new_state, metrics, new_rs
         return new_state, metrics
+
+    return jax.jit(
+        step_fn,
+        donate_argnums=(0,) if donate else (),
+        static_argnames=("pack_to",),
+    )
+
+
+def joint_fc_pspecs(params, model_axis: str = "model"):
+    """PartitionSpec pytree for the params: replicated everywhere except
+    joint_fc.w [K, Hj] / joint_fc.b [K] sharded on the vocab dim over
+    ``model_axis`` (the layout vocab_parallel.vp_joint_lse consumes)."""
+    from jax.sharding import PartitionSpec as P
+
+    specs = jax.tree.map(lambda _: P(), params)
+    specs["joint_fc"] = {"w": P(model_axis, None), "b": P(model_axis)}
+    return specs
+
+
+def make_train_step_tp(
+    model: RNNT,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    blank_idx: int,
+    *,
+    ema_decay: float = 0.999,
+    eos_idx: int = -1,
+    star_idx: int = -1,
+    eos_penalty: float = 0.0,
+    grad_noise: bool = False,
+    compute_dtype=None,
+    donate: bool = True,
+    data_axis: str = "data",
+    model_axis: str = "model",
+):
+    """Tensor-parallel train step over a 2-D (data x model) mesh.
+
+    The joint vocab projection (the FLOP-dominant GEMM) is sharded over
+    ``model_axis`` via the vocab-parallel loss (parallel/vocab_parallel.py);
+    everything else is replicated over model and data-parallel over
+    ``data_axis``. The value-and-grad runs under shard_map with an explicit
+    psum over data; the optimizer/EMA/guard tail runs under the outer jit
+    where GSPMD handles the sharded joint_fc leaves (LAMB's per-tensor
+    norms all-reduce automatically).
+
+    The caller must device_put params/ema/opt-state with joint_fc_pspecs
+    shardings and the batch with the data-axis batch shardings. RSP and
+    batch-norm variants are DP-only (use make_train_step).
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if model.has_batch_norm:
+        raise NotImplementedError("TP step: batch-norm LSTM variant is DP-only")
+
+    def grads_body(params, batch, rng, scalars, pack_to):
+        A = batch["feats"].shape[0]
+        B_local = batch["feats"].shape[2]
+        n_data = lax.psum(jnp.ones((), jnp.float32), data_axis)
+        denom = A * B_local * n_data  # global utterance count
+        mods = LossModifiers(
+            delay_penalty=scalars["delay_penalty"],
+            eos_penalty=eos_penalty,
+            eos_idx=eos_idx,
+            star_penalty=scalars["star_penalty"],
+            star_idx=star_idx,
+        )
+        # distinct augmentation/dropout RNG per data shard; SAME rng across
+        # model shards (the joint-dropout mask must agree on every vocab
+        # shard since h is replicated over model)
+        rng_l = jax.random.fold_in(rng, lax.axis_index(data_axis))
+        grad_fn = jax.value_and_grad(
+            partial(
+                _micro_loss, model, mods=mods, denom=denom,
+                blank_idx=blank_idx, compute_dtype=compute_dtype,
+                collect_bn=False, pack_to=pack_to, vocab_axis=model_axis,
+            )
+        )
+        zero_grads = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+
+        def accum(carry, inp):
+            grads_acc, loss_acc = carry
+            mb, i = inp
+            loss, grads = grad_fn(params, mb, jax.random.fold_in(rng_l, i))
+            return (jax.tree.map(jnp.add, grads_acc, grads), loss_acc + loss), None
+
+        (grads, total_loss), _ = lax.scan(
+            accum, (zero_grads, jnp.zeros((), jnp.float32)),
+            (batch, jnp.arange(A)),
+        )
+        # DP reduction (the DDP all-reduce); model-axis grads are already
+        # correct (replicated leaves: identical per shard; joint_fc: local)
+        grads = lax.psum(grads, data_axis)
+        total_loss = lax.psum(total_loss, data_axis)
+        return total_loss, grads
+
+    def step_fn(state: TrainState, batch, rng, scalars, pack_to=None):
+        pspec = joint_fc_pspecs(state.params, model_axis)
+        bspec = {
+            k: P(*([None] * BATCH_DIMS[k] + [data_axis]
+                   + [None] * (batch[k].ndim - BATCH_DIMS[k] - 1)))
+            for k in batch
+        }
+        total_loss, grads = shard_map(
+            partial(grads_body, pack_to=pack_to),
+            mesh=mesh,
+            in_specs=(pspec, bspec, P(), P()),
+            out_specs=(P(), pspec),
+            check_vma=False,
+        )(state.params, batch, rng, scalars)
+
+        good = jnp.isfinite(total_loss)
+        grads = jax.tree.map(jnp.nan_to_num, grads)
+        if grad_noise:
+            noise_rng = jax.random.fold_in(rng, 1 << 20)
+            leaves, treedef = jax.tree.flatten(grads["encoder"])
+            keys = jax.random.split(noise_rng, len(leaves))
+            noisy = [
+                g + scalars["grad_noise_std"] * jax.random.normal(k, g.shape, g.dtype)
+                for g, k in zip(leaves, keys)
+            ]
+            grads = dict(grads, encoder=jax.tree.unflatten(treedef, noisy))
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = jax.tree.map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            state.ema_params, new_params,
+        )
+        pick = lambda a, b: jax.tree.map(lambda x, y: jnp.where(good, x, y), a, b)
+        new_state = TrainState(
+            params=pick(new_params, state.params),
+            ema_params=pick(new_ema, state.ema_params),
+            opt_state=pick(new_opt_state, state.opt_state),
+            step=state.step + good.astype(jnp.int32),
+        )
+        return new_state, {
+            "loss": total_loss,
+            "grad_norm": grad_norm,
+            "skipped": (~good).astype(jnp.int32),
+        }
 
     return jax.jit(
         step_fn,

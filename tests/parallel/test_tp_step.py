@@ -1,0 +1,119 @@
+"""One TP (data x model mesh) train step == one DP train step, same global
+batch, on a 4-device CPU mesh. Dropout/noise off so the two paths see
+identical stochastic inputs; tolerances cover the per-shard stored-u
+rounding of the vocab-parallel loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from caiman_asr_tpu.models.rnnt import RNNT, RNNTModelConfig
+from caiman_asr_tpu.parallel import make_mesh, replicated, shard_batch
+from caiman_asr_tpu.training import OptimizerConfig, build_optimizer
+from caiman_asr_tpu.training.step import (
+    BATCH_DIMS,
+    init_train_state,
+    joint_fc_pspecs,
+    make_train_step,
+    make_train_step_tp,
+)
+
+
+def _model():
+    return RNNT(
+        RNNTModelConfig(
+            in_feats=16,
+            enc_n_hid=32,
+            enc_pre_rnn_layers=1,
+            enc_post_rnn_layers=1,
+            enc_stack_time_factor=2,
+            pred_n_hid=16,
+            pred_rnn_layers=1,
+            joint_n_hid=32,
+            joint_dropout=0.0,
+            enc_dropout=0.0,
+            pred_dropout=0.0,
+        ),
+        n_classes=64,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 devices")
+    model = _model()
+    opt = build_optimizer(OptimizerConfig(), model.param_lr_factors())
+    state = init_train_state(model, opt, jax.random.PRNGKey(0))
+
+    A, B, T, U = 2, 4, 16, 6
+    rng = np.random.default_rng(0)
+    batch = {
+        "feats": jnp.asarray(rng.normal(size=(A, T, B, 16)), jnp.float32),
+        "feat_lens": jnp.full((A, B), T, jnp.int32),
+        "txt": jnp.asarray(rng.integers(0, 62, (A, B, U)), jnp.int32),
+        "txt_lens": jnp.full((A, B), U, jnp.int32),
+    }
+    scalars = {
+        "delay_penalty": jnp.zeros(()),
+        "star_penalty": jnp.zeros(()),
+        "grad_noise_std": jnp.zeros(()),
+    }
+    return model, opt, state, batch, scalars
+
+
+def test_tp_step_matches_dp(setup):
+    model, opt, state, batch, scalars = setup
+
+    dp_step = make_train_step(model, opt, blank_idx=63, donate=False)
+    dp_state, dp_metrics = dp_step(state, batch, jax.random.PRNGKey(1), scalars)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "model"))
+    pspecs = joint_fc_pspecs(state.params)
+    # params/ema sharded per pspecs; opt state mirrors params where shaped
+    def put_like_params(tree):
+        return jax.device_put(
+            tree, jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs)
+        )
+
+    def put_opt(opt_state):
+        def leaf_sharding(x):
+            # param-shaped optimizer leaves get the matching param spec
+            # (LAMB mu/nu are param pytrees); scalars are replicated
+            return NamedSharding(mesh, P())
+
+        return jax.device_put(opt_state, jax.tree.map(leaf_sharding, opt_state))
+
+    tp_state = state._replace(
+        params=put_like_params(state.params),
+        ema_params=put_like_params(state.ema_params),
+        opt_state=put_opt(state.opt_state),
+        step=jax.device_put(state.step, NamedSharding(mesh, P())),
+    )
+    batch_sh = jax.device_put(
+        batch,
+        {
+            k: NamedSharding(
+                mesh,
+                P(*([None] * BATCH_DIMS[k] + ["data"]
+                    + [None] * (batch[k].ndim - BATCH_DIMS[k] - 1))),
+            )
+            for k in batch
+        },
+    )
+    tp_step = make_train_step_tp(model, opt, mesh, blank_idx=63, donate=False)
+    tp_state, tp_metrics = tp_step(tp_state, batch_sh, jax.random.PRNGKey(1), scalars)
+
+    np.testing.assert_allclose(
+        float(tp_metrics["loss"]), float(dp_metrics["loss"]), rtol=2e-4
+    )
+    assert int(tp_state.step) == 1 and int(dp_state.step) == 1
+    flat_dp = jax.tree.leaves(dp_state.params)
+    flat_tp = jax.tree.leaves(tp_state.params)
+    for a, b in zip(flat_tp, flat_dp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3
+        )

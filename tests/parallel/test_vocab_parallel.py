@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from caiman_asr_tpu.ops.pallas_joint import fused_joint_lse
 from caiman_asr_tpu.parallel.vocab_parallel import vp_joint_lse
@@ -46,7 +46,7 @@ def _vp_loss_fn(mesh, labels, cb, cl, interpret=True):
         mesh=mesh,
         in_specs=(P(), P(None, "model"), P("model")),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def sharded(h, w, b):
         lb, ll = vp_joint_lse(h, w, b, labels, BLANK, "model", interpret)
@@ -89,7 +89,7 @@ def test_vp_blank_mid_vocab(mesh, data):
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(None, "model"), P("model")),
-        out_specs=P(), check_rep=False,
+        out_specs=P(), check_vma=False,
     )
     def vp(h, w, b):
         lb, ll = vp_joint_lse(h, w, b, labels, blank, "model", True)

@@ -161,6 +161,22 @@ def test_mini_train_and_val(workspace, tmp_path):
     assert len(result.hyps) == len(TEXTS)
 
 
+def test_mini_train_model_parallel(workspace, tmp_path):
+    """--model_parallel on the CPU mesh: TP train step + sharded params
+    through checkpointing and periodic validation (RSP off: DP-only)."""
+    from caiman_asr_tpu import train as train_mod
+
+    root, cfg_path = workspace
+    out = tmp_path / "out_tp"
+    # n_classes = 49 here, so shard the vocab 7 ways (equal-width contract)
+    args = make_train_args(root, cfg_path, out, model_parallel=7,
+                           rsp_seq_len_freq=[1])
+    state, best_wer = train_mod.main(args)
+    assert int(state.step) == 4
+    assert (out / "ckpts" / "last.npz").exists()
+    assert 0.0 <= best_wer <= 10.0
+
+
 def test_resume(workspace, tmp_path):
     from caiman_asr_tpu import train as train_mod
 
