@@ -520,6 +520,18 @@ def transducer_loss_from_fg(
     workarounds (train_utils/batch_splitting.py:54-144).
     """
     B, T, H = f.shape
+    if pack_to is not None and vocab_axis is None:
+        # the packed path runs the Pallas kernel (interpret off-TPU, for
+        # tests); honor the same gates as the dense fused route — the
+        # CAIMAN_FUSED_JOINT=0 escape hatch and the H%128 Mosaic tiling
+        # requirement on real TPU — by falling back to the dense path
+        # (which bounds memory via t-chunking instead of packing)
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        if not _FUSED_JOINT or (on_tpu and H % 128 != 0):
+            pack_to = None
     if pack_to is not None:
         try:
             interpret = jax.devices()[0].platform != "tpu"

@@ -20,6 +20,9 @@ Layout contract (enforced by the caller / train step):
     columns, all shards equal width (pad K to a multiple of n with NEG bias
     columns — exp -> 0 contributions, grads 0).
   - blank_idx is a GLOBAL column id.
+  - differentiate INSIDE the shard_map body (jax.grad around a loss that
+    calls this, as make_train_step_tp does) — NOT through the shard_map
+    boundary (see the note in _vp_vjp_bwd).
 Returns per-position (lp_blank, lp_label) replicated over the model axis;
 grads to w_local/b_local are local (no collective), grads to h are psum'd.
 """
@@ -128,17 +131,16 @@ def _vp_vjp_fwd(h, w_local, b_local, labels, blank_idx, axis_name, interpret):
 def _vp_vjp_bwd(blank_idx, axis_name, interpret, res, grads):
     h, w_local, b_local, labels, denom, up, k_off = res
     cb, cl = grads
-    # Canonical usage is shard_map(..., check_rep=False) with the outputs
-    # replicated over the model axis. shard_map's transpose then (a)
-    # delivers the cotangent DIVIDED by the axis size (an "unreduced"
-    # representation whose device-sum is the true cotangent) and (b) SUMS
-    # per-device gradients of replicated inputs over the axis. For dh both
-    # effects cancel (our psum over vocab chunks keeps the 1/n, the
-    # transpose sum restores it). The shard-LOCAL dW/db see neither
-    # correction, so they are rescaled by the axis size at the end.
-    # (Verified against the single-device kernels in
-    # tests/parallel/test_vocab_parallel.py.)
-    n_model = lax.psum(jnp.ones((), jnp.float32), axis_name)
+    # CONTRACT: differentiate INSIDE the shard_map body (as
+    # training/step.make_train_step_tp's grads_body does) — there the
+    # cotangent arrives at full scale on every model shard, and the local
+    # dW/db below ARE the final shard gradients while dh needs the psum
+    # over vocab chunks. Differentiating THROUGH shard_map instead is NOT
+    # supported: its transpose delivers replicated-output cotangents
+    # divided by the axis size and sums replicated-input grads, which
+    # cancels for dh but leaves dW/db at 1/n scale.
+    # (tests/parallel/test_vocab_parallel.py verifies the supported
+    # pattern against the single-device kernels.)
     N, Hj = h.shape
     Kl = w_local.shape[1]
 
@@ -212,8 +214,6 @@ def _vp_vjp_bwd(blank_idx, axis_name, interpret, res, grads):
     hTcb = jnp.dot(h.T.astype(jnp.float32), cb)  # [Hj]
     dw = dw + hTcb[:, None] * onehot[None, :]
     db = db + onehot * jnp.sum(cb)
-    dw = dw * n_model
-    db = db * n_model
     return dh, dw.astype(w_local.dtype), db.astype(b_local.dtype), None
 
 

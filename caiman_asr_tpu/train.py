@@ -370,7 +370,17 @@ def main(args=None):
                 dense_n = (
                     stacked["feats"].shape[2] * enc_t * (stacked["txt"].shape[2] + 1)
                 )
-                pack_to = pack_cap(max(micro_nvalid), dense_n)
+                nv = max(micro_nvalid)
+                if jax.process_count() > 1:
+                    # pack_to is a STATIC jit arg: all hosts must agree or
+                    # they compile different executables for one SPMD step
+                    # (collective mismatch). Agree on the global max.
+                    from jax.experimental import multihost_utils
+
+                    nv = int(np.max(
+                        multihost_utils.process_allgather(np.int64(nv))
+                    ))
+                pack_to = pack_cap(nv, dense_n)
             if jax.process_count() > 1:
                 from caiman_asr_tpu.parallel.mesh import shard_batch_multihost
 

@@ -63,14 +63,22 @@ def lattice_nvalid(
 def pack_cap(
     nvalid: int,
     dense_n: int,
-    quantum: int = PACK_QUANTUM,
+    quantum: Optional[int] = None,
     threshold: float = 0.9,
 ) -> Optional[int]:
     """Quantised static cap, or None when packing wouldn't pay.
 
     Returns None when the quantised cap is >= threshold * dense size (the
     gather/scatter overhead then outweighs the saved joint rows — measured
-    crossover ~0.9 on v5e)."""
+    crossover ~0.9 on v5e).
+
+    Every distinct cap is a full train-step recompile (pack_to is a static
+    jit arg), so the DEFAULT quantum scales with the dense size: at least
+    dense_n/8, bounding the distinct caps per bucket shape to <= ~7 (caps
+    above 0.9*dense_n return None) while giving up at most 12.5% of the
+    packing win to rounding. An explicit quantum is honored as given."""
+    if quantum is None:
+        quantum = max(PACK_QUANTUM, -(-dense_n // 8))
     cap = min(dense_n, -(-nvalid // quantum) * quantum)
     if cap >= threshold * dense_n:
         return None

@@ -180,6 +180,60 @@ def _micro_loss_rsp(
     return per_utt.sum() / denom, new_state
 
 
+def _finish_step(
+    state: TrainState,
+    grads,
+    total_loss,
+    rng,
+    scalars,
+    optimizer,
+    ema_decay,
+    grad_noise,
+    apply_bn=None,
+):
+    """Shared post-gradient tail: noise -> clip-free LAMB -> EMA -> atomic
+    non-finite skip. Used by both the DP and the TP train steps so the
+    guard/update semantics cannot diverge."""
+    good = jnp.isfinite(total_loss)
+    # Replace non-finite grads with zeros so the (discarded) update path
+    # still computes without poisoning opt state on the taken path.
+    grads = jax.tree.map(jnp.nan_to_num, grads)
+
+    if grad_noise:
+        noise_rng = jax.random.fold_in(rng, 1 << 20)
+        leaves, treedef = jax.tree.flatten(grads["encoder"])
+        keys = jax.random.split(noise_rng, len(leaves))
+        noisy = [
+            g + scalars["grad_noise_std"] * jax.random.normal(k, g.shape, g.dtype)
+            for g, k in zip(leaves, keys)
+        ]
+        grads = dict(grads, encoder=jax.tree.unflatten(treedef, noisy))
+
+    grad_norm = optax.global_norm(grads)
+    updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    if apply_bn is not None:
+        new_params = apply_bn(new_params)
+    new_ema = jax.tree.map(
+        lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+        state.ema_params,
+        new_params,
+    )
+    pick = lambda a, b: jax.tree.map(lambda x, y: jnp.where(good, x, y), a, b)
+    new_state = TrainState(
+        params=pick(new_params, state.params),
+        ema_params=pick(new_ema, state.ema_params),
+        opt_state=pick(new_opt_state, state.opt_state),
+        step=state.step + good.astype(jnp.int32),
+    )
+    metrics = {
+        "loss": total_loss,
+        "grad_norm": grad_norm,
+        "skipped": (~good).astype(jnp.int32),
+    }
+    return new_state, metrics, good
+
+
 def make_train_step(
     model: RNNT,
     optimizer: optax.GradientTransformation,
@@ -301,49 +355,15 @@ def make_train_step(
                 (batch, jnp.arange(A)),
             )
 
-        good = jnp.isfinite(total_loss)
-        # Replace non-finite grads with zeros so the (discarded) update path
-        # still computes without poisoning opt state on the taken path.
-        grads = jax.tree.map(jnp.nan_to_num, grads)
-
-        if grad_noise:
-            noise_rng = jax.random.fold_in(rng, 1 << 20)
-            leaves, treedef = jax.tree.flatten(grads["encoder"])
-            keys = jax.random.split(noise_rng, len(leaves))
-            noisy = [
-                g + scalars["grad_noise_std"] * jax.random.normal(k, g.shape, g.dtype)
-                for g, k in zip(leaves, keys)
-            ]
-            grads = dict(grads, encoder=jax.tree.unflatten(treedef, noisy))
-
-        grad_norm = optax.global_norm(grads)
-
-        updates, new_opt_state = optimizer.update(
-            grads, state.opt_state, state.params
+        new_state, metrics, good = _finish_step(
+            state, grads, total_loss, rng, scalars, optimizer, ema_decay,
+            grad_noise,
+            apply_bn=(
+                (lambda p: model.apply_bn_updates(p, list(final_bn)))
+                if has_bn and not rsp
+                else None
+            ),
         )
-        new_params = optax.apply_updates(state.params, updates)
-        if has_bn and not rsp:
-            new_params = model.apply_bn_updates(new_params, list(final_bn))
-        new_ema = jax.tree.map(
-            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
-            state.ema_params,
-            new_params,
-        )
-
-        pick = lambda a, b: jax.tree.map(
-            lambda x, y: jnp.where(good, x, y), a, b
-        )
-        new_state = TrainState(
-            params=pick(new_params, state.params),
-            ema_params=pick(new_ema, state.ema_params),
-            opt_state=pick(new_opt_state, state.opt_state),
-            step=state.step + good.astype(jnp.int32),
-        )
-        metrics = {
-            "loss": total_loss,
-            "grad_norm": grad_norm,
-            "skipped": (~good).astype(jnp.int32),
-        }
         if rsp:
             # A NaN step may mean the carried state is poisoned: zero it
             # (host also resets its history counter, reference rsp.py:86-99).
@@ -465,38 +485,11 @@ def make_train_step_tp(
             check_vma=False,
         )(state.params, batch, rng, scalars)
 
-        good = jnp.isfinite(total_loss)
-        grads = jax.tree.map(jnp.nan_to_num, grads)
-        if grad_noise:
-            noise_rng = jax.random.fold_in(rng, 1 << 20)
-            leaves, treedef = jax.tree.flatten(grads["encoder"])
-            keys = jax.random.split(noise_rng, len(leaves))
-            noisy = [
-                g + scalars["grad_noise_std"] * jax.random.normal(k, g.shape, g.dtype)
-                for g, k in zip(leaves, keys)
-            ]
-            grads = dict(grads, encoder=jax.tree.unflatten(treedef, noisy))
-        grad_norm = optax.global_norm(grads)
-        updates, new_opt_state = optimizer.update(
-            grads, state.opt_state, state.params
+        new_state, metrics, _ = _finish_step(
+            state, grads, total_loss, rng, scalars, optimizer, ema_decay,
+            grad_noise,
         )
-        new_params = optax.apply_updates(state.params, updates)
-        new_ema = jax.tree.map(
-            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
-            state.ema_params, new_params,
-        )
-        pick = lambda a, b: jax.tree.map(lambda x, y: jnp.where(good, x, y), a, b)
-        new_state = TrainState(
-            params=pick(new_params, state.params),
-            ema_params=pick(new_ema, state.ema_params),
-            opt_state=pick(new_opt_state, state.opt_state),
-            step=state.step + good.astype(jnp.int32),
-        )
-        return new_state, {
-            "loss": total_loss,
-            "grad_norm": grad_norm,
-            "skipped": (~good).astype(jnp.int32),
-        }
+        return new_state, metrics
 
     return jax.jit(
         step_fn,

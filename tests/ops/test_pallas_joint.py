@@ -39,9 +39,10 @@ def test_forward_parity(data):
 
 @pytest.mark.parametrize("store_z", [False, True])
 def test_vjp_parity(data, monkeypatch, store_z):
-    """store_z=True exercises the stored-fp16-z backward (2-GEMM); False the
-    recompute backward (4-GEMM). The stored path trades ~|dz|=eps_fp16*|z|
-    absolute logit error for the two saved GEMMs, hence looser tolerances."""
+    """store_z=True exercises the stored-u backward (u = exp(z) in bf16,
+    2 GEMMs); False the recompute backward (4 GEMMs). The stored path
+    carries ~2^-9 RELATIVE error on the softmax numerators (bf16 rounding
+    of u), hence looser tolerances."""
     import caiman_asr_tpu.ops.pallas_joint as pj
 
     monkeypatch.setattr(pj, "Z_STORE_LIMIT_BYTES", (1 << 62) if store_z else 0)

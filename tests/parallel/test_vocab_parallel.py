@@ -1,5 +1,9 @@
 """Vocab-parallel joint+LSE == single-device fused_joint_lse (fwd + grads),
-run under shard_map on a CPU mesh with the vocab sharded over 'model'."""
+on a CPU mesh with the vocab sharded over 'model'.
+
+Gradients are taken INSIDE the shard_map body (the supported pattern, same
+as training/step.make_train_step_tp.grads_body) — differentiating THROUGH
+shard_map is not part of the module's contract (see _vp_vjp_bwd)."""
 
 import functools
 
@@ -7,8 +11,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 from caiman_asr_tpu.ops.pallas_joint import fused_joint_lse
 from caiman_asr_tpu.parallel.vocab_parallel import vp_joint_lse
@@ -19,9 +23,6 @@ BLANK = K - 1  # lives on the LAST shard (exercises shard-offset paths)
 
 @pytest.fixture(scope="module")
 def mesh():
-    # model-only mesh: vp_joint_lse's contract is per-data-shard (inside the
-    # train step each data row sees only its own batch shard; replicating a
-    # full batch over 'data' would double-count dW in shard_map's transpose)
     devs = jax.devices()
     if len(devs) < 4:
         pytest.skip("needs 4 devices (CPU mesh via conftest)")
@@ -40,70 +41,70 @@ def data():
     return h, w, b, labels, cb, cl
 
 
-def _vp_loss_fn(mesh, labels, cb, cl, interpret=True):
+def _ref_loss(blank, labels, cb, cl):
+    def ref(h, w, b):
+        lb, ll = fused_joint_lse(h, w, b, labels, blank, True)
+        return jnp.sum(lb * cb) + jnp.sum(ll * cl)
+
+    return ref
+
+
+def _vp_value_and_grads(mesh, blank, labels, cb, cl):
+    """value + (dh, dw, db), with grad taken inside the sharded body."""
+
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(), P(None, "model"), P("model")),
-        out_specs=P(),
+        out_specs=(P(), P(), P(None, "model"), P("model")),
         check_vma=False,
     )
     def sharded(h, w, b):
-        lb, ll = vp_joint_lse(h, w, b, labels, BLANK, "model", interpret)
-        return jnp.sum(lb * cb) + jnp.sum(ll * cl)
+        def loss(h, w, b):
+            lb, ll = vp_joint_lse(h, w, b, labels, blank, "model", True)
+            return jnp.sum(lb * cb) + jnp.sum(ll * cl)
+
+        val, (dh, dw, db) = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+            h, w, b
+        )
+        return val, dh, dw, db
 
     return sharded
 
 
 def test_vp_forward_parity(mesh, data):
     h, w, b, labels, cb, cl = data
-    ref_lb, ref_ll = fused_joint_lse(h, w, b, labels, BLANK, True)
-    ref = jnp.sum(ref_lb * cb) + jnp.sum(ref_ll * cl)
-    got = _vp_loss_fn(mesh, labels, cb, cl)(h, w, b)
-    np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
-
-
-def test_vp_grad_parity(mesh, data):
-    h, w, b, labels, cb, cl = data
-
-    def ref_loss(h, w, b):
-        lb, ll = fused_joint_lse(h, w, b, labels, BLANK, True)
-        return jnp.sum(lb * cb) + jnp.sum(ll * cl)
-
-    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(h, w, b)
-    g_vp = jax.grad(_vp_loss_fn(mesh, labels, cb, cl), argnums=(0, 1, 2))(
-        h, w, b
-    )
-    # stored-u is on per-shard (tiny slabs) -> stored-u tolerances
-    for a, r in zip(g_vp, g_ref):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(r), atol=2e-3, rtol=1e-3
-        )
-
-
-def test_vp_blank_mid_vocab(mesh, data):
-    """blank on an interior shard; labels include blank-shard columns."""
-    h, w, b, labels, cb, cl = data
-    blank = K // 2 + 3  # shard 1 of 2
+    ref = _ref_loss(BLANK, labels, cb, cl)(h, w, b)
 
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(None, "model"), P("model")),
         out_specs=P(), check_vma=False,
     )
-    def vp(h, w, b):
-        lb, ll = vp_joint_lse(h, w, b, labels, blank, "model", True)
+    def fwd(h, w, b):
+        lb, ll = vp_joint_lse(h, w, b, labels, BLANK, "model", True)
         return jnp.sum(lb * cb) + jnp.sum(ll * cl)
 
-    def ref(h, w, b):
-        lb, ll = fused_joint_lse(h, w, b, labels, blank, True)
-        return jnp.sum(lb * cb) + jnp.sum(ll * cl)
+    np.testing.assert_allclose(float(fwd(h, w, b)), float(ref), rtol=2e-5)
 
-    np.testing.assert_allclose(float(vp(h, w, b)), float(ref(h, w, b)),
-                               rtol=2e-5)
-    g_ref = jax.grad(ref, argnums=(1, 2))(h, w, b)
-    g_vp = jax.grad(vp, argnums=(1, 2))(h, w, b)
-    for a, r in zip(g_vp, g_ref):
+
+@pytest.mark.parametrize("blank", [K - 1, K // 2 + 3], ids=["last", "mid"])
+def test_vp_grad_parity(mesh, data, blank):
+    """blank on the final and on an interior shard; labels span all shards."""
+    h, w, b, labels, cb, cl = data
+
+    g_ref = jax.grad(_ref_loss(blank, labels, cb, cl), argnums=(0, 1, 2))(
+        h, w, b
+    )
+    val, dh, dw, db = _vp_value_and_grads(mesh, blank, labels, cb, cl)(
+        h, w, b
+    )
+    np.testing.assert_allclose(
+        float(val), float(_ref_loss(blank, labels, cb, cl)(h, w, b)),
+        rtol=2e-5,
+    )
+    # stored-u is on per-shard (tiny slabs) -> stored-u tolerances
+    for a, r in zip((dh, dw, db), g_ref):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(r), atol=2e-3, rtol=1e-3
         )

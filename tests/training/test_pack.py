@@ -60,3 +60,9 @@ def test_pack_cap_policy():
     assert pack_cap(950_000, 1_000_000, quantum=1024) is None
     # cap never exceeds dense
     assert pack_cap(999_999, 1_000_000, quantum=1 << 20, threshold=1.1) == 1_000_000
+    # default quantum scales with dense_n (bounds recompiles to <= ~7 caps):
+    # dense_n = 1e6 -> quantum 125_000, so nvalid 100 rounds up to one step
+    assert pack_cap(100, 1_000_000) == 125_000
+    assert pack_cap(126_000, 1_000_000) == 250_000
+    # small dense_n keeps the absolute PACK_QUANTUM floor
+    assert pack_cap(10, 80_000) == 16_384
