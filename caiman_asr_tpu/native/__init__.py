@@ -6,10 +6,13 @@ this package is the TPU build's native layer:
 
 - ``flac_decode`` — full FLAC decoder for the host data loader (no audio
   backend ships in the base image);
-- ``levenshtein`` — token-sequence edit distance for WER.
+- ``levenshtein`` — token-sequence edit distance for WER;
+- ``ResponseSerializer`` — the streaming server's per-tick host path
+  (beam commit logic + detokenization + JSON) over the packed device
+  outputs (serving/engine.py), ~25 us/lane in Python vs ~0.5 us/lane here.
 
-First import compiles ``src/flac_decoder.cpp`` with g++ into a cached
-shared library next to the sources; rebuilds automatically when the source
+First import compiles the ``src/*.cpp`` sources with g++ into a cached
+shared library next to the sources; rebuilds automatically when any source
 is newer than the binary.
 """
 
@@ -23,7 +26,10 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_SRC = Path(__file__).parent / "src" / "flac_decoder.cpp"
+_SRCS = [
+    Path(__file__).parent / "src" / "flac_decoder.cpp",
+    Path(__file__).parent / "src" / "serialize.cpp",
+]
 _LIB = Path(__file__).parent / "src" / "libcaiman_native.so"
 _lib: Optional[ctypes.CDLL] = None
 
@@ -36,8 +42,11 @@ def _ensure_built() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-        cmd = ["g++", "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB)]
+    if not _LIB.exists() or any(
+        _LIB.stat().st_mtime < s.stat().st_mtime for s in _SRCS
+    ):
+        cmd = ["g++", "-O2", "-shared", "-fPIC",
+               *[str(s) for s in _SRCS], "-o", str(_LIB)]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
@@ -63,6 +72,24 @@ def _ensure_built() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64,
     ]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ser_init.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                             ctypes.c_double, ctypes.c_int]
+    lib.ser_set_piece.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+    lib.ser_reset_lane.argtypes = [ctypes.c_int]
+    lib.ser_greedy_tick.restype = ctypes.c_long
+    lib.ser_greedy_tick.argtypes = [i32p, ctypes.c_long, ctypes.c_int, u8p,
+                                    ctypes.c_int, ctypes.c_char_p,
+                                    ctypes.c_long]
+    lib.ser_beam_tick.restype = ctypes.c_long
+    lib.ser_beam_tick.argtypes = [i32p, ctypes.c_long, u8p, ctypes.c_int,
+                                  ctypes.c_char_p, ctypes.c_long,
+                                  ctypes.POINTER(ctypes.c_int64)]
+    lib.ser_lane_committed.restype = ctypes.c_int64
+    lib.ser_lane_committed.argtypes = [ctypes.c_int]
+    lib.ser_lane_frame_idx.restype = ctypes.c_int64
+    lib.ser_lane_frame_idx.argtypes = [ctypes.c_int]
     _lib = lib
     return lib
 
@@ -111,3 +138,82 @@ def levenshtein(a, b) -> int:
             bb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(bb),
         )
     )
+
+
+class ResponseSerializer:
+    """Native streaming-response serializer (see src/serialize.cpp).
+
+    Owns the per-lane beam commit state (committed horizon, token history,
+    frame index) and emits wire-ready JSON response strings from the
+    engine's packed per-tick outputs. One instance per StreamingEngine
+    (the underlying C state is global: last constructed wins — matching
+    the one-engine-per-process serving design).
+    """
+
+    def __init__(self, max_lanes: int, beam_width: int, beam_win: int,
+                 frame_seconds: float, pieces):
+        self._lib = _ensure_built()
+        self._lib.ser_init(max_lanes, beam_width, beam_win,
+                           float(frame_seconds), len(pieces))
+        for i, p in enumerate(pieces):
+            b = p.encode("utf-8") if isinstance(p, str) else bytes(p)
+            self._lib.ser_set_piece(i, b, len(b))
+        self._buf = ctypes.create_string_buffer(4 << 20)
+        self._dev_len = np.zeros(max_lanes, np.int64)
+
+    def reset_lane(self, lane: int):
+        self._lib.ser_reset_lane(lane)
+
+    def committed(self, lane: int) -> int:
+        return int(self._lib.ser_lane_committed(lane))
+
+    def frame_idx(self, lane: int) -> int:
+        return int(self._lib.ser_lane_frame_idx(lane))
+
+    def _records(self, nbytes: int):
+        out = {}
+        raw = self._buf.raw
+        off = 0
+        while off < nbytes:
+            lane = int.from_bytes(raw[off:off + 4], "little")
+            ln = int.from_bytes(raw[off + 4:off + 8], "little")
+            out.setdefault(lane, []).append(
+                raw[off + 8:off + 8 + ln].decode("utf-8")
+            )
+            off += 8 + ln
+        return out
+
+    def _grow(self):
+        self._buf = ctypes.create_string_buffer(len(self._buf) * 2)
+
+    def greedy_tick(self, packed: np.ndarray, adv: np.ndarray):
+        """packed: int32 [B, cap+1]; adv: bool [B]. -> {lane: [json_str]}"""
+        packed = np.ascontiguousarray(packed, np.int32)
+        advu = np.ascontiguousarray(adv, np.uint8)
+        while True:
+            n = self._lib.ser_greedy_tick(
+                packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                packed.shape[1], packed.shape[1] - 1,
+                advu.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                packed.shape[0], self._buf, len(self._buf),
+            )
+            if n >= 0:
+                return self._records(n)
+            self._grow()
+
+    def beam_tick(self, packed: np.ndarray, adv: np.ndarray):
+        """packed: int32 [B, W*win+W+2+W]; adv: bool [B].
+        -> ({lane: [json_str]}, dev_len int64 [B])."""
+        packed = np.ascontiguousarray(packed, np.int32)
+        advu = np.ascontiguousarray(adv, np.uint8)
+        while True:
+            n = self._lib.ser_beam_tick(
+                packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                packed.shape[1],
+                advu.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                packed.shape[0], self._buf, len(self._buf),
+                self._dev_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            if n >= 0:
+                return self._records(n), self._dev_len
+            self._grow()

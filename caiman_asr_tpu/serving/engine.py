@@ -82,6 +82,7 @@ class StreamingEngine:
         dtype=jnp.float32,
         pipeline_depth: int = 0,
         beam_win: int = 64,
+        native_serializer: Optional[bool] = None,
     ):
         """pipeline_depth: number of in-flight ticks before results are
         consumed on the host. 0 = synchronous (each tick() returns its own
@@ -140,6 +141,38 @@ class StreamingEngine:
             self._decode_step = make_streaming_step(
                 model, blank_idx, max_symbols_per_step=max_symbols_per_step
             )
+        # Native (C++) response serializer: owns the per-lane commit state
+        # and emits wire-ready JSON strings (~0.5 us/lane vs ~25 us/lane for
+        # the Python path — the co-located host-path ceiling at scale).
+        # Auto-enabled when the tokenizer exposes piece strings (or is None:
+        # empty transcripts, as in benches); False forces the Python path.
+        self._native_ser = None
+        if native_serializer is not False:
+            pieces = None
+            if tokenizer is None:
+                pieces = [""] * model.n_classes
+            elif hasattr(tokenizer, "id_to_piece"):
+                pieces = [
+                    tokenizer.id_to_piece(i) for i in range(model.n_classes)
+                ]
+            if pieces is not None:
+                try:
+                    from caiman_asr_tpu.native import ResponseSerializer
+
+                    self._native_ser = ResponseSerializer(
+                        self.B,
+                        beam_width if decoder == "beam" else 1,
+                        self._beam_win if decoder == "beam" else 1,
+                        self.frame_seconds,
+                        pieces,
+                    )
+                except Exception:
+                    if native_serializer:
+                        raise
+            elif native_serializer:
+                raise ValueError(
+                    "native_serializer requires a tokenizer with id_to_piece"
+                )
         self._jit_tick = jax.jit(self._tick_impl, donate_argnums=(2, 3))
         self._tick_count = 0
         self._rng0 = jax.random.PRNGKey(4242)
@@ -331,6 +364,8 @@ class StreamingEngine:
                 self.streams[lane].closed = True
 
     def _reset_lane(self, lane: int):
+        if self._native_ser is not None:
+            self._native_ser.reset_lane(lane)
         z = lambda x: x.at[..., lane, :].set(0.0)
         self.enc_state = EncoderState(
             pre_rnn=tuple(z(h) for h in self.enc_state.pre_rnn),
@@ -427,11 +462,22 @@ class StreamingEngine:
             # buffers before they can hit the cap. Margin covers in-flight
             # growth (the trigger data is pipeline_depth ticks stale).
             margin = (self.pipeline_depth + 2) * self._beam_expansions
+            ns = self._native_ser
+            dev_len = getattr(self, "_dev_len", None)
             for lane, st in self.streams.items():
-                if (adv[lane] and not st.rebase_pending and st.committed > 0
-                        and st.dev_len + margin >= self._beam_cap):
-                    rebase[lane] = st.committed
-                    st.rebase_pending = True
+                dl = (
+                    int(dev_len[lane])
+                    if ns is not None and dev_len is not None
+                    else st.dev_len
+                )
+                if (adv[lane] and not st.rebase_pending
+                        and dl + margin >= self._beam_cap):
+                    committed = (
+                        ns.committed(lane) if ns is not None else st.committed
+                    )
+                    if committed > 0:
+                        rebase[lane] = committed
+                        st.rebase_pending = True
 
         out: Dict[int, List[dict]] = {}
         if adv.any():
@@ -462,12 +508,17 @@ class StreamingEngine:
             msgs = out.get(lane, [])
             if self.decoder == "beam":
                 st = self.streams[lane]
+                if self._native_ser is not None:
+                    committed = self._native_ser.committed(lane)
+                    st.frame_idx = self._native_ser.frame_idx(lane)
+                else:
+                    committed = st.committed
                 toks_l = np.asarray(self.dec_state["toks"][lane])
                 lens_l = np.asarray(self.dec_state["lens"][lane])
                 scores_l = np.asarray(self.dec_state["scores"][lane])
                 norm = scores_l / np.maximum(lens_l + 1, 1)
                 best = int(np.argmax(norm))
-                tail = [int(t) for t in toks_l[best, st.committed : lens_l[best]]]
+                tail = [int(t) for t in toks_l[best, committed : lens_l[best]]]
                 if tail:
                     msgs.append(self._response(st, tail, final=True))
             msgs.append({"eos": True})
@@ -484,6 +535,22 @@ class StreamingEngine:
         drained ticks)."""
         packed, adv = entry
         packed = np.asarray(packed)
+        if self._native_ser is not None:
+            if self.decoder == "beam":
+                recs, dev_len = self._native_ser.beam_tick(packed, adv)
+                self._dev_len = dev_len
+                W, win = self.beam_width, self._beam_win
+                echo = packed[:, W * win + W + 1]
+                for lane in np.flatnonzero((echo > 0) & adv):
+                    st = self.streams.get(int(lane))
+                    if st is not None:
+                        st.rebase_pending = False
+            else:
+                recs = self._native_ser.greedy_tick(packed, adv)
+            for lane, msgs in recs.items():
+                if lane in self.streams:
+                    out.setdefault(lane, []).extend(msgs)
+            return
         if self.decoder == "beam":
             W, win = self.beam_width, self._beam_win
             toks = packed[:, : W * win].reshape(-1, W, win)

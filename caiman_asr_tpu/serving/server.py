@@ -96,7 +96,9 @@ class ASRServer:
                 resp = await q.get()
                 if resp.get("eos"):
                     return
-                await websocket.send(json.dumps(resp))
+                await websocket.send(
+                    resp if isinstance(resp, str) else json.dumps(resp)
+                )
 
         send_task = asyncio.create_task(sender())
         try:

@@ -34,7 +34,7 @@ def engine():
     return StreamingEngine(
         model, params, BLANK, Tok(), max_streams=2,
         decoder="beam", beam_width=3,
-    )
+        native_serializer=False)
 
 
 def collect(engine, lane, audio):
@@ -102,7 +102,7 @@ def _make_engine(**kw):
     return StreamingEngine(
         model, params, BLANK, Tok(), max_streams=2, decoder="beam",
         beam_width=3, **kw,
-    )
+        native_serializer=False)
 
 
 def _run(engine, audio):

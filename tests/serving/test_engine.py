@@ -77,7 +77,7 @@ def test_streaming_matches_offline(setup):
     eng = StreamingEngine(
         model, params, BLANK, Tok(), mel_stats=mel_stats, max_streams=4,
         max_symbols_per_step=4,
-    )
+        native_serializer=False)
     lane = eng.open_stream()
     streamed = []
     for i in range(n_ticks):
@@ -98,7 +98,7 @@ def test_streaming_matches_offline(setup):
 def test_lane_lifecycle(setup):
     model, params, mel_stats = setup
     eng = StreamingEngine(model, params, BLANK, Tok(), mel_stats=mel_stats,
-                          max_streams=2)
+                          max_streams=2, native_serializer=False)
     a = eng.open_stream()
     b = eng.open_stream()
     assert eng.open_stream() is None  # full
@@ -124,7 +124,7 @@ def test_fresh_lane_state_isolated(setup):
 
     def run_alone():
         eng = StreamingEngine(model, params, BLANK, Tok(), mel_stats=mel_stats,
-                              max_streams=2)
+                              max_streams=2, native_serializer=False)
         lane = eng.open_stream()
         texts = []
         for i in range(3):
@@ -137,7 +137,7 @@ def test_fresh_lane_state_isolated(setup):
     ref = run_alone()
 
     eng = StreamingEngine(model, params, BLANK, Tok(), mel_stats=mel_stats,
-                          max_streams=2)
+                          max_streams=2, native_serializer=False)
     first = eng.open_stream()
     eng.push_audio(first, (rng.normal(size=960 * 2)).astype(np.float32))
     eng.tick()

@@ -37,7 +37,7 @@ def engine():
         N_CLASSES,
     )
     params = model.init(jax.random.PRNGKey(3))
-    return StreamingEngine(model, params, BLANK, Tok(), max_streams=4)
+    return StreamingEngine(model, params, BLANK, Tok(), max_streams=4, native_serializer=False)
 
 
 def test_param_validation():
