@@ -29,6 +29,7 @@ import numpy as np
 _SRCS = [
     Path(__file__).parent / "src" / "flac_decoder.cpp",
     Path(__file__).parent / "src" / "serialize.cpp",
+    Path(__file__).parent / "src" / "staging.cpp",
 ]
 _LIB = Path(__file__).parent / "src" / "libcaiman_native.so"
 _lib: Optional[ctypes.CDLL] = None
@@ -90,6 +91,14 @@ def _ensure_built() -> ctypes.CDLL:
     lib.ser_lane_committed.argtypes = [ctypes.c_int]
     lib.ser_lane_frame_idx.restype = ctypes.c_int64
     lib.ser_lane_frame_idx.argtypes = [ctypes.c_int]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.stg_init.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.stg_reset_lane.argtypes = [ctypes.c_int]
+    lib.stg_push.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
+    lib.stg_buffered.restype = ctypes.c_long
+    lib.stg_buffered.argtypes = [ctypes.c_int]
+    lib.stg_tick.argtypes = [f32p, ctypes.c_long, u8p, u8p, ctypes.c_int,
+                             u8p, u8p]
     _lib = lib
     return lib
 
@@ -217,3 +226,50 @@ class ResponseSerializer:
             if n >= 0:
                 return self._records(n), self._dev_len
             self._grow()
+
+
+class AudioStaging:
+    """Native per-lane audio buffering + staging-matrix fill (staging.cpp).
+
+    Owns the lane ring buffers and carries; one ``tick`` call pops a hop of
+    audio per ready lane into the [B, carry+hop] staging matrix and returns
+    the advanced/finishing masks. Same global-state caveat as
+    ResponseSerializer: one instance per process (last constructed wins).
+    """
+
+    def __init__(self, max_lanes: int, carry_len: int, hop: int):
+        self._lib = _ensure_built()
+        self._lib.stg_init(max_lanes, carry_len, hop)
+        self._f32p = ctypes.POINTER(ctypes.c_float)
+        self._u8p = ctypes.POINTER(ctypes.c_uint8)
+        self._adv = np.zeros(max_lanes, np.uint8)
+        self._fin = np.zeros(max_lanes, np.uint8)
+
+    def reset_lane(self, lane: int):
+        self._lib.stg_reset_lane(lane)
+
+    def push(self, lane: int, samples: np.ndarray):
+        x = samples
+        if not (isinstance(x, np.ndarray) and x.dtype == np.float32
+                and x.flags.c_contiguous):
+            x = np.ascontiguousarray(x, np.float32)
+        # raw pointer via c_void_p: ~3x cheaper than a data_as POINTER cast
+        # on the per-websocket-message hot path
+        self._lib.stg_push(lane, x.ctypes.data, x.size)
+
+    def buffered(self, lane: int) -> int:
+        return int(self._lib.stg_buffered(lane))
+
+    def tick(self, staging: np.ndarray, active: np.ndarray,
+             closed: np.ndarray):
+        """staging: float32 [B, carry+hop] (filled in place);
+        active/closed: uint8 [B]. Returns (adv bool [B], finishing bool [B])."""
+        self._lib.stg_tick(
+            staging.ctypes.data_as(self._f32p), staging.shape[1],
+            np.ascontiguousarray(active, np.uint8).ctypes.data_as(self._u8p),
+            np.ascontiguousarray(closed, np.uint8).ctypes.data_as(self._u8p),
+            staging.shape[0],
+            self._adv.ctypes.data_as(self._u8p),
+            self._fin.ctypes.data_as(self._u8p),
+        )
+        return self._adv.astype(bool), self._fin.astype(bool)

@@ -1,0 +1,105 @@
+// Native audio staging for the streaming engine.
+//
+// The per-tick Python loop that fills the [B, carry+hop] staging matrix
+// (pop hop samples from each lane's chunk list, thread the carry) costs
+// ~6 us/lane — with the response serializer native (serialize.cpp) it is
+// the remaining host cost at scale. This module owns the per-lane audio
+// buffers and carries, and fills the staging matrix in one call.
+//
+// Thread-safety: none here — the engine serializes push/tick under its
+// RLock (same contract as the Python path).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct AudioLane {
+  std::vector<float> buf;  // [head, buf.size()) is buffered audio
+  size_t head = 0;
+  std::vector<float> carry;  // [carry_len], zero-initialised
+
+  void compact() {
+    // amortized O(1): drop consumed prefix once it dominates
+    if (head > 4096 && head * 2 > buf.size()) {
+      buf.erase(buf.begin(), buf.begin() + head);
+      head = 0;
+    }
+  }
+  size_t len() const { return buf.size() - head; }
+};
+
+struct StgState {
+  int carry_len = 0, hop = 0;
+  std::vector<AudioLane> lanes;
+};
+
+StgState g;
+
+}  // namespace
+
+extern "C" {
+
+int stg_init(int max_lanes, int carry_len, int hop) {
+  g.carry_len = carry_len;
+  g.hop = hop;
+  g.lanes.assign(max_lanes, AudioLane{});
+  for (auto& l : g.lanes) l.carry.assign(carry_len, 0.0f);
+  return 0;
+}
+
+void stg_reset_lane(int lane) {
+  if (lane < 0 || lane >= (int)g.lanes.size()) return;
+  AudioLane& l = g.lanes[lane];
+  l.buf.clear();
+  l.head = 0;
+  l.carry.assign(g.carry_len, 0.0f);
+}
+
+void stg_push(int lane, const float* x, long n) {
+  if (lane < 0 || lane >= (int)g.lanes.size()) return;
+  AudioLane& l = g.lanes[lane];
+  l.buf.insert(l.buf.end(), x, x + n);
+}
+
+long stg_buffered(int lane) {
+  if (lane < 0 || lane >= (int)g.lanes.size()) return -1;
+  return (long)g.lanes[lane].len();
+}
+
+// Fill staging rows: row = [carry | hop popped samples (zero-padded)],
+// new carry = last carry_len entries of the row. active/closed: uint8[B].
+// adv_out[b]=1 where the lane advanced; finishing_out[b]=1 where the lane
+// is closed and fully drained (emit EOS).
+void stg_tick(float* staging, long row_stride, const uint8_t* active,
+              const uint8_t* closed, int B, uint8_t* adv_out,
+              uint8_t* finishing_out) {
+  const int C = g.carry_len, H = g.hop;
+  for (int b = 0; b < B; b++) {
+    adv_out[b] = 0;
+    finishing_out[b] = 0;
+    if (!active[b]) continue;
+    AudioLane& l = g.lanes[b];
+    size_t have = l.len();
+    if (have < (size_t)H) {
+      if (!closed[b]) continue;
+      if (have == 0) {
+        finishing_out[b] = 1;
+        continue;
+      }
+    }
+    float* row = staging + (long)b * row_stride;
+    memcpy(row, l.carry.data(), C * sizeof(float));
+    size_t take = have < (size_t)H ? have : (size_t)H;
+    memcpy(row + C, l.buf.data() + l.head, take * sizeof(float));
+    if (take < (size_t)H)
+      memset(row + C + take, 0, (H - take) * sizeof(float));
+    l.head += take;
+    l.compact();
+    memcpy(l.carry.data(), row + C + H - C, C * sizeof(float));
+    adv_out[b] = 1;
+  }
+}
+
+}  // extern "C"

@@ -173,6 +173,21 @@ class StreamingEngine:
                 raise ValueError(
                     "native_serializer requires a tokenizer with id_to_piece"
                 )
+        # Native audio staging (per-lane buffers + staging fill in C);
+        # independent of the serializer — needs no tokenizer.
+        self._native_stg = None
+        if native_serializer is not False:
+            try:
+                from caiman_asr_tpu.native import AudioStaging
+
+                self._native_stg = AudioStaging(
+                    self.B, self.carry_samples, self.hop_samples
+                )
+                self._active = np.zeros(self.B, np.uint8)
+                self._closed = np.zeros(self.B, np.uint8)
+            except Exception:
+                if native_serializer:
+                    raise
         self._jit_tick = jax.jit(self._tick_impl, donate_argnums=(2, 3))
         self._tick_count = 0
         self._rng0 = jax.random.PRNGKey(4242)
@@ -354,6 +369,10 @@ class StreamingEngine:
             self.streams[lane] = StreamState(
                 carry=np.zeros(self.carry_samples, np.float32)
             )
+            if self._native_stg is not None:
+                self._native_stg.reset_lane(lane)
+                self._active[lane] = 1
+                self._closed[lane] = 0
             self._reset_lane(lane)
             return lane
 
@@ -362,6 +381,8 @@ class StreamingEngine:
         with self._lock:
             if lane in self.streams:
                 self.streams[lane].closed = True
+                if self._native_stg is not None:
+                    self._closed[lane] = 1
 
     def _reset_lane(self, lane: int):
         if self._native_ser is not None:
@@ -396,11 +417,16 @@ class StreamingEngine:
     def push_audio(self, lane: int, samples: np.ndarray):
         with self._lock:
             st = self.streams[lane]
+            if self._native_stg is not None:
+                self._native_stg.push(lane, samples)
+                return
             st.chunks.append(np.asarray(samples, np.float32))
             st.buf_len += len(samples)
 
     def _release(self, lane: int):
         del self.streams[lane]
+        if self._native_stg is not None:
+            self._active[lane] = 0
         self._free.append(lane)
 
     # ----------------------------------------------------------------- tick
@@ -441,20 +467,24 @@ class StreamingEngine:
                 (self.B, self.carry_samples + self.hop_samples), np.float32
             )
         samples = self._staging
-        adv = np.zeros(self.B, bool)
-        finishing: List[int] = []
-        for lane, st in self.streams.items():
-            if st.buf_len < self.hop_samples:
-                if not st.closed:
-                    continue
-                if st.buf_len == 0:
-                    finishing.append(lane)
-                    continue
-            row = samples[lane]
-            row[: self.carry_samples] = st.carry
-            self._pop_into(st, row[self.carry_samples :])
-            st.carry = row[-self.carry_samples :].copy()
-            adv[lane] = True
+        if self._native_stg is not None:
+            adv, fin = self._native_stg.tick(samples, self._active, self._closed)
+            finishing = [int(l) for l in np.flatnonzero(fin)]
+        else:
+            adv = np.zeros(self.B, bool)
+            finishing = []
+            for lane, st in self.streams.items():
+                if st.buf_len < self.hop_samples:
+                    if not st.closed:
+                        continue
+                    if st.buf_len == 0:
+                        finishing.append(lane)
+                        continue
+                row = samples[lane]
+                row[: self.carry_samples] = st.carry
+                self._pop_into(st, row[self.carry_samples :])
+                st.carry = row[-self.carry_samples :].copy()
+                adv[lane] = True
 
         rebase = np.zeros(self.B, np.int32)
         if self.decoder == "beam":
