@@ -39,6 +39,12 @@ def train_arg_parser() -> argparse.ArgumentParser:
              "(tensor parallelism via the vocab-parallel loss); the "
              "remaining devices form the data axis",
     )
+    training.add_argument(
+        "--log_layer_stats", action="store_true",
+        help="log per-layer weight/grad norm, std and grad-max each "
+             "log_frequency step (reference log/logging_layers.py); computed "
+             "on device inside the jitted step",
+    )
     training.add_argument("--multihost", action="store_true",
                           help="initialise jax.distributed (one process/host)")
     training.add_argument("--coordinator_address", type=str, default=None)

@@ -252,6 +252,7 @@ def main(args=None):
             eos_penalty=args.eos_penalty,
             grad_noise=cfg.grad_noise.noise_level > 0,
             compute_dtype=None if args.no_amp else jnp.bfloat16,
+            collect_layer_stats=getattr(args, "log_layer_stats", False),
         )
     else:
         train_step = make_train_step(
@@ -265,6 +266,7 @@ def main(args=None):
             grad_noise=cfg.grad_noise.noise_level > 0,
             rsp=rsp_on,
             compute_dtype=None if args.no_amp else jnp.bfloat16,
+            collect_layer_stats=getattr(args, "log_layer_stats", False),
         )
     rsp_ctl, rnnt_state = None, None
     if rsp_on:
@@ -428,6 +430,18 @@ def main(args=None):
                     }
                 )
                 logger.flush_accumulated((epoch, step))
+                if "layer_stats" in metrics:
+                    from caiman_asr_tpu.log.layer_stats import (
+                        layer_stat_names, layer_stats_dict,
+                    )
+
+                    if not hasattr(main, "_layer_names"):
+                        main._layer_names = layer_stat_names(state.params)
+                    logger.log(
+                        (epoch, step),
+                        layer_stats_dict(main._layer_names, metrics["layer_stats"]),
+                        subset="train_layers",
+                    )
                 t_log, audio_secs_since_log, utts_since_log = time.time(), 0.0, 0
 
             if step % args.prediction_frequency == 0:

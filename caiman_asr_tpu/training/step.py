@@ -190,6 +190,7 @@ def _finish_step(
     ema_decay,
     grad_noise,
     apply_bn=None,
+    collect_layer_stats=False,
 ):
     """Shared post-gradient tail: noise -> clip-free LAMB -> EMA -> atomic
     non-finite skip. Used by both the DP and the TP train steps so the
@@ -231,6 +232,10 @@ def _finish_step(
         "grad_norm": grad_norm,
         "skipped": (~good).astype(jnp.int32),
     }
+    if collect_layer_stats:
+        from caiman_asr_tpu.log.layer_stats import layer_stats_vec
+
+        metrics["layer_stats"] = layer_stats_vec(state.params, grads)
     return new_state, metrics, good
 
 
@@ -247,6 +252,7 @@ def make_train_step(
     rsp: bool = False,
     compute_dtype=None,
     donate: bool = True,
+    collect_layer_stats: bool = False,
 ):
     """Build the jitted train step.
 
@@ -363,6 +369,7 @@ def make_train_step(
                 if has_bn and not rsp
                 else None
             ),
+            collect_layer_stats=collect_layer_stats,
         )
         if rsp:
             # A NaN step may mean the carried state is poisoned: zero it
@@ -406,6 +413,7 @@ def make_train_step_tp(
     donate: bool = True,
     data_axis: str = "data",
     model_axis: str = "model",
+    collect_layer_stats: bool = False,
 ):
     """Tensor-parallel train step over a 2-D (data x model) mesh.
 
@@ -487,7 +495,7 @@ def make_train_step_tp(
 
         new_state, metrics, _ = _finish_step(
             state, grads, total_loss, rng, scalars, optimizer, ema_decay,
-            grad_noise,
+            grad_noise, collect_layer_stats=collect_layer_stats,
         )
         return new_state, metrics
 

@@ -177,6 +177,54 @@ def test_mini_train_model_parallel(workspace, tmp_path):
     assert 0.0 <= best_wer <= 10.0
 
 
+def test_layer_stats_logging(workspace, tmp_path):
+    """--log_layer_stats emits per-layer weight/grad stats to the JSONL log
+    (reference log/logging_layers.py parity)."""
+    from caiman_asr_tpu import train as train_mod
+
+    root, cfg_path = workspace
+    out = tmp_path / "out_ls"
+    args = make_train_args(root, cfg_path, out, training_steps=2,
+                           log_layer_stats=True, log_frequency=1)
+    train_mod.main(args)
+    logs = "".join(p.read_text() for p in out.glob("log_*.jsonl"))
+    assert "per-layer-weight-norm/" in logs
+    assert "per-layer-grad-max/" in logs
+
+
+def test_val_multiple(workspace, tmp_path):
+    """Multi-dataset validation sweep: per-dataset subdirs + summary
+    json/csv, overwrite gating (reference val_multiple.py semantics)."""
+    from caiman_asr_tpu import train as train_mod
+    from caiman_asr_tpu import val_multiple
+
+    root, cfg_path = workspace
+    out = tmp_path / "out_vm"
+    train_mod.main(make_train_args(root, cfg_path, out, training_steps=2))
+
+    vm_out = tmp_path / "vm"
+    argv = [
+        "--model_config", str(cfg_path),
+        "--output_dir", str(vm_out),
+        "--ckpt", str(out / "ckpts" / "last.npz"),
+        "--val_batch_size", "4",
+        "--all_dataset_dirs", str(root), str(root),
+        "--all_val_manifests", "manifest.json", "manifest.json",
+        "--custom_batch_sizes", "4", "2",
+    ]
+    results = val_multiple.main(argv)
+    assert len(results) == 1  # same dataset label twice -> one entry
+    import json as _json
+
+    payload = _json.loads((vm_out / "validate_multiple.json").read_text())
+    assert any(k.endswith("manifest.json") for k in payload)
+    assert (vm_out / "validate_multiple.csv").exists()
+    # overwrite gating
+    with pytest.raises(ValueError):
+        val_multiple.main(argv)
+    val_multiple.main(argv + ["--overwrite_ok"])
+
+
 def test_resume(workspace, tmp_path):
     from caiman_asr_tpu import train as train_mod
 
