@@ -181,7 +181,9 @@ class ResponseSerializer:
 
     def _records(self, nbytes: int):
         out = {}
-        raw = self._buf.raw
+        # string_at copies only the used prefix (create_string_buffer.raw
+        # would copy the whole multi-MB buffer every tick)
+        raw = ctypes.string_at(self._buf, nbytes)
         off = 0
         while off < nbytes:
             lane = int.from_bytes(raw[off:off + 4], "little")

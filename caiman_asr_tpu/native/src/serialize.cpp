@@ -183,7 +183,6 @@ long ser_beam_tick(const int32_t* packed, long row_stride,
       else ln.hist.erase(ln.hist.begin(), ln.hist.begin() + echo);
     }
 
-    float scores[64];
     bool alive[64];
     bool any_alive = false;
     int best = 0;
@@ -193,7 +192,6 @@ long ser_beam_tick(const int32_t* packed, long row_stride,
     for (int w = 0; w < W; w++) {
       float s;
       memcpy(&s, &score_bits[w], 4);
-      scores[w] = s;
       alive[w] = s > -1e29f;
       if (lens[w] > max_len) max_len = lens[w];  // over ALL hyps (dev_len)
       if (alive[w]) {
@@ -240,8 +238,7 @@ long ser_beam_tick(const int32_t* packed, long row_stride,
           }
         if (!ag) break;
       }
-      p = base + j;
-      if (p > min_len) p = min_len;
+      p = base + j;  // j <= min_len - base, so p <= min_len
     }
     if (p > ln.committed) {
       payload.clear();

@@ -23,6 +23,7 @@ MXU-tiled online reductions rather than a translation.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -240,8 +241,6 @@ def _pad_to(x, n, axis, value=0):
     pad[axis] = (0, n - x.shape[axis])
     return jnp.pad(x, pad, constant_values=value) if n != x.shape[axis] else x
 
-
-import os
 
 # HBM budget for the stored-u training fast path (see _fwd_kernel_store):
 # enabled when the padded [N, K] bf16 slab fits. ~4.7 GB at base-85M

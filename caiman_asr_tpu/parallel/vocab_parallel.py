@@ -168,11 +168,10 @@ def _vp_vjp_bwd(blank_idx, axis_name, interpret, res, grads):
         )
         smear = s2 if smear is None else smear + s2
     # local one-hot dh terms (w columns this shard owns)
-    Klc = Kl - 1
-    lab_in = (lab_rel >= 0) & (lab_rel <= Klc)
-    lab_c = jnp.clip(lab_rel, 0, Klc)
-    blank_in = (blank_rel_t >= 0) & (blank_rel_t <= Klc)
-    blank_c = jnp.clip(blank_rel_t, 0, Klc)
+    lab_in = (lab_rel >= 0) & (lab_rel < Kl)
+    lab_c = jnp.clip(lab_rel, 0, Kl - 1)
+    blank_in = (blank_rel_t >= 0) & (blank_rel_t < Kl)
+    blank_c = jnp.clip(blank_rel_t, 0, Kl - 1)
     dh_local = (
         smear[:N]
         + jnp.where(blank_in, cb, 0.0)[:, None]

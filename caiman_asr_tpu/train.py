@@ -313,6 +313,7 @@ def main(args=None):
     step = start_step
     last_wer = None
     t_log = time.time()
+    layer_names = None  # per-layer stat names, built lazily on first log
     audio_secs_since_log = 0.0
     utts_since_log = 0
     print(
@@ -435,11 +436,11 @@ def main(args=None):
                         layer_stat_names, layer_stats_dict,
                     )
 
-                    if not hasattr(main, "_layer_names"):
-                        main._layer_names = layer_stat_names(state.params)
+                    if layer_names is None:
+                        layer_names = layer_stat_names(state.params)
                     logger.log(
                         (epoch, step),
-                        layer_stats_dict(main._layer_names, metrics["layer_stats"]),
+                        layer_stats_dict(layer_names, metrics["layer_stats"]),
                         subset="train_layers",
                     )
                 t_log, audio_secs_since_log, utts_since_log = time.time(), 0.0, 0

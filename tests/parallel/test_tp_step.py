@@ -79,18 +79,12 @@ def test_tp_step_matches_dp(setup):
             tree, jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs)
         )
 
-    def put_opt(opt_state):
-        def leaf_sharding(x):
-            # param-shaped optimizer leaves get the matching param spec
-            # (LAMB mu/nu are param pytrees); scalars are replicated
-            return NamedSharding(mesh, P())
-
-        return jax.device_put(opt_state, jax.tree.map(leaf_sharding, opt_state))
-
+    # opt state replicated (GSPMD reshards the param-shaped LAMB leaves to
+    # follow the sharded joint_fc params inside the jitted step)
     tp_state = state._replace(
         params=put_like_params(state.params),
         ema_params=put_like_params(state.ema_params),
-        opt_state=put_opt(state.opt_state),
+        opt_state=jax.device_put(state.opt_state, NamedSharding(mesh, P())),
         step=jax.device_put(state.step, NamedSharding(mesh, P())),
     )
     batch_sh = jax.device_put(
