@@ -136,3 +136,51 @@ def test_read_audio_flac(tmp_path):
     (tmp_path / "x.flac").write_bytes(encode_flac_verbatim(pcm))
     audio = read_audio(tmp_path / "x.flac", 16000)
     np.testing.assert_allclose(audio, pcm.astype(np.float32) / 32768.0, atol=1e-6)
+
+
+def test_audio_staging_semantics():
+    """Native staging: partial buffers wait, carries thread, EOS drains with
+    zero-padding, reset clears (mirrors engine.py's Python staging loop)."""
+    from caiman_asr_tpu.native import AudioStaging
+
+    B, carry, hop = 3, 4, 8
+    stg = AudioStaging(B, carry, hop)
+    staging = np.zeros((B, carry + hop), np.float32)
+    active = np.array([1, 1, 0], np.uint8)
+    closed = np.zeros(B, np.uint8)
+
+    # lane 0: exactly one hop; lane 1: partial (waits); lane 2: inactive
+    stg.push(0, np.arange(1, hop + 1, dtype=np.float32))
+    stg.push(1, np.ones(3, np.float32))
+    adv, fin = stg.tick(staging, active, closed)
+    assert adv.tolist() == [True, False, False] and not fin.any()
+    np.testing.assert_array_equal(staging[0, :carry], np.zeros(carry))
+    np.testing.assert_array_equal(staging[0, carry:], np.arange(1, hop + 1))
+    assert stg.buffered(1) == 3
+
+    # carry = last `carry` samples of the previous row
+    stg.push(0, np.full(hop, 9.0, np.float32))
+    adv, _ = stg.tick(staging, active, closed)
+    assert adv[0]
+    np.testing.assert_array_equal(
+        staging[0, :carry], np.arange(hop - carry + 1, hop + 1)
+    )
+
+    # closing lane 1 drains its partial buffer zero-padded, then finishes
+    closed[1] = 1
+    adv, fin = stg.tick(staging, active, closed)
+    assert adv[1] and not fin[1]
+    np.testing.assert_array_equal(
+        staging[1, carry : carry + 3], np.ones(3)
+    )
+    np.testing.assert_array_equal(staging[1, carry + 3 :], np.zeros(hop - 3))
+    adv, fin = stg.tick(staging, active, closed)
+    assert not adv[1] and fin[1]
+
+    # reset clears buffer and carry
+    stg.push(0, np.ones(2, np.float32))
+    stg.reset_lane(0)
+    assert stg.buffered(0) == 0
+    closed[0] = 1
+    adv, fin = stg.tick(staging, active, closed)
+    assert fin[0]
