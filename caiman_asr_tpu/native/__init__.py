@@ -149,6 +149,41 @@ def levenshtein(a, b) -> int:
     )
 
 
+# The serializer/staging C state is process-global ("last constructed
+# wins"). Constructing a second live instance would silently corrupt the
+# first engine's lane buffers, so registration raises instead; a released
+# (close()d or garbage-collected) instance frees its slot.
+_live_owner: dict = {}
+
+
+def _claim_global_state(kind: str, owner) -> None:
+    import weakref
+
+    ref = _live_owner.get(kind)
+    if ref is not None and ref() is not None:
+        # An engine's jitted tick holds a self-reference cycle, so a dropped
+        # engine may linger until the cycle collector runs; give it one shot
+        # before declaring a genuine conflict.
+        import gc
+
+        gc.collect()
+        ref = _live_owner.get(kind)
+    if ref is not None and ref() is not None:
+        raise RuntimeError(
+            f"a live native {kind} instance already exists in this process; "
+            "the underlying C state is global (one engine per process). "
+            "close() the first engine, or construct the new one with "
+            "native_serializer=False to use the Python path."
+        )
+    _live_owner[kind] = weakref.ref(owner)
+
+
+def _release_global_state(kind: str, owner) -> None:
+    ref = _live_owner.get(kind)
+    if ref is not None and ref() is owner:
+        _live_owner[kind] = None
+
+
 class ResponseSerializer:
     """Native streaming-response serializer (see src/serialize.cpp).
 
@@ -162,13 +197,26 @@ class ResponseSerializer:
     def __init__(self, max_lanes: int, beam_width: int, beam_win: int,
                  frame_seconds: float, pieces):
         self._lib = _ensure_built()
-        self._lib.ser_init(max_lanes, beam_width, beam_win,
-                           float(frame_seconds), len(pieces))
+        _claim_global_state("serializer", self)
+        rc = self._lib.ser_init(max_lanes, beam_width, beam_win,
+                                float(frame_seconds), len(pieces))
+        if rc != 0:
+            _release_global_state("serializer", self)
+            raise ValueError(
+                f"ser_init rejected (max_lanes={max_lanes}, beam_width="
+                f"{beam_width}, beam_win={beam_win}, n_pieces={len(pieces)}):"
+                " beam_width must be in [1, 64] and all sizes positive"
+            )
         for i, p in enumerate(pieces):
             b = p.encode("utf-8") if isinstance(p, str) else bytes(p)
             self._lib.ser_set_piece(i, b, len(b))
         self._buf = ctypes.create_string_buffer(4 << 20)
         self._dev_len = np.zeros(max_lanes, np.int64)
+
+    def close(self):
+        """Release the process-global serializer slot so a new engine can
+        construct its own ResponseSerializer."""
+        _release_global_state("serializer", self)
 
     def reset_lane(self, lane: int):
         self._lib.ser_reset_lane(lane)
@@ -241,11 +289,16 @@ class AudioStaging:
 
     def __init__(self, max_lanes: int, carry_len: int, hop: int):
         self._lib = _ensure_built()
+        _claim_global_state("staging", self)
         self._lib.stg_init(max_lanes, carry_len, hop)
         self._f32p = ctypes.POINTER(ctypes.c_float)
         self._u8p = ctypes.POINTER(ctypes.c_uint8)
         self._adv = np.zeros(max_lanes, np.uint8)
         self._fin = np.zeros(max_lanes, np.uint8)
+
+    def close(self):
+        """Release the process-global staging slot (see ResponseSerializer)."""
+        _release_global_state("staging", self)
 
     def reset_lane(self, lane: int):
         self._lib.stg_reset_lane(lane)

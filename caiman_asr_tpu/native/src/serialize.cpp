@@ -106,8 +106,16 @@ bool put_record(char* out, long out_cap, long& off, int lane,
 
 extern "C" {
 
+// Hard bound on beam width: ser_beam_tick keeps per-hypothesis liveness in
+// a fixed stack array (see kMaxW uses below). ser_init rejects wider beams
+// so an unbounded --beam_width CLI value cannot overrun it.
+constexpr int kMaxW = 64;
+
 int ser_init(int max_lanes, int beam_width, int beam_win,
              double frame_seconds, int n_pieces) {
+  if (max_lanes <= 0 || beam_width <= 0 || beam_width > kMaxW ||
+      beam_win <= 0 || n_pieces <= 0)
+    return -1;
   g.W = beam_width;
   g.win = beam_win;
   g.frame_seconds = frame_seconds;
@@ -183,7 +191,7 @@ long ser_beam_tick(const int32_t* packed, long row_stride,
       else ln.hist.erase(ln.hist.begin(), ln.hist.begin() + echo);
     }
 
-    bool alive[64];
+    bool alive[kMaxW];  // W <= kMaxW enforced by ser_init
     bool any_alive = false;
     int best = 0;
     float best_norm = -INFINITY;

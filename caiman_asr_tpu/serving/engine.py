@@ -166,9 +166,15 @@ class StreamingEngine:
                         self.frame_seconds,
                         pieces,
                     )
-                except Exception:
+                except Exception as e:
                     if native_serializer:
                         raise
+                    import warnings
+
+                    warnings.warn(
+                        f"native serializer unavailable ({e}); "
+                        "using the Python response path"
+                    )
             elif native_serializer:
                 raise ValueError(
                     "native_serializer requires a tokenizer with id_to_piece"
@@ -185,9 +191,15 @@ class StreamingEngine:
                 )
                 self._active = np.zeros(self.B, np.uint8)
                 self._closed = np.zeros(self.B, np.uint8)
-            except Exception:
+            except Exception as e:
                 if native_serializer:
                     raise
+                import warnings
+
+                warnings.warn(
+                    f"native audio staging unavailable ({e}); "
+                    "using the Python staging path"
+                )
         self._jit_tick = jax.jit(self._tick_impl, donate_argnums=(2, 3))
         self._tick_count = 0
         self._rng0 = jax.random.PRNGKey(4242)
@@ -206,6 +218,16 @@ class StreamingEngine:
         import threading
 
         self._lock = threading.RLock()
+
+    def close(self):
+        """Release process-global native resources (serializer/staging C
+        state) so another engine can be constructed in this process."""
+        if self._native_ser is not None:
+            self._native_ser.close()
+            self._native_ser = None
+        if self._native_stg is not None:
+            self._native_stg.close()
+            self._native_stg = None
 
     def warmup(self):
         """Force-compile the tick program before serving traffic (first-tick

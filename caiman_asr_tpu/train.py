@@ -373,16 +373,26 @@ def main(args=None):
                 dense_n = (
                     stacked["feats"].shape[2] * enc_t * (stacked["txt"].shape[2] + 1)
                 )
-                nv = max(micro_nvalid)
                 if jax.process_count() > 1:
-                    # pack_to is a STATIC jit arg: all hosts must agree or
-                    # they compile different executables for one SPMD step
-                    # (collective mismatch). Agree on the global max.
+                    # Under GSPMD the packed joint gathers over the GLOBAL
+                    # batch: the valid count of one microbatch is the SUM of
+                    # the hosts' local counts, and pack_to is a STATIC jit
+                    # arg all hosts must agree on (different caps compile
+                    # different executables for one SPMD step = collective
+                    # mismatch). Allgather per-microbatch local counts +
+                    # local dense sizes, sum across hosts elementwise, cap
+                    # at the worst microbatch.
                     from jax.experimental import multihost_utils
 
-                    nv = int(np.max(
-                        multihost_utils.process_allgather(np.int64(nv))
-                    ))
+                    local = np.asarray(micro_nvalid + [dense_n], np.int64)
+                    gathered = np.asarray(
+                        multihost_utils.process_allgather(local)
+                    )  # [n_hosts, accum + 1]
+                    summed = np.sum(gathered, axis=0)
+                    nv = int(np.max(summed[:-1]))
+                    dense_n = int(summed[-1])
+                else:
+                    nv = max(micro_nvalid)
                 pack_to = pack_cap(nv, dense_n)
             if jax.process_count() > 1:
                 from caiman_asr_tpu.parallel.mesh import shard_batch_multihost

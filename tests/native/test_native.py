@@ -184,3 +184,29 @@ def test_audio_staging_semantics():
     closed[0] = 1
     adv, fin = stg.tick(staging, active, closed)
     assert fin[0]
+
+
+def test_serializer_rejects_wide_beam():
+    """ser_init bounds beam_width to its fixed liveness array (<=64); an
+    unbounded CLI value must raise, not overrun the stack."""
+    from caiman_asr_tpu.native import ResponseSerializer
+
+    with pytest.raises(ValueError):
+        ResponseSerializer(4, 65, 8, 0.06, ["a", "b"])
+    with pytest.raises(ValueError):
+        ResponseSerializer(4, 0, 8, 0.06, ["a"])
+    ser = ResponseSerializer(4, 64, 8, 0.06, ["a", "b"])  # max width OK
+    ser.close()
+
+
+def test_serializer_single_live_instance():
+    """The C state is process-global: a second live serializer raises; a
+    close()d one frees the slot."""
+    from caiman_asr_tpu.native import ResponseSerializer
+
+    a = ResponseSerializer(2, 1, 1, 0.06, ["x"])
+    with pytest.raises(RuntimeError):
+        ResponseSerializer(2, 1, 1, 0.06, ["x"])
+    a.close()
+    b = ResponseSerializer(2, 1, 1, 0.06, ["x"])
+    b.close()
