@@ -25,6 +25,11 @@ def add_shared_args(parser: argparse.ArgumentParser):
     io.add_argument("--mel_stats_path", type=str, default=None,
                     help="npz with melmeans/melvars dataset statistics")
 
+    parser.add_argument(
+        "--prob_val_narrowband", type=float, default=0.0,
+        help="probability of 8 kHz-resimulating a validation utterance "
+             "(reference args/shared.py:35)",
+    )
     src = parser.add_argument_group("data source")
     src.add_argument("--read_from_tar", action="store_true",
                      help="read webdataset tar shards instead of JSON manifests")

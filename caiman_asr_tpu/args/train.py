@@ -103,6 +103,11 @@ def train_arg_parser() -> argparse.ArgumentParser:
     noise.add_argument("--noise_ramp_steps", type=int, default=4896)
     noise.add_argument("--noise_initial_low", type=int, default=30)
     noise.add_argument("--noise_initial_high", type=int, default=60)
+    noise.add_argument(
+        "--prob_train_narrowband", type=float, default=0.0,
+        help="probability of 8 kHz-resimulating a training utterance "
+             "(reference args/train.py:389, dali/pipeline.py:407)",
+    )
     noise.add_argument("--noise_dataset", type=str, default=None,
                        help="local directory of background-noise audio files")
 

@@ -93,6 +93,20 @@ def speed_perturb(
     return scaled.astype(np.float32)
 
 
+def narrowband_resim(audio: np.ndarray, sr: int | float) -> np.ndarray:
+    """Telephony-bandwidth resimulation: downsample to 8 kHz and back
+    (reference pipeline.py:407-437 — volume is divided by 3 before the
+    resample round-trip to avoid filter-overshoot clipping, then restored).
+    Length is preserved (the polyphase round-trip can drift a sample)."""
+    n = len(audio)
+    if n == 0 or float(sr) == 8000.0:
+        return audio
+    x = resample(resample(audio / 3.0, sr, 8000), 8000, sr) * 3.0
+    if len(x) < n:
+        x = np.pad(x, (0, n - len(x)))
+    return x[:n].astype(np.float32)
+
+
 def trim_silence(
     audio: np.ndarray, cutoff_db: float = -60.0, window: int = 256
 ) -> np.ndarray:

@@ -69,6 +69,7 @@ class AudioDataLoader:
         prefetch: int = 2,
         background_noise=None,   # (NoiseDataset, NoiseSampler)
         babble_noise=None,       # NoiseSampler
+        prob_narrowband: float = 0.0,
     ):
         self.utts = list(utterances)
         self.sampler = sampler
@@ -85,6 +86,7 @@ class AudioDataLoader:
         self.prefetch = prefetch
         self.background_noise = background_noise
         self.babble_noise = babble_noise
+        self.prob_narrowband = prob_narrowband
         self._token_cache: Dict[int, List[int]] = {}
         max_dur = pipeline.dataset.max_duration or max(
             (u.duration for u in self.utts), default=1.0
@@ -128,6 +130,13 @@ class AudioDataLoader:
             if rng.random() < sp.get("p", 1.0):
                 rate = rng.uniform(sp.get("min_rate", 0.85), sp.get("max_rate", 1.15))
                 audio = speed_perturb(audio, rate)
+        # 8 kHz resimulation applies in train AND val (reference exposes
+        # --prob_train_narrowband / --prob_val_narrowband separately;
+        # build_dataloader.py:63-81 routes each into its pipeline)
+        if self.prob_narrowband > 0.0 and rng.random() < self.prob_narrowband:
+            from caiman_asr_tpu.data.audio import narrowband_resim
+
+            audio = narrowband_resim(audio, self.sr)
         return audio
 
     def make_batch(self, idxs: Sequence[int]) -> Batch:

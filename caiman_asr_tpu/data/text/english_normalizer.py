@@ -76,7 +76,42 @@ def _remove_symbols_and_diacritics(text: str) -> str:
     return "".join(out)
 
 
+class EnglishSpellingNormalizer:
+    """Word-level British→American mapping (reference vendors OpenAI
+    Whisper's MIT-licensed ``english.json`` for this,
+    whisper_text_normalizer.py:144-160). The table is DATA the package
+    does not ship: pass a path to Whisper's english.json (or any
+    ``{british: american}`` JSON), or drop it at
+    ``caiman_asr_tpu/data/text/english.json`` to enable it by default.
+    Without a table this is the identity — both hypothesis and reference
+    pass through the same transform, so WER comparisons stay fair either
+    way; the table only matters when comparing against PUBLISHED
+    Whisper-standardized numbers."""
+
+    def __init__(self, mapping_path: "str | None" = None):
+        import json
+        import os
+
+        if mapping_path is None:
+            default = os.path.join(os.path.dirname(__file__), "english.json")
+            mapping_path = default if os.path.exists(default) else None
+        self.mapping = {}
+        if mapping_path is not None:
+            with open(mapping_path, encoding="utf-8") as fh:
+                self.mapping = json.load(fh)
+
+    def __call__(self, text: str) -> str:
+        if not self.mapping:
+            return text
+        return " ".join(self.mapping.get(w, w) for w in text.split())
+
+
 class EnglishTextNormalizer:
+    def __init__(self, spelling_mapping_path: "str | None" = None):
+        self.standardize_spellings = EnglishSpellingNormalizer(
+            spelling_mapping_path
+        )
+
     def __call__(self, text: str) -> str:
         text = text.lower()
         text = _BRACKETS.sub(" ", text)
@@ -92,6 +127,7 @@ class EnglishTextNormalizer:
             text = verbalize_numbers(text)
         text = _remove_symbols_and_diacritics(text)
         text = text.replace("'", "")
+        text = self.standardize_spellings(text)
         return _SPACES.sub(" ", text).strip()
 
 

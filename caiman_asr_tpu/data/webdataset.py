@@ -1,9 +1,11 @@
-"""WebDataset (tar shard) reading (reference: data/webdataset/core.py:34-370).
+"""WebDataset (tar/zip shard) reading (reference: data/webdataset/core.py:34-370).
 
-Reads ``{key}.flac|wav`` + ``{key}.txt`` pairs from tar shards without
-torchdata: plain ``tarfile`` streaming with a shuffle buffer and sharding
-across data-parallel ranks. Exposes the same Batch interface as
-AudioDataLoader so the train/val loops are source-agnostic.
+Reads ``{key}.flac|wav`` + ``{key}.txt`` pairs from tar OR zip shards
+(the reference reads both) without torchdata: plain ``tarfile``/``zipfile``
+streaming with a shuffle buffer and sharding across data-parallel ranks.
+Exposes the same Batch interface as AudioDataLoader so the train/val loops
+are source-agnostic. Shard container format is sniffed per file, not taken
+from the suffix.
 """
 
 from __future__ import annotations
@@ -11,6 +13,7 @@ from __future__ import annotations
 import io
 import tarfile
 import wave
+import zipfile
 from pathlib import Path
 from typing import Iterator, List, Optional, Sequence
 
@@ -76,42 +79,53 @@ class WebDatasetReader:
     def __len__(self):
         raise LengthUnknownError("webdataset tar streams have unknown length")
 
+    @staticmethod
+    def _shard_members(path: Path) -> Iterator[tuple]:
+        """(member name, bytes) pairs from one tar or zip shard."""
+        if zipfile.is_zipfile(path):
+            with zipfile.ZipFile(path) as z:
+                for info in z.infolist():
+                    if not info.is_dir():
+                        yield info.filename, z.read(info)
+        else:
+            with tarfile.open(path) as tar:
+                for member in tar:
+                    if member.isfile():
+                        yield member.name, tar.extractfile(member).read()
+
     def _samples(self, epoch: int) -> Iterator[tuple]:
         i = 0
         for tar_path in self.tars:
-            with tarfile.open(tar_path) as tar:
-                pending: dict = {}
-                for member in tar:
-                    if not member.isfile():
-                        continue
-                    name = Path(member.name)
-                    key, ext = name.stem, name.suffix.lower()
-                    if ext not in AUDIO_EXTS and ext != ".txt":
-                        continue
-                    pending.setdefault(key, {})[ext] = tar.extractfile(member).read()
-                    entry = pending[key]
-                    audio_ext = next((e for e in AUDIO_EXTS if e in entry), None)
-                    if audio_ext and ".txt" in entry:
-                        del pending[key]
-                        if i % self.num_shards == self.shard_id:
-                            text = entry[".txt"].decode("utf-8").strip()
-                            if (
-                                self.max_transcript_len is not None
-                                and len(text) > self.max_transcript_len
-                            ):
-                                i += 1
-                                continue
-                            audio = _decode_audio(
-                                audio_ext, entry[audio_ext], self.sr
-                            )
-                            if (
-                                self.max_duration is not None
-                                and len(audio) / self.sr > self.max_duration
-                            ):
-                                i += 1
-                                continue
-                            yield audio, text, key
-                        i += 1
+            pending: dict = {}
+            for member_name, data in self._shard_members(tar_path):
+                name = Path(member_name)
+                key, ext = name.stem, name.suffix.lower()
+                if ext not in AUDIO_EXTS and ext != ".txt":
+                    continue
+                pending.setdefault(key, {})[ext] = data
+                entry = pending[key]
+                audio_ext = next((e for e in AUDIO_EXTS if e in entry), None)
+                if audio_ext and ".txt" in entry:
+                    del pending[key]
+                    if i % self.num_shards == self.shard_id:
+                        text = entry[".txt"].decode("utf-8").strip()
+                        if (
+                            self.max_transcript_len is not None
+                            and len(text) > self.max_transcript_len
+                        ):
+                            i += 1
+                            continue
+                        audio = _decode_audio(
+                            audio_ext, entry[audio_ext], self.sr
+                        )
+                        if (
+                            self.max_duration is not None
+                            and len(audio) / self.sr > self.max_duration
+                        ):
+                            i += 1
+                            continue
+                        yield audio, text, key
+                    i += 1
 
     def shuffled(self, epoch: int) -> Iterator[tuple]:
         """Reservoir-style shuffle buffer (reference core.py shuffle)."""

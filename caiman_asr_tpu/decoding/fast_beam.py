@@ -20,11 +20,23 @@ standard accelerator formulation of transducer beam search):
      blank-extends;
   5. the finished pool becomes the beam entering the next frame.
 
-Differences from the reference beam (rnnt/beam.py) by design: no hash-based
-hypothesis merging (requires host text processing), no n-gram/keyword fusion
-inside the step (host shallow fusion belongs to the adaptive beam; a
-vocab-sized LM table could be fused here later). Pruning thresholds are
-implicit in the fixed W/E.
+Reference-beam quality features, device-native:
+  - **hypothesis merging** (ref rnnt/beam.py:467-511, hypothesis.py:116-120):
+    a rolling uint32 hash over the token sequence rides in the beam state;
+    duplicate (hash, len) entries in the blank/finished pool are logaddexp-
+    merged into the highest-scoring copy (whose pred state is kept) before
+    top-W selection. Token-level hash, not the reference's cleaned-string
+    hash — sequences that differ in tokens but not text do not merge.
+  - **n-gram shallow fusion** (ref rnnt/beam.py:496,629-642): an int32 LM
+    automaton state per hypothesis + two dense table gathers per expansion
+    (lm/device_table.py), added to candidate scores BEFORE beam selection
+    so the LM reorders the beam exactly as the host fusion does. The
+    acoustic approx-top-W preselection happens before fusion (the LM
+    reranks candidates the acoustics already shortlisted) — the one
+    deliberate approximation vs vocab-wide host fusion.
+
+Remaining differences by design: keyword boosting stays host-side; pruning
+thresholds are implicit in the fixed W/E.
 """
 
 from __future__ import annotations
@@ -48,6 +60,31 @@ from caiman_asr_tpu.models.rnnt import RNNT, _linear
 from caiman_asr_tpu.ops.lstm import lstm_step
 
 NEG_INF = -1.0e30
+HASH_MULT = np.uint32(1000003)
+
+
+def _hash_step(h, token):
+    """Rolling token-sequence hash (uint32, wraps)."""
+    return h * HASH_MULT + token.astype(jnp.uint32) + jnp.uint32(1)
+
+
+def _merged_scores(s, h, l):
+    """logaddexp duplicate (hash, len) entries into their best-scoring copy
+    (which keeps its pred/LM state — ref beam.py:507-512); the other copies
+    drop to NEG_INF. s, h, l: [B, M]."""
+    alive = s > NEG_INF / 2
+    eq = (
+        (h[:, :, None] == h[:, None, :])
+        & (l[:, :, None] == l[:, None, :])
+        & alive[:, :, None]
+        & alive[:, None, :]
+    )
+    contrib = jnp.where(eq, s[:, None, :], NEG_INF)  # [B, i, j]
+    m = jnp.max(contrib, axis=-1)
+    merged = m + jnp.log(jnp.sum(jnp.exp(contrib - m[..., None]), axis=-1))
+    best = jnp.argmax(contrib, axis=-1)  # best duplicate for row i
+    keeper = best == lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(alive & keeper, merged, NEG_INF)
 
 
 class FastBeamDecoder:
@@ -64,6 +101,9 @@ class FastBeamDecoder:
         fuzzy_topk_logits: bool = False,
         tokenizer=None,
         cap: int = 256,
+        ngram_lm=None,
+        ngram_alpha: float = 0.0,
+        merge: bool = True,
     ):
         self.model = model
         self.blank_idx = blank_idx
@@ -74,6 +114,15 @@ class FastBeamDecoder:
         self.fuzzy = fuzzy_topk_logits
         self.tokenizer = tokenizer
         self.cap = cap
+        self.merge = merge
+        self.ngram_alpha = float(ngram_alpha)
+        self.lm = None
+        if ngram_lm is not None and ngram_alpha > 0.0:
+            self.lm = (
+                jnp.asarray(ngram_lm.score),
+                jnp.asarray(ngram_lm.next_state),
+                int(ngram_lm.init_state),
+            )
         self._jit_decode = jax.jit(self._decode_impl, static_argnames=("cap",))
 
     # ----------------------------------------------------------- internals
@@ -120,10 +169,13 @@ class FastBeamDecoder:
             toks=jnp.full((B, W, cap), self.blank_idx, jnp.int32),
             ts=jnp.zeros((B, W, cap), jnp.int32),
             lens=jnp.zeros((B, W), jnp.int32),
+            hash=jnp.zeros((B, W), jnp.uint32),
             g=g0,
             h=h0.reshape(L, B, W, Hp),
             c=c0.reshape(L, B, W, Hp),
         )
+        if self.lm is not None:
+            beam["lm"] = jnp.full((B, W), self.lm[2], jnp.int32)
 
         def gather_w(tree, idx):
             """Gather beam lanes by idx [B, W'] along the W axis."""
@@ -154,9 +206,15 @@ class FastBeamDecoder:
             for e in range(E):
                 lp = self._logprobs(params, f_t, active["g"])  # [B, W, K]
 
-                # ---- blank-extend actives into the finished pool
+                # ---- blank-extend actives into the finished pool (with
+                # duplicate-merging: the reference's kept_hyps logaddexp,
+                # beam.py:467-469)
                 fin_cand = dict(active, scores=active["scores"] + lp[..., self.blank_idx])
                 pool = concat_w(finished, fin_cand)
+                if self.merge:
+                    pool["scores"] = _merged_scores(
+                        pool["scores"], pool["hash"], pool["lens"]
+                    )
                 top_s, top_i = lax.top_k(pool["scores"], W)
                 finished = gather_w(pool, top_i)
                 finished["scores"] = top_s
@@ -172,6 +230,12 @@ class FastBeamDecoder:
                 )
                 cand_s = cand_s.reshape(B, W, W) + active["scores"][:, :, None]
                 cand_i = cand_i.reshape(B, W, W)
+                if self.lm is not None:
+                    # shallow fusion before selection: score += alpha * lnP
+                    lm_sc, _, _ = self.lm
+                    cand_s = cand_s + self.ngram_alpha * lm_sc[
+                        active["lm"][:, :, None], cand_i
+                    ]
                 top_es, sel = lax.top_k(cand_s.reshape(B, W * W), W)
                 parent = sel // W  # [B, W]
                 token = jnp.take_along_axis(
@@ -186,6 +250,9 @@ class FastBeamDecoder:
                 new["ts"] = new["ts"].at[bix, wix, pos].set(t_idx)
                 new["lens"] = jnp.minimum(new["lens"] + 1, cap)
                 new["scores"] = top_es
+                new["hash"] = _hash_step(new["hash"], token)
+                if self.lm is not None:
+                    new["lm"] = self.lm[1][new["lm"], token]
                 new["g"], new["h"], new["c"] = self._pred_advance(
                     params, token, new["h"], new["c"]
                 )
@@ -282,6 +349,9 @@ def make_streaming_beam_step(
     expansions: int = 4,
     temperature: float = 1.4,
     cap: int = 256,
+    ngram_lm=None,
+    ngram_alpha: float = 0.0,
+    merge: bool = True,
 ):
     """Returns (init_state, step).
 
@@ -296,6 +366,14 @@ def make_streaming_beam_step(
     """
     W, E, K = beam_width, expansions, model.n_classes
     L, Hp = model.cfg.pred_rnn_layers, model.cfg.pred_n_hid
+    lm = None
+    if ngram_lm is not None and ngram_alpha > 0.0:
+        lm = (
+            jnp.asarray(ngram_lm.score),
+            jnp.asarray(ngram_lm.next_state),
+            int(ngram_lm.init_state),
+        )
+    alpha = float(ngram_alpha)
 
     def logprobs(params, f, g):
         logits = _linear(params["joint_fc"], jax.nn.relu(f[:, None, :] + g))
@@ -337,16 +415,20 @@ def make_streaming_beam_step(
         )
         g0 = _linear(params["joint_pred"], out0).reshape(B, W, -1)
         lane = lax.broadcasted_iota(jnp.int32, (B, W), 1)
-        return dict(
+        st = dict(
             scores=jnp.where(lane == 0, 0.0, NEG_INF),
             toks=jnp.full((B, W, cap), blank_idx, jnp.int32),
             ts=jnp.zeros((B, W, cap), jnp.int32),
             lens=jnp.zeros((B, W), jnp.int32),
+            hash=jnp.zeros((B, W), jnp.uint32),
             g=g0,
             h=h0.reshape(L, B, W, Hp),
             c=c0.reshape(L, B, W, Hp),
             frame=jnp.zeros((B,), jnp.int32),
         )
+        if lm is not None:
+            st["lm"] = jnp.full((B, W), lm[2], jnp.int32)
+        return st
 
     def step(params, f_t, state):
         B = f_t.shape[0]
@@ -357,6 +439,10 @@ def make_streaming_beam_step(
             lp = logprobs(params, f_t, active["g"])
             fin_cand = dict(active, scores=active["scores"] + lp[..., blank_idx])
             pool = concat_w(finished, fin_cand)
+            if merge:
+                pool["scores"] = _merged_scores(
+                    pool["scores"], pool["hash"], pool["lens"]
+                )
             top_s, top_i = lax.top_k(pool["scores"], W)
             finished = gather_w(pool, top_i)
             finished["scores"] = top_s
@@ -372,6 +458,10 @@ def make_streaming_beam_step(
             )
             cand_s = cand_s.reshape(B, W, W) + active["scores"][:, :, None]
             cand_i = cand_i.reshape(B, W, W)
+            if lm is not None:
+                cand_s = cand_s + alpha * lm[0][
+                    active["lm"][:, :, None], cand_i
+                ]
             top_es, sel = lax.top_k(cand_s.reshape(B, W * W), W)
             parent = sel // W
             token = jnp.take_along_axis(
@@ -385,6 +475,9 @@ def make_streaming_beam_step(
             new["ts"] = new["ts"].at[bix, wix, pos].set(frame[:, None] * jnp.ones((1, W), jnp.int32))
             new["lens"] = jnp.minimum(new["lens"] + 1, cap)
             new["scores"] = top_es
+            new["hash"] = _hash_step(new["hash"], token)
+            if lm is not None:
+                new["lm"] = lm[1][new["lm"], token]
             new["g"], new["h"], new["c"] = pred_advance(
                 params, token, new["h"], new["c"]
             )

@@ -37,10 +37,29 @@ class NGramLM:
         self._unk = probs.get((UNK,), -99.0 * LN10)
 
     # ----------------------------------------------------------------- io
+    # kenlm binary files open with this sentinel (kenlm util/file_piece +
+    # lm/binary_format.cc); reference deployments ship such artifacts
+    # (lm/kenlm_ngram.py:10-48 loads .arpa OR kenlm .binary).
+    _KENLM_MAGIC = b"mmap lm http://kheafield.com/code"
+
     @classmethod
     def load(cls, path: str | Path) -> "NGramLM":
+        """Load .arpa text, our .npz cache (any suffix), or reject a true
+        kenlm .binary with an actionable error. Format is sniffed from
+        magic bytes, not the suffix — a reference deployment's
+        'ngram.binary' is kenlm wire format, while this package's
+        save_binary() writes an npz under the same conventional name."""
         path = Path(path)
-        if path.suffix == ".npz" or path.suffix == ".binary":
+        with open(path, "rb") as fh:
+            head = fh.read(len(cls._KENLM_MAGIC))
+        if head.startswith(cls._KENLM_MAGIC):
+            raise ValueError(
+                f"{path} is a kenlm-format binary LM, which this package "
+                "does not parse. Re-export the model as ARPA text (kenlm: "
+                "`query -v` or keep the original .arpa) and load that; "
+                "NGramLM.save_binary() can then write a fast npz cache."
+            )
+        if head.startswith(b"PK"):  # zip container = numpy savez
             return cls._load_npz(path)
         return cls._load_arpa(path)
 

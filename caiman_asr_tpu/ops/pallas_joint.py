@@ -120,6 +120,31 @@ def _bwd_dh_kernel(h_ref, w_ref, b_ref, d_ref, c_ref, out_ref, acc_scr,
         out_ref[:, :] = -c_ref[0, :][:, None] * acc_scr[:, :]
 
 
+def _derive_a_kernel(h_ref, w_ref, b_ref, cs_ref, out_u, out_sm, acc_scr,
+                     *, n_k):
+    """Fused u-derivation + pass A for the rechunked backward: one tile
+    visit computes z = h.w + b, u = exp(z), writes the bf16 u tile (read
+    later by pass B) AND accumulates u @ W^T while u is still in VMEM —
+    pass A never re-reads the slab from HBM."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    z = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    z = z + b_ref[0, :][None, :]
+    u = jnp.exp(z)
+    out_u[:, :] = u.astype(jnp.bfloat16)
+    acc_scr[:, :] += jnp.dot(
+        u.astype(w_ref.dtype), w_ref[:].T, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == n_k - 1)
+    def _():
+        out_sm[:, :] = -cs_ref[0, :][:, None] * acc_scr[:, :]
+
+
 def _bwd_dh_kernel_u(u_ref, w_ref, cs_ref, out_ref, acc_scr, *, n_k):
     """Pass A, stored-u variant: the per-tile work is ONE bf16 GEMM on the
     stored softmax numerators, nothing else. cs = (cb+cl) * exp(-d) is
@@ -264,6 +289,18 @@ def fused_joint_lse(h, w, b, labels, blank_idx, interpret=False):
 # by default storage is all-or-nothing — full slab fits the budget or none.
 Z_STORE_PARTIAL = os.environ.get("CAIMAN_JOINT_ZSTORE_PARTIAL", "0") == "1"
 
+# Transient budget for the N-chunked backward (below): when the full u slab
+# does NOT fit as a forward residual, the backward re-derives u chunk-by-
+# chunk over positions — one GEMM+exp per chunk — then runs the 2-GEMM
+# stored-u passes on the chunk. 3 backward GEMM-equivalents instead of 4
+# (z is re-derived ONCE, not once per pass), 1 exp sweep instead of 2, and
+# the only extra memory is one transient [Nc, K] bf16 chunk that lives for
+# a single scan iteration of the loss backward (no residual across the
+# network backward). 0 disables (pure per-pass recompute). Default 512 MB:
+# measured on v5e, large-196M at B=32 fits 512 but RESOURCE_EXHAUSTs at
+# 1024 (the loss backward runs at the step's HBM high-water mark).
+RECHUNK_LIMIT_BYTES = int(os.environ.get("CAIMAN_JOINT_RECHUNK_MB", 512)) << 20
+
 
 def _store_cols(Np: int, Kp: int, kt: int) -> int:
     """Number of vocab columns (multiple of kt, <= Kp) whose bf16 u slab
@@ -394,6 +431,39 @@ def _bwd_a_u(up, w, lo, hi, cs, tp, kt, interpret):
     )(up, wp, cs)
 
 
+def _derive_a_chunk(hp, w, b, cs, tp, kt, interpret):
+    """Fused u-derive + pass A over the full vocab for one N-chunk.
+    Returns (u slab [Np, Kp] bf16, smear [Np, Hj] fp32)."""
+    Np, Hj = hp.shape
+    K = w.shape[1]
+    Kp = -(-K // kt) * kt
+    n_i, n_k = Np // tp, Kp // kt
+    wp = _pad_to(w, Kp, 1)
+    bp = _pad_to(b.reshape(1, K).astype(jnp.float32), Kp, 1, value=NEG)
+    kernel = functools.partial(_derive_a_kernel, n_k=n_k)
+    up, sm = pl.pallas_call(
+        kernel,
+        grid=(n_i, n_k),
+        in_specs=[
+            pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tp, kt), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Kp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tp, Hj), jnp.float32)],
+        interpret=interpret,
+    )(hp, wp, bp, cs)
+    return up, sm
+
+
 def _bwd_a_recompute(hp, w, b, lo, hi, dn, csum, tp, kt, interpret):
     """Pass A over a RECOMPUTED vocab chunk (z re-derived by GEMM + exp)."""
     Np, Hj = hp.shape
@@ -517,7 +587,19 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
     csum = cbp + clp
     # stored-u chunks: softmax row scale exp(-d) folded into the coefficient
     # vector once (p = u * exp(-d)); pad rows have csum = 0.
-    cs = csum * jnp.exp(-dn) if up is not None else None
+    cs = csum * jnp.exp(-dn)
+
+    if up is None and RECHUNK_LIMIT_BYTES > 0:
+        smear, dw, db = _bwd_rechunked(
+            hp, w, b, dn, cs, cbp, clp, labp, blank_idx,
+            (tp_a, kt_a, tp_b, kt_b), interpret,
+        )
+        dh = (
+            smear[:N]
+            + cb[:, None] * w[:, blank_idx][None, :].astype(jnp.float32)
+            + cl[:, None] * w.T[labels].astype(jnp.float32)
+        ).astype(h.dtype)
+        return dh, dw[:, :K].astype(w.dtype), db[0, :K].astype(b.dtype), None
 
     # ---- pass A: smear term of dh
     smear = None
@@ -552,6 +634,53 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
     dw = jnp.concatenate(dws, axis=1) if len(dws) > 1 else dws[0]
     db = jnp.concatenate(dbs, axis=1) if len(dbs) > 1 else dbs[0]
     return dh, dw.astype(w.dtype), db[0].astype(b.dtype), None
+
+
+def _bwd_rechunked(hp, w, b, dn, cs, cbp, clp, labp, blank_idx, tiles,
+                   interpret):
+    """N-chunked backward for when the full u slab exceeds the residual
+    budget (large-196M: 9.1 GB at K=17408).
+
+    Per chunk of Nc positions (lax.scan): re-derive u = exp(z) with ONE
+    GEMM (+ exp), then run the stored-u pass-A (u @ W^T -> dh smear) and
+    pass-B (h^T dz -> dW/db partial, fp32-accumulated in the carry). Total
+    3 backward GEMM-equivalents + 1 exp sweep vs the per-pass-recompute
+    path's 4 + 2; only transient chunk memory ([Nc, K] bf16, freed each
+    iteration). Reference analogue: none — transducer_loss.cu keeps the
+    full logit slab; this is the TPU HBM-budget redesign.
+    """
+    tp_a, kt_a, tp_b, kt_b = tiles
+    Np, Hj = hp.shape
+    K = w.shape[1]
+    Kp = -(-K // kt_a) * kt_a
+    # chunk count from the transient budget; chunk rows tile-aligned
+    n_chunks = max(1, -(-(Np * Kp * 2) // RECHUNK_LIMIT_BYTES))
+    Nc = -(-(-(-Np // n_chunks)) // tp_a) * tp_a
+    n_chunks = -(-Np // Nc)
+    Npc = n_chunks * Nc
+
+    hc = _pad_to(hp, Npc, 0).reshape(n_chunks, Nc, Hj)
+    csc = _pad_to(cs, Npc, 1).reshape(1, n_chunks, Nc).transpose(1, 0, 2)
+    cbc = _pad_to(cbp, Npc, 1).reshape(1, n_chunks, Nc).transpose(1, 0, 2)
+    clc = _pad_to(clp, Npc, 1).reshape(1, n_chunks, Nc).transpose(1, 0, 2)
+    labc = _pad_to(labp, Npc, 1).reshape(1, n_chunks, Nc).transpose(1, 0, 2)
+
+    def body(carry, xs):
+        dw_acc, db_acc = carry
+        h_c, cs_c, cb_c, cl_c, lab_c = xs
+        u_c, smear_c = _derive_a_chunk(h_c, w, b, cs_c, tp_a, kt_a, interpret)
+        dw_c, db_c = _bwd_b_u(
+            h_c, u_c, cs_c, cb_c, cl_c, lab_c, blank_idx, tp_b, kt_b,
+            interpret,
+        )
+        return (dw_acc + dw_c, db_acc + db_c), smear_c
+
+    (dw, db), smear = lax.scan(
+        body,
+        (jnp.zeros((Hj, Kp), jnp.float32), jnp.zeros((1, Kp), jnp.float32)),
+        (hc, csc, cbc, clc, labc),
+    )
+    return smear.reshape(Npc, Hj), dw, db
 
 
 fused_joint_lse.defvjp(_vjp_fwd, _vjp_bwd)

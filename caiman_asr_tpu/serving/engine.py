@@ -83,6 +83,9 @@ class StreamingEngine:
         pipeline_depth: int = 0,
         beam_win: int = 64,
         native_serializer: Optional[bool] = None,
+        ngram_lm=None,
+        ngram_alpha: float = 0.0,
+        beam_merge: bool = True,
     ):
         """pipeline_depth: number of in-flight ticks before results are
         consumed on the host. 0 = synchronous (each tick() returns its own
@@ -130,6 +133,7 @@ class StreamingEngine:
             self._init_beam, self._beam_step = make_streaming_beam_step(
                 model, blank_idx, beam_width=beam_width,
                 expansions=min(max_symbols_per_step, 8), cap=beam_cap,
+                ngram_lm=ngram_lm, ngram_alpha=ngram_alpha, merge=beam_merge,
             )
             # device->host token window per tick: newest _beam_win positions
             # of every hypothesis. Must exceed per-tick growth (expansions)

@@ -125,6 +125,7 @@ def build_train_loader(
         seed=seed,
         background_noise=background,
         babble_noise=babble,
+        prob_narrowband=getattr(args, "prob_train_narrowband", 0.0),
     )
 
 
@@ -183,7 +184,10 @@ def build_data_source_loader(
             rank=rank, world_size=world,
         )
     else:
-        loader = build_val_loader(utts, tokenizer, pipe, batch_size)
+        loader = build_val_loader(
+            utts, tokenizer, pipe, batch_size,
+            prob_narrowband=getattr(args, "prob_val_narrowband", 0.0),
+        )
     loader.norm_cfg = norm_cfg
     return loader
 
@@ -218,7 +222,8 @@ def build_noise(args, pipe: PipelineConfig, seed: int):
     return background, babble
 
 
-def build_val_loader(utts, tokenizer, pipe: PipelineConfig, batch_size: int):
+def build_val_loader(utts, tokenizer, pipe: PipelineConfig, batch_size: int,
+                     prob_narrowband: float = 0.0):
     sampler = SortedSampler(
         [u.duration for u in utts],
         batch_size=batch_size,
@@ -233,6 +238,7 @@ def build_val_loader(utts, tokenizer, pipe: PipelineConfig, batch_size: int):
         pipe,
         train=False,
         normalize_config=normalize_config_from(pipe),
+        prob_narrowband=prob_narrowband,
     )
 
 

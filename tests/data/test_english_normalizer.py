@@ -40,3 +40,20 @@ def test_wer_standardize_consistency():
         ["they're gonna win"], ["They are going to win!"], standardize=True
     )
     assert res.wer == 0.0
+
+
+def test_spelling_table_applies_when_provided(tmp_path):
+    """UK->US standardization via a user-supplied Whisper-style JSON table
+    (reference whisper_text_normalizer.py:144-160); identity without one."""
+    import json
+
+    from caiman_asr_tpu.data.text.english_normalizer import (
+        EnglishTextNormalizer,
+    )
+
+    table = tmp_path / "english.json"
+    table.write_text(json.dumps({"colour": "color", "realise": "realize"}))
+    norm = EnglishTextNormalizer(spelling_mapping_path=str(table))
+    assert norm("the colour I realise") == "the color i realize"
+    plain = EnglishTextNormalizer()
+    assert plain("the colour I realise") == "the colour i realise"

@@ -178,3 +178,85 @@ def test_hf_reader_iteration(monkeypatch):
     out = list(reader)
     assert [t for _, t, _ in out] == ["zero", "one"]
     assert len(out[1][0]) == 1600  # resampled 8k -> 16k
+
+
+@pytest.fixture(scope="module")
+def zip_shard(tmp_path_factory):
+    """Same samples as tar_shard but in a zip container (the reference
+    reads tar AND zip shards, data/webdataset/core.py)."""
+    import zipfile
+
+    root = tmp_path_factory.mktemp("wds_zip")
+    rng = np.random.default_rng(0)
+    path = root / "shard-000.zip"
+    with zipfile.ZipFile(path, "w") as z:
+        for i, text in enumerate(TEXTS):
+            audio = (rng.normal(size=4000 + 500 * i) * 0.1).astype(np.float32)
+            if i % 2 == 0:
+                blob, name = wav_bytes(audio), f"utt{i}.wav"
+            else:
+                blob = encode_flac_verbatim((audio * 32767).astype(np.int16))
+                name = f"utt{i}.flac"
+            z.writestr(name, blob)
+            z.writestr(f"utt{i}.txt", text.encode())
+    return path
+
+
+def test_webdataset_zip_shard(zip_shard, tar_shard):
+    """Zip shards decode to the identical sample set as tar shards; mixed
+    shard lists work (format sniffed per file)."""
+    zs = sorted((s[1], len(s[0])) for s in WebDatasetReader([zip_shard]).shuffled(0))
+    ts = sorted((s[1], len(s[0])) for s in WebDatasetReader([tar_shard]).shuffled(0))
+    assert zs == ts
+    mixed = WebDatasetReader([tar_shard, zip_shard])
+    assert len(list(mixed.shuffled(0))) == 8
+
+
+def test_narrowband_resim():
+    """8 kHz round-trip removes >4 kHz content, preserves <3 kHz content and
+    the array length (reference pipeline.py:407-437)."""
+    from caiman_asr_tpu.data.audio import narrowband_resim
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float32) / sr
+    low = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    high = np.sin(2 * np.pi * 6000 * t).astype(np.float32)
+    nb_low = narrowband_resim(low, sr)
+    nb_high = narrowband_resim(high, sr)
+    assert len(nb_low) == len(low) and len(nb_high) == len(high)
+    mid = slice(1000, -1000)  # ignore filter edges
+    assert np.corrcoef(nb_low[mid], low[mid])[0, 1] > 0.99
+    assert float(np.abs(nb_high[mid]).mean()) < 0.05 * float(np.abs(high[mid]).mean())
+
+
+def test_loader_narrowband_probability(tmp_path, tok):
+    """prob_narrowband=1 band-limits every loaded utterance; 0 never does."""
+    import wave as wave_mod
+
+    from caiman_asr_tpu.data.loader import AudioDataLoader, Utterance
+    from caiman_asr_tpu.data.sampler import SortedSampler
+    from caiman_asr_tpu.models.config import PipelineConfig
+
+    sr = 16000
+    t = np.arange(sr // 2, dtype=np.float32) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 6000 * t)).astype(np.float32)
+    f = tmp_path / "u0.wav"
+    with wave_mod.open(str(f), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+        w.writeframes((audio * 32767).astype(np.int16).tobytes())
+    utts = [Utterance(fname=str(f), duration=0.5, transcript="a cat")]
+    pipe = PipelineConfig()
+
+    def build(p):
+        return AudioDataLoader(
+            utts,
+            SortedSampler([0.5], batch_size=1, world_size=1,
+                          pessimistic_first_batch=False, drop_last=False),
+            tok, pipe, train=False, prob_narrowband=p, num_workers=1,
+        )
+
+    b0 = next(iter(build(0.0).epoch(0)))
+    b1 = next(iter(build(1.0).epoch(0)))
+    e0 = float(np.abs(b0.audio[0][2000:6000]).mean())
+    e1 = float(np.abs(b1.audio[0][2000:6000]).mean())
+    assert e1 < 0.1 * e0  # 6 kHz tone killed by the 8 kHz round-trip

@@ -64,6 +64,7 @@ def test_fast_beam1_tracks_greedy_tokens(model_and_params, rng):
         assert abs(int(lens_b[b, 0]) - int(g_counts[b])) <= int(g_counts[b])
 
 
+@pytest.mark.slow
 def test_fast_beam_width_improves_total_score(model_and_params, rng):
     model, params = model_and_params
     feats = jnp.asarray(rng.normal(size=(12, 1, 6)), jnp.float32)
@@ -93,3 +94,110 @@ def test_fast_beam_respects_lengths(model_and_params, rng):
     assert int(lens_b[1].max()) <= 2 * 2
     n = int(lens_b[1, 0])
     assert all(int(t) < 2 for t in ts[1, 0, :n])
+
+
+def test_merged_scores_unit():
+    """Duplicate (hash, len) rows logaddexp into the best copy; the rest
+    drop to NEG_INF; non-duplicates and dead lanes untouched."""
+    from caiman_asr_tpu.decoding.fast_beam import NEG_INF, _merged_scores
+
+    s = jnp.asarray([[-1.0, -2.0, -5.0, NEG_INF]], jnp.float32)
+    h = jnp.asarray([[7, 7, 3, 7]], jnp.uint32)
+    l = jnp.asarray([[2, 2, 2, 2]], jnp.int32)
+    out = np.asarray(_merged_scores(s, h, l))[0]
+    assert out[0] == pytest.approx(np.logaddexp(-1.0, -2.0), abs=1e-5)
+    assert out[1] <= NEG_INF / 2  # absorbed into lane 0
+    assert out[2] == pytest.approx(-5.0, abs=1e-6)
+    assert out[3] <= NEG_INF / 2  # dead lane stays dead
+
+
+@pytest.mark.slow
+def test_fast_beam_merge_dedups_output(model_and_params, rng):
+    """With merging on, surviving hypotheses of one utterance are unique
+    token sequences; and the best path's score only gains mass."""
+    model, params = model_and_params
+    feats = jnp.asarray(rng.normal(size=(18, 2, 6)), jnp.float32)
+    lens = jnp.full((2,), 18, jnp.int32)
+    encs, enc_lens, _ = model.encode(params, feats, lens)
+
+    def run(merge):
+        dec = FastBeamDecoder(model, BLANK, beam_width=4,
+                              max_symbols_per_step=3, temperature=1.0,
+                              merge=merge)
+        return dec.decode_encs(params, np.asarray(encs), np.asarray(enc_lens))
+
+    toks, _, lens_b, scores = run(True)
+    for b in range(toks.shape[0]):
+        seqs = [
+            tuple(toks[b, w, : lens_b[b, w]])
+            for w in range(4)
+            if scores[b, w] > -1e29
+        ]
+        assert len(seqs) == len(set(seqs)), f"duplicate hyps survived: {seqs}"
+    _, _, _, scores_nm = run(False)
+    assert float(scores.max()) >= float(scores_nm.max()) - 1e-4
+
+
+def _letter_lm(tmp_path, favored="d"):
+    """Unigram LM putting ~all mass on one piece."""
+    from caiman_asr_tpu.lm.device_table import build_device_tables
+    from caiman_asr_tpu.lm.ngram import NGramLM
+
+    pieces = [chr(ord("a") + i) for i in range(N_CLASSES - 1)] + ["<blank>"]
+    others = [p for p in pieces[:-1] if p != favored]
+    lines = ["\\data\\", f"ngram 1={len(pieces)}", "", "\\1-grams:"]
+    lines.append(f"-0.01\t{favored}")
+    for p in others:
+        lines.append(f"-6.0\t{p}")
+    lines += ["-6.0\t<unk>", "", "\\end\\", ""]
+    p = tmp_path / "lm.arpa"
+    p.write_text("\n".join(lines))
+    lm = NGramLM.load(p)
+    return build_device_tables(lm, pieces, skip_ids=[BLANK])
+
+
+@pytest.mark.slow
+def test_fast_beam_lm_fusion_steers_output(model_and_params, rng, tmp_path):
+    """A strong unigram LM on one token must pull the beam toward it
+    (reference shallow-fusion semantics, rnnt/beam.py:496)."""
+    model, params = model_and_params
+    feats = jnp.asarray(rng.normal(size=(16, 2, 6)), jnp.float32)
+    lens = jnp.full((2,), 16, jnp.int32)
+    encs, enc_lens, _ = model.encode(params, feats, lens)
+    tables = _letter_lm(tmp_path, favored="d")
+
+    def run(alpha):
+        dec = FastBeamDecoder(model, BLANK, beam_width=4,
+                              max_symbols_per_step=3, temperature=1.0,
+                              ngram_lm=tables, ngram_alpha=alpha)
+        toks, _, lens_b, scores = dec.decode_encs(
+            params, np.asarray(encs), np.asarray(enc_lens)
+        )
+        best = [tuple(toks[b, 0, : lens_b[b, 0]]) for b in range(2)]
+        return best
+
+    base = run(0.0)
+    # blank is never LM-scored, so fusion cannot force emissions — it can
+    # only rerank/suppress non-blank tokens. The base output's tokens are
+    # all penalized by this LM, so a strong alpha must remove them.
+    steered = run(8.0)
+    base_toks = {t for seq in base for t in seq}
+    assert base_toks, "base decode emitted nothing; test vacuous"
+    d = ord("d") - ord("a")
+    assert d not in base_toks
+    for seq in steered:
+        for t in seq:
+            assert t == d, f"non-favored token {t} survived strong fusion"
+
+    # an LM that AGREES with the acoustics keeps (or amplifies) exactly the
+    # tokens the acoustics chose — never introduces penalized ones
+    fav = next(iter(base_toks))
+    agree = _letter_lm(tmp_path, favored=chr(ord("a") + fav))
+    dec = FastBeamDecoder(model, BLANK, beam_width=4, max_symbols_per_step=3,
+                          temperature=1.0, ngram_lm=agree, ngram_alpha=2.0)
+    toks, _, lens_b, _ = dec.decode_encs(
+        params, np.asarray(encs), np.asarray(enc_lens)
+    )
+    agreed = [tuple(toks[b, 0, : lens_b[b, 0]]) for b in range(2)]
+    assert all(t == fav for seq in agreed for t in seq)
+    assert any(len(seq) > 0 for seq in agreed)

@@ -73,6 +73,7 @@ def _torch_state_dict(cfg: RNNTModelConfig, n_classes: int, batch_norm: bool):
     return sd
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("batch_norm", [False, True])
 def test_full_checkpoint_round_trip(tmp_path, batch_norm):
     cfg = RNNTModelConfig(

@@ -77,3 +77,25 @@ def test_find_ngram_path(tmp_path):
     assert find_ngram_path(str(tmp_path)) is None
     (tmp_path / "ngram.arpa").write_text(ARPA)
     assert find_ngram_path(str(tmp_path)).endswith("ngram.arpa")
+
+
+def test_kenlm_binary_rejected_with_clear_error(tmp_path):
+    """A true kenlm-format .binary (sniffed by magic bytes, not suffix)
+    raises an actionable error instead of a confusing np.load failure
+    (reference reads kenlm binaries via the kenlm lib, kenlm_ngram.py:10-48)."""
+    p = tmp_path / "ngram.binary"
+    p.write_bytes(b"mmap lm http://kheafield.com/code" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="kenlm"):
+        NGramLM.load(p)
+
+
+def test_npz_cache_loads_regardless_of_suffix(lm, tmp_path):
+    """Our npz cache under the conventional 'ngram.binary' name still loads
+    (format sniffing: zip magic = npz)."""
+    p = tmp_path / "ngram.binary"
+    lm.save_binary(p)
+    lm2 = NGramLM.load(p)
+    assert lm2.order == lm.order
+    assert set(lm2.probs) == set(lm.probs)
+    for ng, v in lm.probs.items():
+        assert lm2.probs[ng] == pytest.approx(v, abs=1e-5)  # f32 cache

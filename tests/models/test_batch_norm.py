@@ -67,6 +67,7 @@ def test_batch_norm_matches_torch_semantics():
     np.testing.assert_allclose(ours_e, theirs_e, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_updates_running_stats():
     from caiman_asr_tpu.training import make_train_step
     from caiman_asr_tpu.training.optimizer import OptimizerConfig, build_optimizer

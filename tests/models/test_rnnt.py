@@ -1,6 +1,7 @@
 """RNN-T model tests: shapes, streaming-state consistency, config loading."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -92,6 +93,7 @@ def test_pred_net_state_consistency():
     np.testing.assert_allclose(np.asarray(g_full[:, 3:]), np.asarray(g2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_forward_loss_and_grads():
     model, params = make_model()
     T, B, U = 12, 2, 4

@@ -37,15 +37,21 @@ def test_forward_parity(data):
     np.testing.assert_allclose(np.asarray(fl), np.asarray(rl), atol=1e-5)
 
 
-@pytest.mark.parametrize("store_z", [False, True])
-def test_vjp_parity(data, monkeypatch, store_z):
-    """store_z=True exercises the stored-u backward (u = exp(z) in bf16,
-    2 GEMMs); False the recompute backward (4 GEMMs). The stored path
-    carries ~2^-9 RELATIVE error on the softmax numerators (bf16 rounding
-    of u), hence looser tolerances."""
+@pytest.mark.parametrize("mode", ["stored", "rechunk", "recompute"])
+def test_vjp_parity(data, monkeypatch, mode):
+    """stored: forward keeps the bf16 u slab (2-GEMM backward). rechunk:
+    no residual slab; backward re-derives bf16 u per N-chunk (3 GEMMs).
+    recompute: per-pass z re-derivation in fp32 (4 GEMMs). The bf16-u
+    paths carry ~2^-9 RELATIVE error on the softmax numerators, hence
+    looser tolerances."""
     import caiman_asr_tpu.ops.pallas_joint as pj
 
-    monkeypatch.setattr(pj, "Z_STORE_LIMIT_BYTES", (1 << 62) if store_z else 0)
+    monkeypatch.setattr(
+        pj, "Z_STORE_LIMIT_BYTES", (1 << 62) if mode == "stored" else 0
+    )
+    monkeypatch.setattr(
+        pj, "RECHUNK_LIMIT_BYTES", (1 << 62) if mode == "rechunk" else 0
+    )
     h, w, b, labels = data
     rng = np.random.default_rng(1)
     cb = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
@@ -61,11 +67,49 @@ def test_vjp_parity(data, monkeypatch, store_z):
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(h, w, b)
     g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(h, w, b)
-    atol, rtol = (2e-3, 1e-3) if store_z else (2e-4, 1e-4)
+    atol, rtol = (2e-4, 1e-4) if mode == "recompute" else (2e-3, 1e-3)
     for a, r in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=atol, rtol=rtol)
 
 
+@pytest.mark.slow
+def test_rechunked_multichunk_vjp_parity(monkeypatch):
+    """Budget forces >1 N-chunk through the rechunked backward: 1536
+    padded rows at K=600 (Kp=1024) with a 1 MiB budget -> 3 chunks of 512
+    rows, dW/db accumulated across chunks, smear re-assembled in order."""
+    import caiman_asr_tpu.ops.pallas_joint as pj
+
+    monkeypatch.setattr(pj, "Z_STORE_LIMIT_BYTES", 0)
+    monkeypatch.setattr(pj, "RECHUNK_LIMIT_BYTES", 1 << 20)
+    rng = np.random.default_rng(7)
+    n, hj, k = 1100, 16, 600
+    blank = k - 1
+    h = jnp.asarray(rng.normal(size=(n, hj)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(hj, k)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(k,)) * 0.1, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, k - 1, (n,)), jnp.int32)
+    cb = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    cl = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+
+    def ref(h, w, b):
+        z = h @ w + b
+        denom = jax.nn.logsumexp(z, axis=-1)
+        lb = z[:, blank] - denom
+        ll = jnp.take_along_axis(z, labels[:, None], axis=1)[:, 0] - denom
+        return jnp.sum(lb * cb) + jnp.sum(ll * cl)
+
+    def fused(h, w, b):
+        lb, ll = fused_joint_lse(h, w, b, labels, blank, True)
+        return jnp.sum(lb * cb) + jnp.sum(ll * cl)
+
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(h, w, b)
+    g_fused = jax.grad(fused, argnums=(0, 1, 2))(h, w, b)
+    for a, r in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
 def test_hybrid_split_vjp_parity(monkeypatch):
     """Budget forces a partial stored-u chunk: columns [0, 1024) stored,
     [1024, 2560) recomputed. Labels land in both chunks and blank in the

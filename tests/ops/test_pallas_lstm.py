@@ -43,6 +43,7 @@ def test_forward_unpadded_tail(setup):
     np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), atol=2e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("hard", [False, True])
 def test_gradient_parity(setup, hard):
     params, x, h0, c0 = setup

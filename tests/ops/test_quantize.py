@@ -37,6 +37,7 @@ def test_bfp_shared_exponent():
                                atol=1e-7)
 
 
+@pytest.mark.slow
 def test_bfp_blocks():
     x = jnp.asarray([[100.0, 0.1, 0.1, 0.1]])
     # one block: the small values are crushed by 100's shared exponent
@@ -49,6 +50,7 @@ def test_bfp_blocks():
     assert err2 < 0.01
 
 
+@pytest.mark.slow
 def test_ste_gradient_identity():
     """STE: forward value is q(x); gradient flows as identity, so
     d/dx sum(q(x)^2) = 2*q(x)."""

@@ -130,6 +130,7 @@ MODS = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mods", MODS)
 def test_loss_matches_naive_dp(mods):
     rng = np.random.default_rng(0)
@@ -145,6 +146,7 @@ def test_loss_matches_naive_dp(mods):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mods", MODS[:2] + MODS[4:])
 def test_grad_matches_naive_autodiff(mods):
     rng = np.random.default_rng(1)
@@ -181,6 +183,7 @@ def test_empty_transcript():
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_fg_matches_dense():
     """transducer_loss_from_fg == dense path through an explicit joint."""
     rng = np.random.default_rng(3)
@@ -231,6 +234,7 @@ def test_loss_is_proper_nll():
     assert np.all(loss > 0)
 
 
+@pytest.mark.slow
 def test_joint_dropout_applied_in_training_loss():
     """Training-path parity: the reference applies dropout between the joint
     ReLU and joint_fc (rnnt/model.py:227-238). With a dropout rng the loss
@@ -265,6 +269,7 @@ def test_joint_dropout_applied_in_training_loss():
     assert np.all(np.isfinite(np.asarray(gr)))
 
 
+@pytest.mark.slow
 def test_packed_lattice_loss_matches_dense(monkeypatch):
     """pack_to path == dense path (values and grads) on a ragged batch.
 

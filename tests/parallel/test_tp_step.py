@@ -65,6 +65,7 @@ def setup():
     return model, opt, state, batch, scalars
 
 
+@pytest.mark.slow
 def test_tp_step_matches_dp(setup):
     model, opt, state, batch, scalars = setup
 

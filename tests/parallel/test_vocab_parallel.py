@@ -72,6 +72,7 @@ def _vp_value_and_grads(mesh, blank, labels, cb, cl):
     return sharded
 
 
+@pytest.mark.slow
 def test_vp_forward_parity(mesh, data):
     h, w, b, labels, cb, cl = data
     ref = _ref_loss(BLANK, labels, cb, cl)(h, w, b)
@@ -88,6 +89,7 @@ def test_vp_forward_parity(mesh, data):
     np.testing.assert_allclose(float(fwd(h, w, b)), float(ref), rtol=2e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("blank", [K - 1, K // 2 + 3], ids=["last", "mid"])
 def test_vp_grad_parity(mesh, data, blank):
     """blank on the final and on an interior shard; labels span all shards."""

@@ -55,6 +55,7 @@ def collect(engine, lane, audio):
     return finals, partials
 
 
+@pytest.mark.slow
 def test_beam_streaming_lifecycle(engine):
     rng = np.random.default_rng(0)
     audio = (rng.normal(size=960 * 6) * 0.1).astype(np.float32)
@@ -67,6 +68,7 @@ def test_beam_streaming_lifecycle(engine):
     assert not engine.streams
 
 
+@pytest.mark.slow
 def test_beam_finals_are_monotonic_prefix(engine):
     """Running the same audio twice gives identical final streams (the
     engine is deterministic given the dither key sequence restarts only
@@ -214,6 +216,7 @@ def test_force_commit_ships_history_when_agreement_stalls():
     )
 
 
+@pytest.mark.slow
 def test_rebase_shift_equals_preshifted_state():
     """Dispatching a tick with rebase=r must produce the same packed output
     and decoder state as manually pre-shifting the lane's buffers — the
@@ -312,6 +315,7 @@ def test_long_form_rebase_host_bookkeeping():
     assert drive(True) == drive(False) == Tok().detokenize(list(S[:45]))
 
 
+@pytest.mark.slow
 def test_pipeline_depth_preserves_final_stream():
     """pipeline_depth delays responses by N ticks but must not change them."""
     rng = np.random.default_rng(8)

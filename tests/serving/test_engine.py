@@ -60,6 +60,7 @@ def offline_feats(audio, mel_stats):
     return jnp.moveaxis(feats, 2, 0), frame_lens  # [T, 1, 240]
 
 
+@pytest.mark.slow
 def test_streaming_matches_offline(setup):
     model, params, mel_stats = setup
     rng = np.random.default_rng(7)
@@ -116,6 +117,7 @@ def test_lane_lifecycle(setup):
         eng.tick()
 
 
+@pytest.mark.slow
 def test_fresh_lane_state_isolated(setup):
     """A recycled lane must not inherit the previous stream's state."""
     model, params, mel_stats = setup

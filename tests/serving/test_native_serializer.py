@@ -67,6 +67,7 @@ def _drive(engine, audio_by_lane):
     return lanes
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("decoder", ["greedy", "beam"])
 def test_native_matches_python(decoder):
     model, params = _model()

@@ -9,6 +9,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from caiman_asr_tpu.args.train import train_arg_parser
 from caiman_asr_tpu.data.tokenizer import save_tokenizer_json, train_tokenizer
 from caiman_asr_tpu.val import val_arg_parser, validate

@@ -3,6 +3,7 @@
 in-kernel overflow poison, but the host formula itself is tested here)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,6 +24,7 @@ MODEL_CFG = RNNTModelConfig(
 )
 
 
+@pytest.mark.slow
 def test_host_enc_lens_match_device():
     pipe = PipelineConfig()
     fp = FeaturePipeline(pipe, train=False)

@@ -2,6 +2,7 @@
 through the rsp train step (reference: tests/train_utils/test_rsp.py)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,6 +42,7 @@ def test_controller_off():
     assert ctl.gates(0, 16).sum() == 0
 
 
+@pytest.mark.slow
 def test_rsp_step_state_threading(rng):
     model = tiny_model()
     opt = build_optimizer(OptimizerConfig(lr=1e-3))
@@ -65,6 +67,7 @@ def test_rsp_step_state_threading(rng):
     assert abs(float(m_on["loss"]) - float(m_off["loss"])) > 1e-6
 
 
+@pytest.mark.slow
 def test_rsp_state_zeroed_on_nan(rng):
     model = tiny_model()
     opt = build_optimizer(OptimizerConfig(lr=1e-3))

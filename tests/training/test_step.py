@@ -66,6 +66,7 @@ def setup():
     return model, opt, state, step
 
 
+@pytest.mark.slow
 def test_loss_decreases(setup, rng):
     model, opt, state, step = setup
     batch = make_batch(rng)
@@ -78,6 +79,7 @@ def test_loss_decreases(setup, rng):
     assert int(state.step) == 8
 
 
+@pytest.mark.slow
 def test_nan_batch_skipped(setup, rng):
     model, opt, state, step = setup
     batch = make_batch(rng)
@@ -102,6 +104,7 @@ def test_ema_tracks(setup, rng):
     )
 
 
+@pytest.mark.slow
 def test_grad_accum_equals_big_batch(rng):
     """A=2 accumulation over B=4 must match A=1 with B=8 exactly."""
     model = tiny_model()
@@ -130,6 +133,7 @@ def test_grad_accum_equals_big_batch(rng):
     )
 
 
+@pytest.mark.slow
 def test_sharded_step_runs(setup, rng):
     model, opt, state, step = setup
     mesh = make_mesh()
