@@ -156,6 +156,16 @@ def evaluate(
     result.word_timestamps = group_timestamps(
         pieces_list, tss, hyps, [Never() for _ in hyps]
     )
+    if jax.process_count() > 1:
+        # Per-process shards -> the global result on EVERY process
+        # (reference process_evaluation_epoch gathers to rank 0; here the
+        # allgather keeps die_if_wer_bad / best-ckpt logic rank-agnostic).
+        from caiman_asr_tpu.evaluate.distributed import aggregate_eval_results
+
+        result = aggregate_eval_results(result, loss_count)
+        hyps, refs, fnames = result.hyps, result.refs, result.fnames
+        if jax.process_index() != 0:
+            logger, dump_preds_dir, ctm_path = None, None, None
     if ctm_path is not None:
         dump_ctm(fnames, result.word_timestamps, ctm_path, frame_width)
         if gt_ctm_path is not None:

@@ -1,0 +1,183 @@
+"""Full-model offline WER-parity proxy: a plain-torch re-execution of the
+reference RNN-T semantics (rnnt/model.py:297-439 + batched greedy,
+rnnt/decoder.py) must produce token-for-token identical greedy decodes to
+this framework after weight conversion (export/torch_import.py), on REAL
+speech from the reference's test assets.
+
+This is the strongest parity evidence available offline: if the two
+frameworks agree at token level on real audio for the same weights, their
+WER on any dataset is identical by construction.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from caiman_asr_tpu.decoding.greedy import GreedyDecoder
+from caiman_asr_tpu.export.checkpointer import unflatten_named
+from caiman_asr_tpu.export.torch_import import convert_state_dict
+from caiman_asr_tpu.models.rnnt import RNNT, RNNTModelConfig
+
+REF_ASSETS = "/root/reference/training/tests/test_data"
+N_CLASSES = 64
+BLANK = N_CLASSES - 1
+MAX_SYMBOLS = 8
+
+CFG = RNNTModelConfig(
+    in_feats=240,
+    enc_n_hid=96,
+    enc_pre_rnn_layers=2,
+    enc_post_rnn_layers=2,
+    enc_stack_time_factor=2,
+    pred_n_hid=64,
+    pred_rnn_layers=2,
+    joint_n_hid=80,
+    enc_dropout=0.0,
+    pred_dropout=0.0,
+    joint_dropout=0.0,
+)
+
+
+def _torch_model(cfg: RNNTModelConfig, n_classes: int):
+    """Reference-architecture modules with reference state_dict names."""
+    torch.manual_seed(7)
+    mods = {
+        "encoder.pre_rnn.lstm": torch.nn.LSTM(
+            cfg.in_feats, cfg.enc_n_hid, cfg.enc_pre_rnn_layers
+        ),
+        "encoder.post_rnn.lstm": torch.nn.LSTM(
+            cfg.enc_stack_time_factor * cfg.enc_n_hid,
+            cfg.enc_n_hid,
+            cfg.enc_post_rnn_layers,
+        ),
+        "prediction.dec_rnn.lstm": torch.nn.LSTM(
+            cfg.pred_n_hid, cfg.pred_n_hid, cfg.pred_rnn_layers
+        ),
+        "joint_enc": torch.nn.Linear(cfg.enc_n_hid, cfg.joint_n_hid),
+        "joint_pred": torch.nn.Linear(cfg.pred_n_hid, cfg.joint_n_hid),
+        "joint_net.2": torch.nn.Linear(cfg.joint_n_hid, n_classes),
+    }
+    embed = torch.nn.Embedding(n_classes - 1, cfg.pred_n_hid)
+    sd = {"prediction.embed.weight": embed.weight.detach()}
+    for name, m in mods.items():
+        for k, v in m.state_dict().items():
+            sd[f"{name}.{k}"] = v.detach()
+    return mods, embed, sd
+
+
+def _torch_stack_time(x: "torch.Tensor", factor: int) -> "torch.Tensor":
+    """Reference StackTime (rnnt/model.py:35-49): frame t stacks inputs
+    [t*factor + i], zero-padded past T. x: [T, B, H]."""
+    T, B, H = x.shape
+    parts = [x]
+    for i in range(1, factor):
+        shifted = torch.nn.functional.pad(x[i:], (0, 0, 0, 0, 0, i))
+        parts.append(shifted)
+    return torch.cat(parts, dim=2)[::factor]
+
+
+@torch.no_grad()
+def _torch_encode(mods, feats: "torch.Tensor", factor: int):
+    out, _ = mods["encoder.pre_rnn.lstm"](feats)
+    out = _torch_stack_time(out, factor)
+    out, _ = mods["encoder.post_rnn.lstm"](out)
+    return mods["joint_enc"](out.transpose(0, 1))  # [B, T', Hj]
+
+
+@torch.no_grad()
+def _torch_greedy(mods, embed, f: "torch.Tensor", f_len: int, cfg, blank):
+    """Reference batched-greedy semantics for one utterance: zero-vector
+    SOS, argmax per step, advance pred net on non-blank, cap symbols/frame
+    (rnnt/decoder.py:134-199)."""
+    L, Hp = cfg.pred_rnn_layers, cfg.pred_n_hid
+    h = torch.zeros(L, 1, Hp)
+    c = torch.zeros(L, 1, Hp)
+    y, (h, c) = mods["prediction.dec_rnn.lstm"](torch.zeros(1, 1, Hp), (h, c))
+    g = mods["joint_pred"](y[0])  # [1, Hj]
+    toks = []
+    for t in range(f_len):
+        for _ in range(MAX_SYMBOLS):
+            logits = mods["joint_net.2"](torch.relu(f[t] + g))
+            k = int(torch.argmax(logits, dim=-1))
+            if k == blank:
+                break
+            toks.append(k)
+            emb = embed(torch.tensor([[k]]))
+            y, (h, c) = mods["prediction.dec_rnn.lstm"](
+                emb.transpose(0, 1), (h, c)
+            )
+            g = mods["joint_pred"](y[0])
+    return toks
+
+
+def _real_features():
+    """Two real speech clips from the reference test assets through this
+    framework's featurizer (val mode, no augmentation)."""
+    import glob
+
+    from caiman_asr_tpu.data.loader import FeaturePipeline
+    from caiman_asr_tpu.models.config import PipelineConfig
+    from caiman_asr_tpu.native import flac_decode
+
+    paths = sorted(glob.glob(os.path.join(REF_ASSETS, "dummy_name_*.flac")))[:2]
+    audios = []
+    for p in paths:
+        with open(p, "rb") as fh:
+            samples, sr, bps, _ = flac_decode(fh.read())
+        a = samples.astype(np.float32) / float(1 << (bps - 1))
+        audios.append(a[:, 0] if a.ndim > 1 else a)
+    n = max(len(a) for a in audios)
+    batch = np.zeros((len(audios), n), np.float32)
+    lens = np.zeros(len(audios), np.int32)
+    for i, a in enumerate(audios):
+        batch[i, : len(a)] = a
+        lens[i] = len(a)
+    import dataclasses
+
+    pipe = PipelineConfig()
+    pipe = dataclasses.replace(
+        pipe, logmel=dataclasses.replace(pipe.logmel, dither=0.0)
+    )
+    fp = FeaturePipeline(pipe, mel_stats=None, train=False)
+    feats, frame_lens = fp(jnp.asarray(batch), jnp.asarray(lens))
+    return np.asarray(feats), np.asarray(frame_lens)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.isdir(REF_ASSETS), reason="reference test assets not mounted"
+)
+def test_full_model_greedy_decode_parity():
+    mods, embed, sd = _torch_model(CFG, N_CLASSES)
+    params = unflatten_named(convert_state_dict(sd))
+
+    model = RNNT(CFG, N_CLASSES)
+    feats_np, frame_lens_np = _real_features()  # [T, B, 240], [B]
+
+    # --- this framework
+    f, f_lens, _ = model.encode(
+        params, jnp.asarray(feats_np), jnp.asarray(frame_lens_np)
+    )
+    dec = GreedyDecoder(model, BLANK, max_symbols_per_step=MAX_SYMBOLS)
+    toks, _, _, counts = dec.decode_encs(params, f, f_lens)
+
+    # --- torch re-execution of the reference
+    tf = _torch_encode(
+        mods, torch.from_numpy(feats_np.copy()), CFG.enc_stack_time_factor
+    )
+    np.testing.assert_allclose(
+        np.asarray(f), tf.numpy(), atol=2e-4,
+        err_msg="encoder outputs diverged — decode parity would be vacuous",
+    )
+    for b in range(feats_np.shape[1]):
+        want = _torch_greedy(
+            mods, embed, tf[b], int(f_lens[b]), CFG, BLANK
+        )
+        got = [int(t) for t in toks[b, : int(counts[b])]]
+        assert got == want, f"utt {b}: {got} != {want}"
+        assert len(want) > 0, "silent decode — parity test vacuous"
