@@ -187,6 +187,7 @@ def build_data_source_loader(
         loader = build_val_loader(
             utts, tokenizer, pipe, batch_size,
             prob_narrowband=getattr(args, "prob_val_narrowband", 0.0),
+            rank=rank, world_size=world,
         )
     loader.norm_cfg = norm_cfg
     return loader
@@ -223,11 +224,16 @@ def build_noise(args, pipe: PipelineConfig, seed: int):
 
 
 def build_val_loader(utts, tokenizer, pipe: PipelineConfig, batch_size: int,
-                     prob_narrowband: float = 0.0):
+                     prob_narrowband: float = 0.0, rank: int = 0,
+                     world_size: int = 1):
+    # Multi-process: each rank evaluates a disjoint shard (deterministic
+    # sorted order, so all ranks agree on the split without a broadcast —
+    # the reference instead broadcasts rank 0's file list,
+    # data/dali/sampler.py:258-262); evaluate() then all-gathers results.
     sampler = SortedSampler(
         [u.duration for u in utts],
         batch_size=batch_size,
-        world_size=1,
+        world_size=world_size,
         pessimistic_first_batch=False,
         drop_last=False,
     )
@@ -236,6 +242,7 @@ def build_val_loader(utts, tokenizer, pipe: PipelineConfig, batch_size: int,
         sampler,
         tokenizer,
         pipe,
+        rank=rank,
         train=False,
         normalize_config=normalize_config_from(pipe),
         prob_narrowband=prob_narrowband,
@@ -297,9 +304,39 @@ def build_decoder(
         dec.eos_strategy = eos_strategy
         return dec
 
+    ngram_lm = None
+    ngram_path = args.ngram_path or (cfg.ngram.ngram_path if cfg else None)
+    if ngram_path and Path(ngram_path).exists():
+        from caiman_asr_tpu.lm.ngram import NGramLM
+
+        ngram_lm = NGramLM.load(ngram_path)
+
     if args.decoder == "fast_beam":
         from caiman_asr_tpu.decoding.fast_beam import FastBeamDecoder
 
+        scale = args.ngram_scale_factor
+        if scale is None:
+            scale = cfg.ngram.scale_factor if cfg else 0.05
+        tables = None
+        if ngram_lm is not None and scale > 0 and tokenizer is not None:
+            # compile the ARPA model into the dense device automaton the
+            # jitted beam fuses per expansion (lm/device_table.py)
+            from caiman_asr_tpu.lm.device_table import build_device_tables
+
+            skip = [blank_idx] + [
+                i for i in [eos_idx] if i is not None and i >= 0
+            ]
+            def piece(i):
+                try:
+                    return tokenizer.id_to_piece(i)
+                except (IndexError, KeyError):
+                    return ""  # ids past the tokenizer vocab (blank slot)
+
+            tables = build_device_tables(
+                ngram_lm,
+                [piece(i) for i in range(model.n_classes)],
+                skip_ids=skip,
+            )
         return FastBeamDecoder(
             model,
             blank_idx,
@@ -309,16 +346,11 @@ def build_decoder(
             eos_strategy=eos_strategy,
             fuzzy_topk_logits=args.fuzzy_topk_logits,
             tokenizer=tokenizer,
+            ngram_lm=tables,
+            ngram_alpha=scale if tables is not None else 0.0,
         )
 
     from caiman_asr_tpu.decoding.beam import RNNTBeamDecoder
-
-    ngram_lm = None
-    ngram_path = args.ngram_path or (cfg.ngram.ngram_path if cfg else None)
-    if ngram_path and Path(ngram_path).exists():
-        from caiman_asr_tpu.lm.ngram import NGramLM
-
-        ngram_lm = NGramLM.load(ngram_path)
     keywords = None
     if getattr(args, "keyword_boost_path", None):
         from caiman_asr_tpu.keywords.process import load_keywords

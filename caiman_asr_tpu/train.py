@@ -328,6 +328,13 @@ def main(args=None):
             resume_batches = (start_step % spe) * accum
         except Exception:
             resume_batches = 0
+    # Skipped-step alarm (the packed joint poisons overflowed batches to
+    # -inf and the NaN guard skips them silently — a SYSTEMATIC overflow
+    # would look like training while updating nothing):
+    from collections import deque
+
+    skip_hist: deque = deque(maxlen=100)
+    skip_warned = False
     while step < args.training_steps:
         micro_group = []
         micro_nvalid = []
@@ -429,8 +436,35 @@ def main(args=None):
             if args.profiler and step % args.timings_frequency == 0:
                 timers.dump(step)
 
+            skip_hist.append(int(metrics["skipped"]))
+            rate = sum(skip_hist) / len(skip_hist)
+            if len(skip_hist) >= 50 and rate >= 0.5 and not skip_warned:
+                logger.log(
+                    (epoch, step),
+                    {"skipped_rate_alert": rate},
+                    subset="train",
+                )
+                print(
+                    f"WARNING: {rate:.0%} of the last {len(skip_hist)} steps "
+                    "were skipped (non-finite loss). Systematic joint-logit "
+                    "overflow or data corruption — training is NOT updating.",
+                    flush=True,
+                )
+                skip_warned = True
+            elif rate < 0.25:
+                skip_warned = False
+            if len(skip_hist) == skip_hist.maxlen and rate == 1.0:
+                raise RuntimeError(
+                    f"every one of the last {skip_hist.maxlen} steps was "
+                    "skipped (non-finite loss) — aborting a stalled run"
+                )
+
             logger.accumulate(
-                {"loss": metrics["loss"], "grad_norm": metrics["grad_norm"]}
+                {
+                    "loss": metrics["loss"],
+                    "grad_norm": metrics["grad_norm"],
+                    "skipped": metrics["skipped"],
+                }
             )
             if step % args.log_frequency == 0:
                 dt = time.time() - t_log

@@ -109,6 +109,11 @@ def main():
     p.add_argument("--workdir", default="/tmp/tones_e2e")
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument(
+        "--compare_decoders", action="store_true",
+        help="after training, table greedy vs fast_beam vs fast_beam+LM vs "
+             "host beam+LM dev WERs (LM trained on the train transcripts)",
+    )
     args = p.parse_args()
 
     from caiman_asr_tpu.data.generate_mel_stats import main as mel_main
@@ -162,6 +167,47 @@ def main():
     # convergence reference: ~66% @1200 steps, ~12% @2000, <5% @3000
     if args.steps >= 2500:
         assert result.wer < 0.2, "synthetic task failed to learn"
+
+    if args.compare_decoders:
+        # decoder-quality table on the trained model (VERDICT: fast_beam+LM
+        # vs greedy, consistent with the adaptive host beam)
+        from caiman_asr_tpu.lm.train_ngram import main as ngram_main
+
+        ngram_main([
+            "--manifests", "train.json", "--dataset_dir", str(root),
+            "--tokenizer_model", str(root / "tok.json"),
+            "--order", "3", "--output_dir", str(root / "ngram"),
+        ])
+        runs = [
+            ("greedy", ["--decoder", "greedy"]),
+            ("fast_beam-4", ["--decoder", "fast_beam", "--beam_width", "4"]),
+            ("fast_beam-4+lm", [
+                "--decoder", "fast_beam", "--beam_width", "4",
+                "--ngram_path", str(root / "ngram" / "ngram.arpa"),
+                "--ngram_scale_factor", "0.3",
+            ]),
+            ("host_beam-4+lm", [
+                "--decoder", "beam", "--beam_width", "4",
+                "--ngram_path", str(root / "ngram" / "ngram.arpa"),
+                "--ngram_scale_factor", "0.3",
+            ]),
+        ]
+        table = {}
+        for name, extra in runs:
+            va = val_arg_parser().parse_args([
+                "--model_config", str(cfg), "--dataset_dir", str(root),
+                "--val_manifests", "dev.json",
+                "--output_dir", str(root / f"valout_{name}"),
+                "--ckpt", str(root / "out" / "ckpts" / "best.npz"),
+                "--mel_stats_path", str(root / "mel_stats.npz"),
+            ] + extra)
+            table[name] = validate(va).wer
+        print("\ndecoder comparison (dev WER):")
+        for name, wer in table.items():
+            print(f"  {name:16s} {wer:.2%}")
+        assert table["fast_beam-4+lm"] <= table["fast_beam-4"] + 1e-9, (
+            "LM fusion must not hurt on in-domain synthetic text"
+        )
 
 
 if __name__ == "__main__":

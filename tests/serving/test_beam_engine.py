@@ -323,3 +323,120 @@ def test_pipeline_depth_preserves_final_stream():
     sync = _run(_make_engine(pipeline_depth=0), audio)
     piped = _run(_make_engine(pipeline_depth=3), audio)
     assert piped == sync
+
+
+def _msgs(out, lane):
+    v = out.get(lane, [])
+    return v if isinstance(v, list) else [v]
+
+
+def _saturating_engine(native=False):
+    """Engine whose beam step is replaced by a traceable fake that appends 2
+    tokens per advanced frame to every lane with ZERO cross-lane agreement
+    (lane w emits only token w+1): the worst case for the commit logic.
+    Lane 0 stays best (fixed scores), so the correct final stream is all
+    token-1s ('b')."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    model = RNNT(
+        RNNTModelConfig(
+            in_feats=240, enc_n_hid=16, enc_pre_rnn_layers=1,
+            enc_post_rnn_layers=1, enc_stack_time_factor=2, pred_n_hid=8,
+            pred_rnn_layers=1, joint_n_hid=16,
+            enc_dropout=0.0, pred_dropout=0.0, joint_dropout=0.0,
+        ),
+        N_CLASSES,
+    )
+    params = model.init(jax.random.PRNGKey(3))
+    eng = StreamingEngine(
+        model, params, BLANK, Tok(), max_streams=2,
+        decoder="beam", beam_width=3, beam_cap=64, beam_win=16,
+        max_symbols_per_step=4, native_serializer=native,
+    )
+    cap = eng._beam_cap
+
+    def fake_step(params, f_t, state):
+        B, W = state["scores"].shape
+        st = dict(state)
+        frame = st["frame"]
+        bix = lax.broadcasted_iota(jnp.int32, (B, W), 0)
+        wix = lax.broadcasted_iota(jnp.int32, (B, W), 1)
+        tok = wix + 1  # lane w emits token w+1, forever: no agreement
+        for _ in range(2):
+            pos = jnp.clip(st["lens"], 0, cap - 1)
+            st["toks"] = st["toks"].at[bix, wix, pos].set(tok)
+            st["ts"] = st["ts"].at[bix, wix, pos].set(
+                frame[:, None] * jnp.ones((1, W), jnp.int32)
+            )
+            st["lens"] = jnp.minimum(st["lens"] + 1, cap)
+        st["scores"] = jnp.broadcast_to(
+            -jnp.arange(1, W + 1, dtype=jnp.float32)[None, :], (B, W)
+        )
+        st["frame"] = frame + 1
+        return st
+
+    eng._beam_step = fake_step
+    return eng
+
+
+@pytest.mark.slow
+def test_cap_saturation_force_commit_preserves_stream():
+    """A stream emitting 3x the device buffer cap with ZERO common-prefix
+    agreement must still deliver the full best-hypothesis stream: window
+    slides force-commit from history, rebase recycles the ring, device lens
+    never saturates (STATUS gap: >cap uncommitted tokens)."""
+    eng = _saturating_engine()
+    cap = eng._beam_cap
+    lane = eng.open_stream()
+    rng = np.random.default_rng(0)
+
+    n_ticks = 100  # 2 tokens/tick = 200 > 3x cap... with cap=64
+    finals = []
+    max_len_seen = 0
+    for _ in range(n_ticks):
+        eng.push_audio(lane, rng.normal(size=eng.hop_samples).astype(np.float32) * 0.05)
+        out = eng.tick()
+        lens_now = int(np.max(np.asarray(eng.dec_state["lens"])))
+        max_len_seen = max(max_len_seen, lens_now)
+        assert lens_now < cap, "device beam buffer saturated"
+        for m in _msgs(out, lane):
+            if not m.get("eos") and not m["is_provisional"]:
+                finals.append(m["alternatives"][0]["transcript"])
+    eng.close_stream(lane)
+    while lane in eng.streams:
+        out = eng.tick()
+        for m in _msgs(out, lane):
+            if not m.get("eos") and not m["is_provisional"]:
+                finals.append(m["alternatives"][0]["transcript"])
+
+    text = "".join(finals)
+    assert len(text) == 2 * n_ticks, (len(text), max_len_seen)
+    assert text == "b" * (2 * n_ticks)  # lane 0's stream, token id 1
+    assert max_len_seen > cap // 2  # the ring actually filled up
+
+    # ---- closed-lane flush + reuse under load: a fresh stream on the same
+    # lane must start clean (no history/commit leakage)
+    lane2 = eng.open_stream()
+    # also grab the remaining lane so the engine runs fully loaded, then
+    # re-open the original lane slot once it frees up
+    lane3 = eng.open_stream()
+    assert lane3 is not None and {lane2, lane3} == {0, 1}
+    eng.close_stream(lane3)
+    while lane3 in eng.streams:
+        eng.tick()
+    finals2 = []
+    for _ in range(30):
+        eng.push_audio(lane2, rng.normal(size=eng.hop_samples).astype(np.float32) * 0.05)
+        out = eng.tick()
+        for m in _msgs(out, lane2):
+            if not m.get("eos") and not m["is_provisional"]:
+                finals2.append(m["alternatives"][0]["transcript"])
+    eng.close_stream(lane2)
+    while lane2 in eng.streams:
+        out = eng.tick()
+        for m in _msgs(out, lane2):
+            if not m.get("eos") and not m["is_provisional"]:
+                finals2.append(m["alternatives"][0]["transcript"])
+    text2 = "".join(finals2)
+    assert text2 == "b" * 60, text2[:80]
