@@ -26,6 +26,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import signal
 import time
 
 import numpy as np
@@ -33,6 +35,84 @@ import numpy as np
 BASELINE_RTS = 2000.0
 CHUNK_SECONDS = 0.060
 DEADLINE = time.time() + 480.0  # leave headroom under the driver's timeout
+
+# Results accumulated so far, so the signal backstop can still emit a
+# truthful line if a fresh kernel compile (5-8 min over the remote-TPU
+# tunnel) blows through the deadline mid-rung.
+_partial = {"engine": [], "compute": None}
+_emitted = False
+
+
+def _emit(engine_results, compute):
+    global _emitted
+    if _emitted:
+        return
+    _emitted = True
+    if not engine_results:
+        print(json.dumps({
+            "metric": "streaming_rts_base85m_greedy",
+            "value": 0.0,
+            "unit": "no rung completed within the deadline (fresh kernel "
+                    "compiles over the remote-TPU tunnel take 5-8 min each; "
+                    "rerun with a warm cache)",
+            "vs_baseline": 0.0,
+        }), flush=True)
+        return
+    platform = "tpu"
+    try:
+        import jax
+
+        platform = jax.devices()[0].platform
+    except Exception:
+        pass
+    # Verification threshold is the MEAN tick time: on a co-located host
+    # p99 ~ mean, while over this remote-TPU tunnel the p99 is dominated by
+    # WAN fetch stalls the product never pays — the true measured p99 is
+    # still reported so nothing is hidden.
+    verified = [r for r in engine_results if r[1] <= CHUNK_SECONDS]
+    if verified:
+        B, mean, p99 = max(verified)
+        value = float(B)
+        kind = "verified(mean) engine-e2e"
+    else:
+        B, mean, p99 = max(engine_results, key=lambda r: r[0] / r[1])
+        value = round(B * CHUNK_SECONDS / mean, 1)
+        kind = "engine-e2e sustained-throughput"
+    unit = (
+        f"{kind} real-time streams/chip, raw 60 ms int16 audio -> staged -> "
+        f"fused log-mel -> encoder -> greedy -> responses for every lane "
+        f"every tick ({mean * 1e3:.2f} ms mean / {p99 * 1e3:.2f} ms true "
+        f"p99 over 110 ticks at B={B}, {platform}; tunnel RTT included in "
+        f"both)"
+    )
+    if compute is not None:
+        cb, cm, cp = compute
+        unit += (
+            f"; device compute path alone sustains B={cb} at "
+            f"{cm * 1e3:.2f} ms mean / {cp * 1e3:.2f} ms p99-of-5-chunk-"
+            f"groups per chunk"
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_rts_base85m_greedy",
+                "value": value,
+                "unit": unit,
+                "vs_baseline": round(value / BASELINE_RTS, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _sig_backstop(signum, frame):
+    _emit(_partial["engine"], _partial["compute"])
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _sig_backstop)
+signal.signal(signal.SIGALRM, _sig_backstop)
+signal.alarm(565)  # just under the driver's timeout
 
 
 def _build_engine(batch_size: int, pipeline_depth: int = 8):
@@ -70,11 +150,12 @@ def measure_engine(batch_size: int, iters: int = 110):
         eng.open_stream()
     eng.warmup()
     rng = np.random.default_rng(0)
-    chunk = (rng.standard_normal(eng.hop_samples) * 0.05).astype(np.float32)
+    # int16 PCM, exactly what the websocket wire delivers
+    block = (rng.standard_normal((batch_size, eng.hop_samples)) * 0.05 * 32768
+             ).astype(np.int16)
 
     def one_tick():
-        for lane in range(batch_size):
-            eng.push_audio(lane, chunk)
+        eng.push_audio_block(block)
         return eng.tick()
 
     for _ in range(3):
@@ -101,9 +182,8 @@ def measure_compute(batch_size: int, iters: int = 100, group: int = 5):
     eng = _build_engine(batch_size, pipeline_depth=0)
     rng = np.random.default_rng(0)
     samples = jnp.asarray(
-        rng.standard_normal((batch_size, eng.carry_samples + eng.hop_samples))
-        * 0.05,
-        eng.dtype,
+        (rng.standard_normal((batch_size, eng.carry_samples + eng.hop_samples))
+         * 0.05 * 32768).astype(np.int16)
     )
     adv = jnp.ones((batch_size,), bool)
     rebase = jnp.zeros((batch_size,), jnp.int32)
@@ -140,9 +220,9 @@ def main():
         ladder, compute_b = [8], 8
     else:
         # small -> large: secure a verified rung early, then try to raise it
-        ladder, compute_b = [2048, 4096], 16384
+        ladder, compute_b = [2048, 4096, 8192], 16384
 
-    engine_results = []  # (B, mean, p99)
+    engine_results = _partial["engine"]  # (B, mean, p99)
     for B in ladder:
         if time.time() > DEADLINE and engine_results:
             break
@@ -154,50 +234,14 @@ def main():
         if mean > 2 * CHUNK_SECONDS:
             break  # larger batches cannot pass either
 
-    compute = None
     if time.time() < DEADLINE:
         try:
-            compute = (compute_b,) + measure_compute(compute_b)
+            _partial["compute"] = (compute_b,) + measure_compute(compute_b)
         except Exception:
-            compute = None
+            pass
 
-    # Verification threshold is the MEAN tick time: on a co-located host
-    # p99 ~ mean, while over this remote-TPU tunnel the p99 is dominated by
-    # WAN fetch stalls the product never pays — the true measured p99 is
-    # still reported so nothing is hidden.
-    verified = [r for r in engine_results if r[1] <= CHUNK_SECONDS]
-    if verified:
-        B, mean, p99 = max(verified)
-        value = float(B)
-        kind = "verified(mean) engine-e2e"
-    else:
-        B, mean, p99 = max(engine_results, key=lambda r: r[0] / r[1])
-        value = round(B * CHUNK_SECONDS / mean, 1)
-        kind = "engine-e2e sustained-throughput"
-    unit = (
-        f"{kind} real-time streams/chip, raw 60 ms audio -> staged -> "
-        f"fused log-mel -> encoder -> greedy -> responses for every lane "
-        f"every tick ({mean * 1e3:.2f} ms mean / {p99 * 1e3:.2f} ms true "
-        f"p99 over 110 ticks at B={B}, {platform}; tunnel RTT included in "
-        f"both)"
-    )
-    if compute is not None:
-        cb, cm, cp = compute
-        unit += (
-            f"; device compute path alone sustains B={cb} at "
-            f"{cm * 1e3:.2f} ms mean / {cp * 1e3:.2f} ms p99-of-5-chunk-"
-            f"groups per chunk"
-        )
-    print(
-        json.dumps(
-            {
-                "metric": "streaming_rts_base85m_greedy",
-                "value": value,
-                "unit": unit,
-                "vs_baseline": round(value / BASELINE_RTS, 3),
-            }
-        )
-    )
+    signal.alarm(0)
+    _emit(engine_results, _partial["compute"])
 
 
 if __name__ == "__main__":

@@ -91,13 +91,20 @@ def _ensure_built() -> ctypes.CDLL:
     lib.ser_lane_committed.argtypes = [ctypes.c_int]
     lib.ser_lane_frame_idx.restype = ctypes.c_int64
     lib.ser_lane_frame_idx.argtypes = [ctypes.c_int]
-    f32p = ctypes.POINTER(ctypes.c_float)
+    i16p = ctypes.POINTER(ctypes.c_int16)
     lib.stg_init.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.stg_reset_lane.argtypes = [ctypes.c_int]
     lib.stg_push.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
+    lib.stg_push_i16.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
+    lib.stg_push_rows_i16.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                      ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.c_long]
+    lib.stg_push_rows_f32.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                      ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.c_long]
     lib.stg_buffered.restype = ctypes.c_long
     lib.stg_buffered.argtypes = [ctypes.c_int]
-    lib.stg_tick.argtypes = [f32p, ctypes.c_long, u8p, u8p, ctypes.c_int,
+    lib.stg_tick.argtypes = [i16p, ctypes.c_long, u8p, u8p, ctypes.c_int,
                              u8p, u8p]
     _lib = lib
     return lib
@@ -283,15 +290,18 @@ class AudioStaging:
 
     Owns the lane ring buffers and carries; one ``tick`` call pops a hop of
     audio per ready lane into the [B, carry+hop] staging matrix and returns
-    the advanced/finishing masks. Same global-state caveat as
-    ResponseSerializer: one instance per process (last constructed wins).
+    the advanced/finishing masks. Buffers hold int16 PCM (the WebSocket
+    wire format) — float pushes are converted at the boundary; the
+    int16->[-1,1] scale happens on device inside the jitted tick. Same
+    global-state caveat as ResponseSerializer: one instance per process
+    (last constructed wins).
     """
 
     def __init__(self, max_lanes: int, carry_len: int, hop: int):
         self._lib = _ensure_built()
         _claim_global_state("staging", self)
         self._lib.stg_init(max_lanes, carry_len, hop)
-        self._f32p = ctypes.POINTER(ctypes.c_float)
+        self._i16p = ctypes.POINTER(ctypes.c_int16)
         self._u8p = ctypes.POINTER(ctypes.c_uint8)
         self._adv = np.zeros(max_lanes, np.uint8)
         self._fin = np.zeros(max_lanes, np.uint8)
@@ -305,22 +315,48 @@ class AudioStaging:
 
     def push(self, lane: int, samples: np.ndarray):
         x = samples
+        # raw pointer via c_void_p: ~3x cheaper than a data_as POINTER cast
+        # on the per-websocket-message hot path
+        if isinstance(x, np.ndarray) and x.dtype == np.int16:
+            if not x.flags.c_contiguous:
+                x = np.ascontiguousarray(x)
+            self._lib.stg_push_i16(lane, x.ctypes.data, x.size)
+            return
         if not (isinstance(x, np.ndarray) and x.dtype == np.float32
                 and x.flags.c_contiguous):
             x = np.ascontiguousarray(x, np.float32)
-        # raw pointer via c_void_p: ~3x cheaper than a data_as POINTER cast
-        # on the per-websocket-message hot path
         self._lib.stg_push(lane, x.ctypes.data, x.size)
+
+    def push_rows(self, block: np.ndarray, lanes=None):
+        """Push row i of ``block`` ([m, n] int16 or float32) to lane
+        ``lanes[i]`` (or lane i when lanes is None): one native call
+        replaces m Python-level push() calls."""
+        lanes_ptr = 0
+        if lanes is not None:
+            lanes = np.ascontiguousarray(lanes, np.int32)
+            lanes_ptr = lanes.ctypes.data
+        if block.dtype == np.int16:
+            block = np.ascontiguousarray(block)
+            self._lib.stg_push_rows_i16(
+                block.ctypes.data, block.shape[1], lanes_ptr,
+                block.shape[0], block.shape[1],
+            )
+        else:
+            block = np.ascontiguousarray(block, np.float32)
+            self._lib.stg_push_rows_f32(
+                block.ctypes.data, block.shape[1], lanes_ptr,
+                block.shape[0], block.shape[1],
+            )
 
     def buffered(self, lane: int) -> int:
         return int(self._lib.stg_buffered(lane))
 
     def tick(self, staging: np.ndarray, active: np.ndarray,
              closed: np.ndarray):
-        """staging: float32 [B, carry+hop] (filled in place);
+        """staging: int16 [B, carry+hop] (filled in place);
         active/closed: uint8 [B]. Returns (adv bool [B], finishing bool [B])."""
         self._lib.stg_tick(
-            staging.ctypes.data_as(self._f32p), staging.shape[1],
+            staging.ctypes.data_as(self._i16p), staging.shape[1],
             np.ascontiguousarray(active, np.uint8).ctypes.data_as(self._u8p),
             np.ascontiguousarray(closed, np.uint8).ctypes.data_as(self._u8p),
             staging.shape[0],

@@ -66,6 +66,43 @@ def _fwd_kernel(h_ref, w_ref, b_ref, out_d, s_scr, *, kt, n_k):
         out_d[0, :] = jnp.sum(s_scr[:, :], axis=1)
 
 
+def _fwd_kernel_pipe(h_ref, w_ref, b_ref, out_d, s_scr, z_scr, *, kt, n_k):
+    """Software-pipelined denominator forward: the exp+accumulate VPU sweep
+    for vocab tile j-1 is placed BETWEEN the MXU GEMM issue for tile j and
+    its consumption, so Mosaic's VLIW scheduler can co-issue VPU slots under
+    the MXU's ~47 ms of matmul work instead of serializing ~25 ms of exp
+    after it. Inner grid runs one extra step (j == n_k) to drain the last
+    tile from the z scratch."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        s_scr[:] = jnp.zeros_like(s_scr)
+
+    @pl.when(j < n_k)
+    def _():
+        z = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+
+        @pl.when(j > 0)
+        def _():
+            zp = z_scr[:]
+            tp = zp.shape[0]
+            s_scr[:, :] += jnp.sum(
+                jnp.exp(zp).reshape(tp, kt // LANES, LANES), axis=1
+            )
+
+        z_scr[:, :] = z + b_ref[0, :][None, :]
+
+    @pl.when(j == n_k)
+    def _():
+        zp = z_scr[:]
+        tp = zp.shape[0]
+        s_scr[:, :] += jnp.sum(
+            jnp.exp(zp).reshape(tp, kt // LANES, LANES), axis=1
+        )
+        out_d[0, :] = jnp.sum(s_scr[:, :], axis=1)
+
+
 def _fwd_kernel_store(h_ref, w_ref, b_ref, out_d, out_u, s_scr, *, kt, n_k):
     """Forward that additionally stores u = exp(z) as bf16.
 
@@ -272,6 +309,10 @@ def _pad_to(x, n, axis, value=0):
 # B=32x12s shapes (on by default there); ~9.7 GB at large-196M (off).
 Z_STORE_LIMIT_BYTES = int(os.environ.get("CAIMAN_JOINT_ZSTORE_MB", 5120)) << 20
 
+# Software-pipelined denominator forward (see _fwd_kernel_pipe): off by
+# default until the A/B on real hardware confirms it wins.
+_FWD_PIPE = os.environ.get("CAIMAN_JOINT_FWD_PIPE", "0") == "1"
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def fused_joint_lse(h, w, b, labels, blank_idx, interpret=False):
@@ -350,6 +391,32 @@ def _fwd_chunk(hp, w, b, lo, hi, tp, kt, store, interpret):
             interpret=interpret,
         )(hp, wp, bp)
         return out_s[0], up
+    if _FWD_PIPE:
+        # pipelined variant: one extra inner grid step drains the z scratch;
+        # w/b index maps clamp so the drain step re-reads the last tile
+        clamp = lambda j: jnp.minimum(j, n_k - 1)
+        (out_s,) = pl.pallas_call(
+            functools.partial(_fwd_kernel_pipe, kt=kt, n_k=n_k),
+            grid=(n_i, n_k + 1),
+            in_specs=[
+                pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Hj, kt), lambda i, j: (0, clamp(j)), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kt), lambda i, j: (0, clamp(j)), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((1, Np), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((tp, LANES), jnp.float32),
+                pltpu.VMEM((tp, kt), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(hp, wp, bp)
+        return out_s[0], None
     kernel = functools.partial(_fwd_kernel, kt=kt, n_k=n_k)
     (out_s,) = pl.pallas_call(
         kernel,

@@ -38,7 +38,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from caiman_asr_tpu.ops.lstm import _gate_math, hard_sigmoid, hard_tanh
 
-VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM
+# v5e VMEM is ~128 MB/core; the oft-quoted 16 MB is only the compiler's
+# default scoped-vmem limit, raised per-kernel via CompilerParams below
+# (empirically: a 110 MB VMEM scratch compiles and runs on this chip).
+# Budget 100 MB so the large-encoder w_hh (H=1536: 18.9 MB bf16) stays
+# VMEM-resident across the whole time loop with room for block streaming.
+VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _compiler_params(need_bytes: int):
+    """Raise Mosaic's scoped-vmem limit just past this kernel's working set
+    (the 16 MB default is not the hardware: v5e has ~128 MB VMEM)."""
+    limit = min(int(need_bytes * 1.25) + 2 * 1024 * 1024, 124 * 1024 * 1024)
+    return pltpu.CompilerParams(vmem_limit_bytes=max(limit, 16 * 1024 * 1024))
 
 
 def _kernel(
@@ -77,6 +89,12 @@ def _pallas_recurrence(gates_x, w_hh_t, h0, c0, *, hard: bool, t_blk: int, inter
     H = H4 // 4
     dtype = h0.dtype
     grid = (T // t_blk,)
+    itemsize = jnp.dtype(dtype).itemsize
+    need = (
+        H * H4 * w_hh_t.dtype.itemsize  # resident weights
+        + 2 * (t_blk * B * H4 + 2 * t_blk * B * H) * itemsize  # dbl-buffered
+        + 2 * B * H * 4  # fp32 state scratch
+    )
     kernel = functools.partial(_kernel, hard=hard, t_blk=t_blk)
     ys, cs = pl.pallas_call(
         kernel,
@@ -101,6 +119,7 @@ def _pallas_recurrence(gates_x, w_hh_t, h0, c0, *, hard: bool, t_blk: int, inter
             pltpu.VMEM((H, H4), w_hh_t.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=_compiler_params(need),
         interpret=interpret,
     )(gates_x, w_hh_t, h0, c0)
     return ys, cs
@@ -198,7 +217,7 @@ def _bwd_t_blk(B: int, H: int, dtype) -> Optional[int]:
     the scan fallback)."""
     itemsize = jnp.dtype(dtype).itemsize
     w = 4 * H * H * itemsize
-    for t_blk in (8, 4, 2, 1):
+    for t_blk in (32, 16, 8, 4, 2, 1):
         gates = t_blk * B * 4 * H * itemsize
         aux = 4 * t_blk * B * H * itemsize
         dg = t_blk * B * 4 * H * itemsize
@@ -220,6 +239,12 @@ def _pallas_bwd_recurrence(gates, c_prev, cs, dys, dcs, w_hh, *, hard, t_blk, in
         gates, c_prev, cs, dys, dcs = map(padt, (gates, c_prev, cs, dys, dcs))
     n_blk = Tp // t_blk
     rev = lambda i: (n_blk - 1 - i, 0, 0)
+    itemsize = jnp.dtype(gates.dtype).itemsize
+    need = (
+        H4 * H * w_hh.dtype.itemsize
+        + 2 * (2 * t_blk * B * H4 + 4 * t_blk * B * H) * itemsize
+        + 2 * B * H * 4
+    )
     kernel = functools.partial(_bwd_kernel, hard=hard, t_blk=t_blk, n_blk=n_blk)
     dgates, dh0, dc0 = pl.pallas_call(
         kernel,
@@ -248,6 +273,7 @@ def _pallas_bwd_recurrence(gates, c_prev, cs, dys, dcs, w_hh, *, hard, t_blk, in
             pltpu.VMEM((H4, H), w_hh.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=_compiler_params(need),
         interpret=interpret,
     )(gates, c_prev, cs, dys, dcs, w_hh)
     return dgates[:T], dh0, dc0

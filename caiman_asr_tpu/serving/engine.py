@@ -210,7 +210,23 @@ class StreamingEngine:
         self.pipeline_depth = pipeline_depth
         from collections import deque
 
-        self._pending = deque()  # (packed device array, host adv mask)
+        # entries: [packed (device array or fetched np array), adv, event]
+        self._pending = deque()
+        # Pipelined mode gets a fetcher thread: the device->host result copy
+        # (a full transport round trip on remote TPUs, ~30 ms) runs off the
+        # tick loop and overlaps the next ticks' staging + upload. tick()
+        # consumes whatever the fetcher has finished, oldest first.
+        self._fetchq = None
+        self._fetch_thread = None
+        if pipeline_depth > 0:
+            import queue
+            import threading
+
+            self._fetchq = queue.Queue()
+            self._fetch_thread = threading.Thread(
+                target=self._fetch_loop, daemon=True
+            )
+            self._fetch_thread.start()
 
         self.enc_state = self._zero_enc_state()
         self.dec_state = self._zero_dec_state()
@@ -223,9 +239,29 @@ class StreamingEngine:
 
         self._lock = threading.RLock()
 
+    def _fetch_loop(self):
+        """Fetcher thread: materialize packed tick outputs on the host.
+        Touches only the entry it was handed (never engine state), so it
+        needs no lock; _consume waits on the entry's event."""
+        while True:
+            entry = self._fetchq.get()
+            if entry is None:
+                return
+            try:
+                entry[0] = np.asarray(entry[0])
+            except Exception as e:  # surfaced by _consume on the tick thread
+                entry[0] = e
+            entry[2].set()
+
     def close(self):
         """Release process-global native resources (serializer/staging C
-        state) so another engine can be constructed in this process."""
+        state) and stop the fetcher thread so another engine can be
+        constructed in this process."""
+        if self._fetchq is not None:
+            self._fetchq.put(None)
+            self._fetch_thread.join(timeout=10)
+            self._fetchq = None
+            self._fetch_thread = None
         if self._native_ser is not None:
             self._native_ser.close()
             self._native_ser = None
@@ -236,7 +272,9 @@ class StreamingEngine:
     def warmup(self):
         """Force-compile the tick program before serving traffic (first-tick
         JIT latency would otherwise hit the first streams)."""
-        samples = jnp.zeros((self.B, self.carry_samples + self.hop_samples), self.dtype)
+        samples = jnp.zeros(
+            (self.B, self.carry_samples + self.hop_samples), jnp.int16
+        )
         adv = jnp.zeros((self.B,), bool)
         # two passes: the second absorbs the weak-type-settling retrace so
         # live traffic never pays a compile
@@ -282,7 +320,10 @@ class StreamingEngine:
 
     def _tick_impl(self, params, samples, enc_state, dec_state, adv, rng,
                    rebase=None):
-        """samples: [B, carry+hop]; adv: [B] bool — lanes that advance.
+        """samples: [B, carry+hop] int16 PCM; adv: [B] bool — lanes that
+        advance. int16 is the wire format (websocket_api.md) and halves the
+        per-tick host->device upload; the scale to [-1, 1) fuses into the
+        featurizer here for free.
 
         rebase (beam only): [B] int32 — drop this many already-committed
         token positions from the front of each lane's beam buffers before
@@ -292,6 +333,9 @@ class StreamingEngine:
         applied value is echoed in the packed output so pipelined host
         bookkeeping shifts coordinates at exactly the right tick."""
         cfg = self.cfg
+        samples = (samples.astype(jnp.float32) * (1.0 / 32768.0)).astype(
+            self.dtype
+        )
         if cfg.dither != 0.0:
             # The model is trained/validated with dithered features; without
             # it, digital-silence frames sit ~30 log-mel units below anything
@@ -393,7 +437,7 @@ class StreamingEngine:
                 return None
             lane = self._free.pop(0)
             self.streams[lane] = StreamState(
-                carry=np.zeros(self.carry_samples, np.float32)
+                carry=np.zeros(self.carry_samples, np.int16)
             )
             if self._native_stg is not None:
                 self._native_stg.reset_lane(lane)
@@ -440,14 +484,38 @@ class StreamingEngine:
                 c.at[:, lane].set(c0[:, lane]),
             )
 
+    @staticmethod
+    def _to_i16(samples: np.ndarray) -> np.ndarray:
+        if isinstance(samples, np.ndarray) and samples.dtype == np.int16:
+            return samples
+        x = np.asarray(samples, np.float32)
+        return np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int16)
+
     def push_audio(self, lane: int, samples: np.ndarray):
+        """Buffer audio for a lane: int16 PCM (the wire format, pushed as-is)
+        or float32 in [-1, 1) (converted)."""
         with self._lock:
             st = self.streams[lane]
             if self._native_stg is not None:
                 self._native_stg.push(lane, samples)
                 return
-            st.chunks.append(np.asarray(samples, np.float32))
+            st.chunks.append(self._to_i16(samples))
             st.buf_len += len(samples)
+
+    def push_audio_block(self, block: np.ndarray, lanes=None):
+        """Push row i of ``block`` ([m, n] int16 or float32) to lane
+        ``lanes[i]`` (or lane i when lanes is None). One lock acquire and
+        (on the native path) one C call for all m lanes — the per-lane
+        Python call loop costs ~7 us/lane, ~30 ms/tick at B=4k."""
+        with self._lock:
+            if self._native_stg is not None:
+                self._native_stg.push_rows(block, lanes)
+                return
+            it = range(block.shape[0]) if lanes is None else lanes
+            for i, lane in enumerate(it):
+                st = self.streams[lane]
+                st.chunks.append(self._to_i16(block[i]))
+                st.buf_len += block.shape[1]
 
     def _release(self, lane: int):
         del self.streams[lane]
@@ -490,7 +558,7 @@ class StreamingEngine:
             # persistent staging matrix: rows of idle lanes keep stale data,
             # which is harmless — the jitted tick gates their state on `adv`
             self._staging = np.zeros(
-                (self.B, self.carry_samples + self.hop_samples), np.float32
+                (self.B, self.carry_samples + self.hop_samples), np.int16
             )
         samples = self._staging
         if self._native_stg is not None:
@@ -540,7 +608,7 @@ class StreamingEngine:
             self._tick_count += 1
             packed, self.enc_state, self.dec_state = self._jit_tick(
                 self.params,
-                jnp.asarray(samples, self.dtype),
+                jnp.asarray(samples),  # int16 on the wire, scaled on device
                 self.enc_state,
                 self.dec_state,
                 jnp.asarray(adv),
@@ -550,8 +618,20 @@ class StreamingEngine:
             try:
                 packed.copy_to_host_async()
             except Exception:
-                pass  # backend without async copies: consume() fetches sync
-            self._pending.append((packed, adv))
+                pass  # backend without async copies: the fetcher blocks
+            entry = [packed, adv, None]
+            if self._fetchq is not None:
+                import threading
+
+                entry[2] = threading.Event()
+                self._pending.append(entry)
+                self._fetchq.put(entry)
+                # drain whatever the fetcher already finished, oldest first
+                # (keeps latency at fetch-time rather than a fixed depth)
+                while self._pending and self._pending[0][2].is_set():
+                    self._consume(self._pending.popleft(), out)
+            else:
+                self._pending.append(entry)
             while len(self._pending) > self.pipeline_depth:
                 self._consume(self._pending.popleft(), out)
 
@@ -589,7 +669,12 @@ class StreamingEngine:
         """Fetch one in-flight tick's packed outputs and append the derived
         responses to `out` (a lane can accumulate responses from several
         drained ticks)."""
-        packed, adv = entry
+        packed, adv, ev = entry if len(entry) == 3 else (*entry, None)
+        if ev is not None:
+            ev.wait()
+            packed = entry[0]
+            if isinstance(packed, Exception):
+                raise packed
         packed = np.asarray(packed)
         if self._native_ser is not None:
             if self.decoder == "beam":

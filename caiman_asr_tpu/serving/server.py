@@ -108,10 +108,9 @@ class ASRServer:
                 if len(message) == 0:
                     self.engine.close_stream(lane)
                     break
-                samples = (
-                    np.frombuffer(message, dtype="<i2").astype(np.float32) / 32768.0
-                )
-                self.engine.push_audio(lane, samples)
+                # wire format is pcm16 and the engine stages int16: pass the
+                # bytes straight through (no per-message float conversion)
+                self.engine.push_audio(lane, np.frombuffer(message, dtype="<i2"))
             else:
                 self.engine.close_stream(lane)
             await send_task

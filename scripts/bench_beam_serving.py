@@ -54,13 +54,13 @@ def main():
     eng.warmup()
 
     rng = np.random.default_rng(0)
-    chunk = (rng.standard_normal(eng.hop_samples) * 0.05).astype(np.float32)
+    block = (rng.standard_normal((args.batch, eng.hop_samples)) * 0.05 * 32768
+             ).astype(np.int16)
 
     # feed + tick loop: every tick pays the full host path (windowed fetch +
     # response serialisation for every lane)
     def feed():
-        for lane in range(args.batch):
-            eng.push_audio(lane, chunk)
+        eng.push_audio_block(block)
 
     feed()
     eng.tick()  # absorbs any remaining first-call effects

@@ -140,18 +140,19 @@ def test_read_audio_flac(tmp_path):
 
 def test_audio_staging_semantics():
     """Native staging: partial buffers wait, carries thread, EOS drains with
-    zero-padding, reset clears (mirrors engine.py's Python staging loop)."""
+    zero-padding, reset clears (mirrors engine.py's Python staging loop).
+    Buffers are int16 PCM (the wire format)."""
     from caiman_asr_tpu.native import AudioStaging
 
     B, carry, hop = 3, 4, 8
     stg = AudioStaging(B, carry, hop)
-    staging = np.zeros((B, carry + hop), np.float32)
+    staging = np.zeros((B, carry + hop), np.int16)
     active = np.array([1, 1, 0], np.uint8)
     closed = np.zeros(B, np.uint8)
 
     # lane 0: exactly one hop; lane 1: partial (waits); lane 2: inactive
-    stg.push(0, np.arange(1, hop + 1, dtype=np.float32))
-    stg.push(1, np.ones(3, np.float32))
+    stg.push(0, np.arange(1, hop + 1, dtype=np.int16))
+    stg.push(1, np.ones(3, np.int16))
     adv, fin = stg.tick(staging, active, closed)
     assert adv.tolist() == [True, False, False] and not fin.any()
     np.testing.assert_array_equal(staging[0, :carry], np.zeros(carry))
@@ -159,7 +160,7 @@ def test_audio_staging_semantics():
     assert stg.buffered(1) == 3
 
     # carry = last `carry` samples of the previous row
-    stg.push(0, np.full(hop, 9.0, np.float32))
+    stg.push(0, np.full(hop, 9, np.int16))
     adv, _ = stg.tick(staging, active, closed)
     assert adv[0]
     np.testing.assert_array_equal(
@@ -178,12 +179,49 @@ def test_audio_staging_semantics():
     assert not adv[1] and fin[1]
 
     # reset clears buffer and carry
-    stg.push(0, np.ones(2, np.float32))
+    stg.push(0, np.ones(2, np.int16))
     stg.reset_lane(0)
     assert stg.buffered(0) == 0
     closed[0] = 1
     adv, fin = stg.tick(staging, active, closed)
     assert fin[0]
+
+
+def test_audio_staging_float_conversion_and_rows():
+    """Float pushes convert (round + clamp) to int16 at the boundary;
+    push_rows delivers row i to lane i (or lanes[i]) in one call."""
+    from caiman_asr_tpu.native import AudioStaging
+
+    B, carry, hop = 3, 2, 4
+    stg = AudioStaging(B, carry, hop)
+    staging = np.zeros((B, carry + hop), np.int16)
+    active = np.ones(B, np.uint8)
+    closed = np.zeros(B, np.uint8)
+
+    # float -> int16: round-to-nearest and clamp at full scale
+    stg.push(0, np.array([0.5, -0.5, 1.5, -1.5], np.float32))
+    adv, _ = stg.tick(staging, active, closed)
+    assert adv[0] and not adv[1]
+    np.testing.assert_array_equal(
+        staging[0, carry:], [16384, -16384, 32767, -32768]
+    )
+
+    # batched rows: int16 block straight through, explicit lane mapping
+    block = np.array([[1, 2, 3, 4], [5, 6, 7, 8]], np.int16)
+    stg.push_rows(block, lanes=np.array([2, 1], np.int32))
+    adv, _ = stg.tick(staging, active, closed)
+    assert adv[1] and adv[2]
+    np.testing.assert_array_equal(staging[2, carry:], [1, 2, 3, 4])
+    np.testing.assert_array_equal(staging[1, carry:], [5, 6, 7, 8])
+
+    # float rows convert like scalar pushes; default lanes = row index
+    fblock = np.array([[0.25, 0.0, -0.25, 1.0]] * B, np.float32)
+    stg.push_rows(fblock)
+    adv, _ = stg.tick(staging, active, closed)
+    assert adv.all()
+    np.testing.assert_array_equal(
+        staging[0, carry:], [8192, 0, -8192, 32767]
+    )
 
 
 def test_serializer_rejects_wide_beam():

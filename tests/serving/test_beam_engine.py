@@ -236,8 +236,8 @@ def test_rebase_shift_equals_preshifted_state():
     st0["ts"] = jnp.asarray(toks)
     st0["lens"] = jnp.full((eng.B, eng.beam_width), 80, jnp.int32)
     samples = jnp.asarray(
-        rng.normal(size=(eng.B, eng.carry_samples + eng.hop_samples)) * 0.05,
-        eng.dtype,
+        (rng.normal(size=(eng.B, eng.carry_samples + eng.hop_samples))
+         * 0.05 * 32768).astype(np.int16)
     )
     adv = jnp.ones((eng.B,), bool)
     key = jax.random.PRNGKey(9)

@@ -65,7 +65,10 @@ def test_streaming_matches_offline(setup):
     model, params, mel_stats = setup
     rng = np.random.default_rng(7)
     n_ticks = 5
+    # real audio lives on the int16 grid (FLAC/pcm16); snap so the engine's
+    # int16 staging is bit-exact against the float offline path
     audio = (rng.normal(size=960 * n_ticks) * 0.1).astype(np.float32)
+    audio = (np.rint(audio * 32768.0) / 32768.0).astype(np.float32)
 
     # ---- offline reference decode
     feats, frame_lens = offline_feats(audio, mel_stats)
@@ -123,6 +126,7 @@ def test_fresh_lane_state_isolated(setup):
     model, params, mel_stats = setup
     rng = np.random.default_rng(1)
     audio = (rng.normal(size=960 * 3) * 0.1).astype(np.float32)
+    audio = (np.rint(audio * 32768.0) / 32768.0).astype(np.float32)
 
     def run_alone():
         eng = StreamingEngine(model, params, BLANK, Tok(), mel_stats=mel_stats,
