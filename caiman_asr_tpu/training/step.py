@@ -298,9 +298,9 @@ def make_train_step(
             star_idx=star_idx,
         )
 
-        zero_grads = jax.tree.map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
-        )
+        # A == 1 is a static shape: skip the accumulation scan entirely —
+        # the scan's zero-init + add of the fp32 grad tree is a full
+        # param-tree round trip of HBM traffic that buys nothing.
         if rsp:
             grad_fn = jax.value_and_grad(
                 partial(
@@ -310,22 +310,33 @@ def make_train_step(
                 ),
                 has_aux=True,
             )
-
-            def accum(carry, inp):
-                grads_acc, loss_acc, rs = carry
-                mb, i, gate = inp
-                mb_rng = jax.random.fold_in(rng, i)
-                (loss, new_rs), grads = grad_fn(
-                    state.params, mb, mb_rng, rnnt_state=rs, gate=gate
+            gates = jnp.asarray(state_gates, jnp.float32)
+            if A == 1:
+                mb = jax.tree.map(lambda x: x[0], batch)
+                (total_loss, final_rs), grads = grad_fn(
+                    state.params, mb, jax.random.fold_in(rng, 0),
+                    rnnt_state=rnnt_state, gate=gates[0],
                 )
-                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-                return (grads_acc, loss_acc + loss, new_rs), None
+            else:
 
-            (grads, total_loss, final_rs), _ = lax.scan(
-                accum,
-                (zero_grads, jnp.zeros((), jnp.float32), rnnt_state),
-                (batch, jnp.arange(A), jnp.asarray(state_gates, jnp.float32)),
-            )
+                def accum(carry, inp):
+                    grads_acc, loss_acc, rs = carry
+                    mb, i, gate = inp
+                    mb_rng = jax.random.fold_in(rng, i)
+                    (loss, new_rs), grads = grad_fn(
+                        state.params, mb, mb_rng, rnnt_state=rs, gate=gate
+                    )
+                    grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                    return (grads_acc, loss_acc + loss, new_rs), None
+
+                zero_grads = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+                )
+                (grads, total_loss, final_rs), _ = lax.scan(
+                    accum,
+                    (zero_grads, jnp.zeros((), jnp.float32), rnnt_state),
+                    (batch, jnp.arange(A), gates),
+                )
         else:
             grad_fn = jax.value_and_grad(
                 partial(
@@ -337,29 +348,49 @@ def make_train_step(
             )
             from caiman_asr_tpu.ops.lstm import BN_MOMENTUM
 
-            def accum(carry, inp):
-                grads_acc, loss_acc, bn_stats = carry
-                mb, i = inp
-                mb_rng = jax.random.fold_in(rng, i)
-                if has_bn:
-                    (loss, batch_stats), grads = grad_fn(state.params, mb, mb_rng)
-                    bn_stats = tuple(
-                        (
-                            (1 - BN_MOMENTUM) * m + BN_MOMENTUM * bm,
-                            (1 - BN_MOMENTUM) * v + BN_MOMENTUM * bv,
-                        )
-                        for (m, v), (bm, bv) in zip(bn_stats, batch_stats)
+            def fold_bn(bn_stats, batch_stats):
+                return tuple(
+                    (
+                        (1 - BN_MOMENTUM) * m + BN_MOMENTUM * bm,
+                        (1 - BN_MOMENTUM) * v + BN_MOMENTUM * bv,
                     )
-                else:
-                    loss, grads = grad_fn(state.params, mb, mb_rng)
-                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-                return (grads_acc, loss_acc + loss, bn_stats), None
+                    for (m, v), (bm, bv) in zip(bn_stats, batch_stats)
+                )
 
-            (grads, total_loss, final_bn), _ = lax.scan(
-                accum,
-                (zero_grads, jnp.zeros((), jnp.float32), model.bn_stats(state.params)),
-                (batch, jnp.arange(A)),
-            )
+            if A == 1:
+                mb = jax.tree.map(lambda x: x[0], batch)
+                mb_rng = jax.random.fold_in(rng, 0)
+                if has_bn:
+                    (total_loss, batch_stats), grads = grad_fn(
+                        state.params, mb, mb_rng
+                    )
+                    final_bn = fold_bn(model.bn_stats(state.params), batch_stats)
+                else:
+                    total_loss, grads = grad_fn(state.params, mb, mb_rng)
+                    final_bn = model.bn_stats(state.params)
+            else:
+
+                def accum(carry, inp):
+                    grads_acc, loss_acc, bn_stats = carry
+                    mb, i = inp
+                    mb_rng = jax.random.fold_in(rng, i)
+                    if has_bn:
+                        (loss, batch_stats), grads = grad_fn(state.params, mb, mb_rng)
+                        bn_stats = fold_bn(bn_stats, batch_stats)
+                    else:
+                        loss, grads = grad_fn(state.params, mb, mb_rng)
+                    grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                    return (grads_acc, loss_acc + loss, bn_stats), None
+
+                zero_grads = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+                )
+                (grads, total_loss, final_bn), _ = lax.scan(
+                    accum,
+                    (zero_grads, jnp.zeros((), jnp.float32),
+                     model.bn_stats(state.params)),
+                    (batch, jnp.arange(A)),
+                )
 
         new_state, metrics, good = _finish_step(
             state, grads, total_loss, rng, scalars, optimizer, ema_decay,
@@ -458,20 +489,24 @@ def make_train_step_tp(
                 collect_bn=False, pack_to=pack_to, vocab_axis=model_axis,
             )
         )
-        zero_grads = jax.tree.map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), params
-        )
+        if A == 1:  # static: skip the scan's fp32 grad-tree zero+add traffic
+            mb = jax.tree.map(lambda x: x[0], batch)
+            total_loss, grads = grad_fn(params, mb, jax.random.fold_in(rng_l, 0))
+        else:
+            zero_grads = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params
+            )
 
-        def accum(carry, inp):
-            grads_acc, loss_acc = carry
-            mb, i = inp
-            loss, grads = grad_fn(params, mb, jax.random.fold_in(rng_l, i))
-            return (jax.tree.map(jnp.add, grads_acc, grads), loss_acc + loss), None
+            def accum(carry, inp):
+                grads_acc, loss_acc = carry
+                mb, i = inp
+                loss, grads = grad_fn(params, mb, jax.random.fold_in(rng_l, i))
+                return (jax.tree.map(jnp.add, grads_acc, grads), loss_acc + loss), None
 
-        (grads, total_loss), _ = lax.scan(
-            accum, (zero_grads, jnp.zeros((), jnp.float32)),
-            (batch, jnp.arange(A)),
-        )
+            (grads, total_loss), _ = lax.scan(
+                accum, (zero_grads, jnp.zeros((), jnp.float32)),
+                (batch, jnp.arange(A)),
+            )
         # DP reduction (the DDP all-reduce); model-axis grads are already
         # correct (replicated leaves: identical per shard; joint_fc: local)
         grads = lax.psum(grads, data_axis)
