@@ -82,11 +82,14 @@ def _ensure_built() -> ctypes.CDLL:
     lib.ser_greedy_tick.restype = ctypes.c_long
     lib.ser_greedy_tick.argtypes = [i32p, ctypes.c_long, ctypes.c_int, u8p,
                                     ctypes.c_int, ctypes.c_char_p,
-                                    ctypes.c_long]
+                                    ctypes.c_long, i32p, ctypes.c_long,
+                                    ctypes.POINTER(ctypes.c_long)]
     lib.ser_beam_tick.restype = ctypes.c_long
     lib.ser_beam_tick.argtypes = [i32p, ctypes.c_long, u8p, ctypes.c_int,
                                   ctypes.c_char_p, ctypes.c_long,
-                                  ctypes.POINTER(ctypes.c_int64)]
+                                  ctypes.POINTER(ctypes.c_int64), i32p,
+                                  ctypes.c_long,
+                                  ctypes.POINTER(ctypes.c_long)]
     lib.ser_lane_committed.restype = ctypes.c_int64
     lib.ser_lane_committed.argtypes = [ctypes.c_int]
     lib.ser_lane_frame_idx.restype = ctypes.c_int64
@@ -219,6 +222,11 @@ class ResponseSerializer:
             self._lib.ser_set_piece(i, b, len(b))
         self._buf = ctypes.create_string_buffer(4 << 20)
         self._dev_len = np.zeros(max_lanes, np.int64)
+        # (lane, payload_off, payload_len) per record, filled by C; a lane
+        # emits at most 3 records per tick (beam: slide-out final + commit
+        # final + provisional), so this can never overflow
+        self._idx = np.zeros((3 * max_lanes + 8, 3), np.int32)
+        self._nrec = ctypes.c_long(0)
 
     def close(self):
         """Release the process-global serializer slot so a new engine can
@@ -234,55 +242,70 @@ class ResponseSerializer:
     def frame_idx(self, lane: int) -> int:
         return int(self._lib.ser_lane_frame_idx(lane))
 
-    def _records(self, nbytes: int):
+    @staticmethod
+    def _to_dict(raw: bytes, idx: np.ndarray):
         out = {}
-        # string_at copies only the used prefix (create_string_buffer.raw
-        # would copy the whole multi-MB buffer every tick)
-        raw = ctypes.string_at(self._buf, nbytes)
-        off = 0
-        while off < nbytes:
-            lane = int.from_bytes(raw[off:off + 4], "little")
-            ln = int.from_bytes(raw[off + 4:off + 8], "little")
-            out.setdefault(lane, []).append(
-                raw[off + 8:off + 8 + ln].decode("utf-8")
-            )
-            off += 8 + ln
+        for lane, off, ln in idx.tolist():
+            out.setdefault(lane, []).append(raw[off:off + ln].decode("utf-8"))
         return out
 
     def _grow(self):
         self._buf = ctypes.create_string_buffer(len(self._buf) * 2)
 
-    def greedy_tick(self, packed: np.ndarray, adv: np.ndarray):
-        """packed: int32 [B, cap+1]; adv: bool [B]. -> {lane: [json_str]}"""
+    def greedy_tick_raw(self, packed: np.ndarray, adv: np.ndarray):
+        """packed: int32 [B, cap+1]; adv: bool [B].
+        -> (raw bytes, idx int32 [n, 3] of (lane, payload_off, payload_len)).
+        The raw/idx form skips the per-record Python header walk — slice
+        ``raw[off:off+len]`` to get each JSON payload."""
         packed = np.ascontiguousarray(packed, np.int32)
         advu = np.ascontiguousarray(adv, np.uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
         while True:
             n = self._lib.ser_greedy_tick(
-                packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                packed.ctypes.data_as(i32p),
                 packed.shape[1], packed.shape[1] - 1,
                 advu.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 packed.shape[0], self._buf, len(self._buf),
+                self._idx.ctypes.data_as(i32p), self._idx.shape[0],
+                ctypes.byref(self._nrec),
             )
             if n >= 0:
-                return self._records(n)
+                # string_at copies only the used prefix (create_string_buffer
+                # .raw would copy the whole multi-MB buffer every tick)
+                return (ctypes.string_at(self._buf, n),
+                        self._idx[: self._nrec.value])
+            self._grow()
+
+    def greedy_tick(self, packed: np.ndarray, adv: np.ndarray):
+        """packed: int32 [B, cap+1]; adv: bool [B]. -> {lane: [json_str]}"""
+        return self._to_dict(*self.greedy_tick_raw(packed, adv))
+
+    def beam_tick_raw(self, packed: np.ndarray, adv: np.ndarray):
+        """packed: int32 [B, W*win+W+2+W]; adv: bool [B].
+        -> (raw bytes, idx int32 [n, 3], dev_len int64 [B])."""
+        packed = np.ascontiguousarray(packed, np.int32)
+        advu = np.ascontiguousarray(adv, np.uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        while True:
+            n = self._lib.ser_beam_tick(
+                packed.ctypes.data_as(i32p),
+                packed.shape[1],
+                advu.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                packed.shape[0], self._buf, len(self._buf),
+                self._dev_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._idx.ctypes.data_as(i32p), self._idx.shape[0],
+                ctypes.byref(self._nrec),
+            )
+            if n >= 0:
+                return (ctypes.string_at(self._buf, n),
+                        self._idx[: self._nrec.value], self._dev_len)
             self._grow()
 
     def beam_tick(self, packed: np.ndarray, adv: np.ndarray):
         """packed: int32 [B, W*win+W+2+W]; adv: bool [B].
         -> ({lane: [json_str]}, dev_len int64 [B])."""
-        packed = np.ascontiguousarray(packed, np.int32)
-        advu = np.ascontiguousarray(adv, np.uint8)
-        while True:
-            n = self._lib.ser_beam_tick(
-                packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                packed.shape[1],
-                advu.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                packed.shape[0], self._buf, len(self._buf),
-                self._dev_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            )
-            if n >= 0:
-                return self._records(n), self._dev_len
-            self._grow()
+        raw, idx, dev_len = self.beam_tick_raw(packed, adv)
+        return self._to_dict(raw, idx), dev_len
 
 
 class AudioStaging:

@@ -275,14 +275,14 @@ class StreamingEngine:
         samples = jnp.zeros(
             (self.B, self.carry_samples + self.hop_samples), jnp.int16
         )
-        adv = jnp.zeros((self.B,), bool)
         # two passes: the second absorbs the weak-type-settling retrace so
         # live traffic never pays a compile
         for i in range(2):
+            meta = np.zeros(2 * self.B + 1, np.int32)
+            meta[-1] = i
             out, self.enc_state, self.dec_state = self._jit_tick(
-                self.params, samples, self.enc_state, self.dec_state, adv,
-                jax.random.fold_in(self._rng0, i),
-                jnp.zeros((self.B,), jnp.int32),
+                self.params, samples, self.enc_state, self.dec_state,
+                jnp.asarray(meta),
             )
         _ = np.asarray(out)  # real barrier (block_until_ready is dispatch-only
         # over tunnelled backends)
@@ -318,12 +318,14 @@ class StreamingEngine:
         g = _linear(self.params["joint_pred"], y)
         return (g, h, cc)
 
-    def _tick_impl(self, params, samples, enc_state, dec_state, adv, rng,
-                   rebase=None):
-        """samples: [B, carry+hop] int16 PCM; adv: [B] bool — lanes that
-        advance. int16 is the wire format (websocket_api.md) and halves the
-        per-tick host->device upload; the scale to [-1, 1) fuses into the
-        featurizer here for free.
+    def _tick_impl(self, params, samples, enc_state, dec_state, meta):
+        """samples: [B, carry+hop] int16 PCM; meta: [2B+1] int32 packing
+        ``[adv(B), rebase(B), tick_count]`` — one upload instead of three
+        (each small host->device put pays a full round trip on remote
+        transports), and the dither key folds from ``tick_count`` inside the
+        program (saves a separate fold_in dispatch per tick). int16 is the
+        wire format (websocket_api.md) and halves the per-tick host->device
+        upload; the scale to [-1, 1) fuses into the featurizer here for free.
 
         rebase (beam only): [B] int32 — drop this many already-committed
         token positions from the front of each lane's beam buffers before
@@ -333,6 +335,10 @@ class StreamingEngine:
         applied value is echoed in the packed output so pipelined host
         bookkeeping shifts coordinates at exactly the right tick."""
         cfg = self.cfg
+        B = samples.shape[0]
+        adv = meta[:B].astype(bool)
+        rebase = meta[B : 2 * B]
+        rng = jax.random.fold_in(self._rng0, meta[2 * B])
         samples = (samples.astype(jnp.float32) * (1.0 / 32768.0)).astype(
             self.dtype
         )
@@ -367,22 +373,21 @@ class StreamingEngine:
         lens = jnp.full((samples.shape[0],), x.shape[0], jnp.int32)
         f, _, new_enc_state = self.model.encode(params, x, lens, enc_state)
         if self.decoder == "beam":
-            if rebase is not None:
-                cap = dec_state["toks"].shape[2]
-                r = rebase[:, None, None]
-                pos = jnp.minimum(jnp.arange(cap)[None, None, :] + r, cap - 1)
-                dec_state = dict(
-                    dec_state,
-                    toks=jnp.take_along_axis(
-                        dec_state["toks"],
-                        jnp.broadcast_to(pos, dec_state["toks"].shape), axis=2,
-                    ),
-                    ts=jnp.take_along_axis(
-                        dec_state["ts"],
-                        jnp.broadcast_to(pos, dec_state["ts"].shape), axis=2,
-                    ),
-                    lens=jnp.maximum(dec_state["lens"] - rebase[:, None], 0),
-                )
+            cap = dec_state["toks"].shape[2]
+            r = rebase[:, None, None]
+            pos = jnp.minimum(jnp.arange(cap)[None, None, :] + r, cap - 1)
+            dec_state = dict(
+                dec_state,
+                toks=jnp.take_along_axis(
+                    dec_state["toks"],
+                    jnp.broadcast_to(pos, dec_state["toks"].shape), axis=2,
+                ),
+                ts=jnp.take_along_axis(
+                    dec_state["ts"],
+                    jnp.broadcast_to(pos, dec_state["ts"].shape), axis=2,
+                ),
+                lens=jnp.maximum(dec_state["lens"] - rebase[:, None], 0),
+            )
             new_dec_state = self._beam_step(params, f[:, 0], dec_state)
             # host transfer stays O(win) per lane: a sliding window of the
             # newest tokens (full [B, W, cap] buffers would dominate tick
@@ -409,10 +414,7 @@ class StreamingEngine:
         if self.decoder == "beam":
             lens, base, scores = n
             lens = jnp.where(adv[:, None], lens, 0)
-            B = lens.shape[0]
-            echo = (
-                rebase if rebase is not None else jnp.zeros((B,), jnp.int32)
-            )
+            echo = rebase
             out = jnp.concatenate(
                 [
                     toks.astype(jnp.int32).reshape(B, -1),      # W*win
@@ -606,14 +608,16 @@ class StreamingEngine:
         out: Dict[int, List[dict]] = {}
         if adv.any():
             self._tick_count += 1
+            meta = np.empty(2 * self.B + 1, np.int32)
+            meta[: self.B] = adv
+            meta[self.B : 2 * self.B] = rebase
+            meta[-1] = self._tick_count
             packed, self.enc_state, self.dec_state = self._jit_tick(
                 self.params,
                 jnp.asarray(samples),  # int16 on the wire, scaled on device
                 self.enc_state,
                 self.dec_state,
-                jnp.asarray(adv),
-                jax.random.fold_in(self._rng0, self._tick_count),
-                jnp.asarray(rebase),
+                jnp.asarray(meta),
             )
             try:
                 packed.copy_to_host_async()

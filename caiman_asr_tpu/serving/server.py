@@ -94,7 +94,9 @@ class ASRServer:
         async def sender():
             while True:
                 resp = await q.get()
-                if resp.get("eos"):
+                # native-serializer responses are pre-serialized JSON strings;
+                # only the engine's own dict responses can carry the eos flag
+                if isinstance(resp, dict) and resp.get("eos"):
                     return
                 await websocket.send(
                     resp if isinstance(resp, str) else json.dumps(resp)

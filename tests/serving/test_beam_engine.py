@@ -239,8 +239,6 @@ def test_rebase_shift_equals_preshifted_state():
         (rng.normal(size=(eng.B, eng.carry_samples + eng.hop_samples))
          * 0.05 * 32768).astype(np.int16)
     )
-    adv = jnp.ones((eng.B,), bool)
-    key = jax.random.PRNGKey(9)
     r = 30
 
     shifted = dict(st0)
@@ -251,13 +249,19 @@ def test_rebase_shift_equals_preshifted_state():
     shifted["ts"] = jnp.copy(shifted["toks"])
     shifted["lens"] = st0["lens"] - r
 
-    rebase = jnp.full((eng.B,), r, jnp.int32)
+    def mk_meta(rebase_val, tick):
+        m = np.zeros(2 * eng.B + 1, np.int32)
+        m[: eng.B] = 1  # adv
+        m[eng.B : 2 * eng.B] = rebase_val
+        m[-1] = tick
+        return jnp.asarray(m)
+
     out_a, _, dec_a = eng._jit_tick(
         eng.params, samples, jax.tree.map(jnp.copy, eng.enc_state),
-        jax.tree.map(jnp.copy, st0), adv, key, rebase)
+        jax.tree.map(jnp.copy, st0), mk_meta(r, 9))
     out_b, _, dec_b = eng._jit_tick(
         eng.params, samples, jax.tree.map(jnp.copy, eng.enc_state),
-        shifted, adv, key, jnp.zeros((eng.B,), jnp.int32))
+        shifted, mk_meta(0, 9))
     pa, pb = np.array(out_a), np.array(out_b)
     # echo column differs by design (r vs 0); everything else must match
     W, win = eng.beam_width, eng._beam_win

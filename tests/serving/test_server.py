@@ -105,3 +105,62 @@ def test_server_end_to_end(engine, tmp_path):
     assert len(result.transcript) > 0
     # all lanes were released after EOS
     assert not engine.streams
+
+
+def test_server_native_serializer_path(tmp_path):
+    """The native (C++) serializer path emits pre-serialized JSON strings;
+    the server's sender must pass them through verbatim (and not treat them
+    as dicts — a previous bug called .get() on them)."""
+    model = RNNT(
+        RNNTModelConfig(
+            in_feats=240, enc_n_hid=16, enc_pre_rnn_layers=1,
+            enc_post_rnn_layers=1, enc_stack_time_factor=2, pred_n_hid=8,
+            pred_rnn_layers=1, joint_n_hid=16,
+            enc_dropout=0.0, pred_dropout=0.0, joint_dropout=0.0,
+        ),
+        N_CLASSES,
+    )
+    params = model.init(jax.random.PRNGKey(3))
+    eng = StreamingEngine(
+        model, params, BLANK, Tok(), max_streams=2, native_serializer=True
+    )
+    assert eng._native_ser is not None
+    rng = np.random.default_rng(1)
+    audio = (rng.normal(size=16000) * 0.1).astype(np.float32)
+    wav = tmp_path / "b.wav"
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((np.clip(audio, -1, 1) * 32767).astype(np.int16).tobytes())
+
+    async def scenario():
+        from caiman_asr_tpu.inference.transcriber import transcribe_file
+
+        server = ASRServer(eng, tick_interval=0.005)
+        import websockets.asyncio.server
+
+        ticker = asyncio.create_task(server._ticker())
+        async with websockets.asyncio.server.serve(
+            server.handle, "127.0.0.1", PORT + 1,
+            subprotocols=["stream.asr.api.myrtle.ai"],
+        ):
+            result = await asyncio.wait_for(
+                transcribe_file(
+                    f"ws://127.0.0.1:{PORT + 1}/asr/v0.1/stream", str(wav),
+                    realtime=False,
+                ),
+                timeout=60,
+            )
+        ticker.cancel()
+        return result
+
+    try:
+        result = asyncio.run(scenario())
+        assert len(result.responses) > 0
+        for tr in result.responses:
+            r = tr.response
+            assert set(r) >= {"start", "end", "is_provisional", "alternatives"}
+        assert not eng.streams
+    finally:
+        eng.close()
