@@ -66,41 +66,12 @@ def _fwd_kernel(h_ref, w_ref, b_ref, out_d, s_scr, *, kt, n_k):
         out_d[0, :] = jnp.sum(s_scr[:, :], axis=1)
 
 
-def _fwd_kernel_pipe(h_ref, w_ref, b_ref, out_d, s_scr, z_scr, *, kt, n_k):
-    """Software-pipelined denominator forward: the exp+accumulate VPU sweep
-    for vocab tile j-1 is placed BETWEEN the MXU GEMM issue for tile j and
-    its consumption, so Mosaic's VLIW scheduler can co-issue VPU slots under
-    the MXU's ~47 ms of matmul work instead of serializing ~25 ms of exp
-    after it. Inner grid runs one extra step (j == n_k) to drain the last
-    tile from the z scratch."""
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        s_scr[:] = jnp.zeros_like(s_scr)
-
-    @pl.when(j < n_k)
-    def _():
-        z = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
-
-        @pl.when(j > 0)
-        def _():
-            zp = z_scr[:]
-            tp = zp.shape[0]
-            s_scr[:, :] += jnp.sum(
-                jnp.exp(zp).reshape(tp, kt // LANES, LANES), axis=1
-            )
-
-        z_scr[:, :] = z + b_ref[0, :][None, :]
-
-    @pl.when(j == n_k)
-    def _():
-        zp = z_scr[:]
-        tp = zp.shape[0]
-        s_scr[:, :] += jnp.sum(
-            jnp.exp(zp).reshape(tp, kt // LANES, LANES), axis=1
-        )
-        out_d[0, :] = jnp.sum(s_scr[:, :], axis=1)
+# A software-pipelined forward variant (z staged through a VMEM scratch so
+# the exp of tile j-1 sits between tile j's GEMM issue and consumption) was
+# A/B'd on v5e at large shapes and LOST: 109.7 vs 89.1 ms per fwd. Mosaic
+# already double-buffers tile blocks across grid steps; the explicit z
+# scratch only added VMEM traffic. Removed — don't re-add without a
+# measured win.
 
 
 def _fwd_kernel_store(h_ref, w_ref, b_ref, out_d, out_u, s_scr, *, kt, n_k):
@@ -202,9 +173,17 @@ def _bwd_dh_kernel_u(u_ref, w_ref, cs_ref, out_ref, acc_scr, *, n_k):
 
 
 def _bwd_dw_kernel_u(h_ref, u_ref, cs_ref, cb_ref, cl_ref, lab_ref,
-                     dw_ref, db_ref, dw_scr, db_scr, *, kt, n_i, blank_idx):
+                     dw_ref, db_ref, dw_scr, db_scr, *, kt, n_i, n_k,
+                     blank_idx):
     """Pass B, stored-u variant: dz = -cs*u + one-hots, then one GEMM
-    (h^T dz) per tile — no z re-derivation, no exp."""
+    (h^T dz) per tile — no z re-derivation, no exp.
+
+    The blank one-hot lives in exactly ONE static column of one vocab
+    tile, so it is added as a tiny h^T @ cb matvec into that column
+    instead of a full [TP, KT] compare/select sweep on every tile (the
+    one-hot build is the kernel's VPU hot loop; this halves it). The
+    label one-hot hits a data-dependent column per row and stays a
+    dense compare."""
     j = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -217,17 +196,26 @@ def _bwd_dw_kernel_u(h_ref, u_ref, cs_ref, cb_ref, cl_ref, lab_ref,
     u = u_ref[:].astype(jnp.float32)
     tp = u.shape[0]
 
-    cb = cb_ref[0, :]
     cl = cl_ref[0, :]
-    dz = -cs_ref[0, :][:, None] * u
     k_iota = lax.broadcasted_iota(jnp.int32, (tp, kt), 1)
     col = lab_ref[0, :] - j * kt
+    dz = -cs_ref[0, :][:, None] * u
     dz = dz + jnp.where(k_iota == col[:, None], cl[:, None], 0.0)
-    blank_c = blank_idx - j * kt
-    dz = dz + jnp.where(k_iota == blank_c, cb[:, None], 0.0)
-
-    dw_scr[:, :] += jnp.dot(h.T, dz.astype(h.dtype), preferred_element_type=jnp.float32)
+    dw_scr[:, :] += jnp.dot(
+        h.T, dz.astype(h.dtype), preferred_element_type=jnp.float32
+    )
     db_scr[0, :] += jnp.sum(dz, axis=0)
+    if 0 <= blank_idx and blank_idx // kt < n_k:
+        bc = blank_idx % kt
+
+        @pl.when(j == blank_idx // kt)
+        def _():
+            cb = cb_ref[0, :]
+            dw_scr[:, bc : bc + 1] += jnp.dot(
+                h.T, cb[:, None].astype(h.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            db_scr[0, bc : bc + 1] += jnp.sum(cb)[None]
 
     @pl.when(i == n_i - 1)
     def _():
@@ -236,9 +224,11 @@ def _bwd_dw_kernel_u(h_ref, u_ref, cs_ref, cb_ref, cl_ref, lab_ref,
 
 
 def _bwd_dw_kernel(h_ref, w_ref, b_ref, d_ref, cb_ref, cl_ref, lab_ref,
-                   dw_ref, db_ref, dw_scr, db_scr, *, kt, n_i, blank_idx):
+                   dw_ref, db_ref, dw_scr, db_scr, *, kt, n_i, n_k,
+                   blank_idx):
     """Pass B (grid: j outer, i inner): dW[:, ktile] = sum_pos h^T dz;
-    db[ktile] = sum_pos dz."""
+    db[ktile] = sum_pos dz. Blank one-hot handled as a static-column
+    matvec (see _bwd_dw_kernel_u)."""
     j = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -259,11 +249,19 @@ def _bwd_dw_kernel(h_ref, w_ref, b_ref, d_ref, cb_ref, cl_ref, lab_ref,
     k_iota = lax.broadcasted_iota(jnp.int32, (tp, kt), 1)
     col = lab_ref[0, :] - j * kt
     dz = dz + jnp.where(k_iota == col[:, None], cl[:, None], 0.0)
-    blank_c = blank_idx - j * kt
-    dz = dz + jnp.where(k_iota == blank_c, cb[:, None], 0.0)
 
     dw_scr[:, :] += jnp.dot(h.T, dz.astype(h.dtype), preferred_element_type=jnp.float32)
     db_scr[0, :] += jnp.sum(dz, axis=0)
+    if 0 <= blank_idx and blank_idx // kt < n_k:
+        bc = blank_idx % kt
+
+        @pl.when(j == blank_idx // kt)
+        def _():
+            dw_scr[:, bc : bc + 1] += jnp.dot(
+                h.T, cb[:, None].astype(h.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            db_scr[0, bc : bc + 1] += jnp.sum(cb)[None]
 
     @pl.when(i == n_i - 1)
     def _():
@@ -283,19 +281,20 @@ def _tiles(Hj: int) -> Tuple[int, int, int, int, int, int]:
     traffic scales with n_i = N/TP — taller position tiles cut it
     proportionally (W traffic is independent of KT). Pass B streams the
     whole h matrix once per K tile (n_k_b = K/KT_b), so wider K tiles cut
-    h traffic. Ceilings are VMEM: the fp32 z tile is [TP, KT]; fwd also
-    holds h[TP,Hj] + w[Hj,KT] blocks + [TP,128] scratch; pass A adds two
-    [TP,Hj] fp32 accumulators; pass B holds a [Hj,KT_b] fp32 accumulator
-    + double-buffered output blocks. Values chosen by
-    scripts/sweep_joint_tiles.py on v5e.
+    h traffic. Ceilings are VMEM (raised to CAIMAN_JOINT_VMEM_MB=100 MB —
+    the 16 MB compiler default, not hardware, capped earlier sweeps) and
+    DIVISIBILITY: every tile must divide the padded slab dims or the
+    floor-divided grid silently drops the tail (asserted in the backward
+    entries). K=17408 = 2^10*17 admits kt_b in {512, 1024, 4352};
+    Kp(base)=9216 admits {512, 1024, 3072}.
 
-    Measured finding (v5e, base 85M shapes, N=262k): the kernels are
-    compute-bound, not DMA-bound — W re-streaming fully overlaps the MXU.
-    Taller position tiles (tp=1024, which is the Mosaic compile ceiling
-    here together with kt<=512 / tp*kt<=512K) change fwd+bwd by ~1%.
-    The defaults below are therefore the original 512-row tiles.
+    Chosen by scripts/sweep_joint_tiles.py on v5e (N=262k, host-fetch
+    timing): large 248->225 ms fwd+bwd vs the old 512-row defaults
+    (taller fwd + pass-B tiles cut W/h re-streaming); base 82->74 ms.
     """
-    return 512, 1024, 512, 1024, 512, 512
+    if Hj >= 1024:  # large-196M shapes (K=17408)
+        return 1024, 2048, 512, 1024, 1024, 1024
+    return 1024, 1024, 512, 1024, 512, 3072  # base-85M (K=8704)
 
 
 def _pad_to(x, n, axis, value=0):
@@ -309,9 +308,12 @@ def _pad_to(x, n, axis, value=0):
 # B=32x12s shapes (on by default there); ~9.7 GB at large-196M (off).
 Z_STORE_LIMIT_BYTES = int(os.environ.get("CAIMAN_JOINT_ZSTORE_MB", 5120)) << 20
 
-# Software-pipelined denominator forward (see _fwd_kernel_pipe): off by
-# default until the A/B on real hardware confirms it wins.
-_FWD_PIPE = os.environ.get("CAIMAN_JOINT_FWD_PIPE", "0") == "1"
+# Scoped-VMEM compiler budget for the joint kernels. The hardware has
+# ~128 MB VMEM but Mosaic's default scoped limit is 16 MB, which capped the
+# tile sweep that chose _tiles; raising it admits taller/wider tiles that
+# cut W/h re-streaming proportionally.
+_VMEM_LIMIT = int(os.environ.get("CAIMAN_JOINT_VMEM_MB", 100)) << 20
+_CP = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -388,35 +390,10 @@ def _fwd_chunk(hp, w, b, lo, hi, tp, kt, store, interpret):
                 jax.ShapeDtypeStruct((Np, Kcp), jnp.bfloat16),
             ],
             scratch_shapes=[pltpu.VMEM((tp, LANES), jnp.float32)],
+            compiler_params=_CP,
             interpret=interpret,
         )(hp, wp, bp)
         return out_s[0], up
-    if _FWD_PIPE:
-        # pipelined variant: one extra inner grid step drains the z scratch;
-        # w/b index maps clamp so the drain step re-reads the last tile
-        clamp = lambda j: jnp.minimum(j, n_k - 1)
-        (out_s,) = pl.pallas_call(
-            functools.partial(_fwd_kernel_pipe, kt=kt, n_k=n_k),
-            grid=(n_i, n_k + 1),
-            in_specs=[
-                pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((Hj, kt), lambda i, j: (0, clamp(j)), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, kt), lambda i, j: (0, clamp(j)), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[jax.ShapeDtypeStruct((1, Np), jnp.float32)],
-            scratch_shapes=[
-                pltpu.VMEM((tp, LANES), jnp.float32),
-                pltpu.VMEM((tp, kt), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=32 * 1024 * 1024
-            ),
-            interpret=interpret,
-        )(hp, wp, bp)
-        return out_s[0], None
     kernel = functools.partial(_fwd_kernel, kt=kt, n_k=n_k)
     (out_s,) = pl.pallas_call(
         kernel,
@@ -427,6 +404,7 @@ def _fwd_chunk(hp, w, b, lo, hi, tp, kt, store, interpret):
         ],
         out_shape=[jax.ShapeDtypeStruct((1, Np), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((tp, LANES), jnp.float32)],
+        compiler_params=_CP,
         interpret=interpret,
     )(hp, wp, bp)
     return out_s[0], None
@@ -480,6 +458,15 @@ def _bwd_a_u(up, w, lo, hi, cs, tp, kt, interpret):
     Np = up.shape[0]
     Hj = w.shape[0]
     Kcp = up.shape[1]
+    # tiles larger than the (already tile-padded) slab shrink to it —
+    # small test/packed shapes; the grid floor-divides, so a non-dividing
+    # tile would silently DROP the tail columns (wrong grads, no error) —
+    # refuse loudly instead
+    tp, kt = min(tp, Np), min(kt, Kcp)
+    assert Np % tp == 0 and Kcp % kt == 0, (
+        f"stored-u slab [{Np}, {Kcp}] not divisible by pass-A tiles "
+        f"({tp}, {kt}); fix _tiles so kt_a divides the slab width"
+    )
     n_i, n_k = Np // tp, Kcp // kt
     wp = _pad_to(w[:, lo:hi], Kcp, 1)
     kernel = functools.partial(_bwd_dh_kernel_u, n_k=n_k)
@@ -494,6 +481,7 @@ def _bwd_a_u(up, w, lo, hi, cs, tp, kt, interpret):
         out_specs=pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tp, Hj), jnp.float32)],
+        compiler_params=_CP,
         interpret=interpret,
     )(up, wp, cs)
 
@@ -526,6 +514,7 @@ def _derive_a_chunk(hp, w, b, cs, tp, kt, interpret):
             jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((tp, Hj), jnp.float32)],
+        compiler_params=_CP,
         interpret=interpret,
     )(hp, wp, bp, cs)
     return up, sm
@@ -553,6 +542,7 @@ def _bwd_a_recompute(hp, w, b, lo, hi, dn, csum, tp, kt, interpret):
         out_specs=pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tp, Hj), jnp.float32)],
+        compiler_params=_CP,
         interpret=interpret,
     )(hp, wp, bp, dn, csum)
 
@@ -562,8 +552,18 @@ def _bwd_b_u(hp, up, cs, cbp, clp, labp, blank_rel, tp, kt, interpret):
     chunk start (out-of-chunk ids never match the in-tile iota)."""
     Np, Hj = hp.shape
     Kcp = up.shape[1]
+    # tiles shrink to the slab for small shapes; the grid floor-divides,
+    # so a non-dividing kt_b would silently DROP the tail columns of
+    # dW/db (wrong grads, no error) — refuse loudly
+    tp, kt = min(tp, Np), min(kt, Kcp)
+    assert Np % tp == 0 and Kcp % kt == 0, (
+        f"stored-u slab [{Np}, {Kcp}] not divisible by pass-B tiles "
+        f"({tp}, {kt}); fix _tiles so kt_b divides the slab width"
+    )
     n_i, n_k = Np // tp, Kcp // kt
-    kernel = functools.partial(_bwd_dw_kernel_u, kt=kt, n_i=n_i, blank_idx=blank_rel)
+    kernel = functools.partial(
+        _bwd_dw_kernel_u, kt=kt, n_i=n_i, n_k=n_k, blank_idx=blank_rel
+    )
     return pl.pallas_call(
         kernel,
         grid=(n_k, n_i),
@@ -587,6 +587,7 @@ def _bwd_b_u(hp, up, cs, cbp, clp, labp, blank_rel, tp, kt, interpret):
             pltpu.VMEM((Hj, kt), jnp.float32),
             pltpu.VMEM((1, kt), jnp.float32),
         ],
+        compiler_params=_CP,
         interpret=interpret,
     )(hp, up, cs, cbp, clp, labp)
 
@@ -600,7 +601,9 @@ def _bwd_b_recompute(hp, w, b, lo, hi, dn, cbp, clp, labp, blank_rel, tp, kt,
     n_i, n_k = Np // tp, Kcp // kt
     wp = _pad_to(w[:, lo:hi], Kcp, 1)
     bp = _pad_to(b[lo:hi].reshape(1, Kc).astype(jnp.float32), Kcp, 1, value=NEG)
-    kernel = functools.partial(_bwd_dw_kernel, kt=kt, n_i=n_i, blank_idx=blank_rel)
+    kernel = functools.partial(
+        _bwd_dw_kernel, kt=kt, n_i=n_i, n_k=n_k, blank_idx=blank_rel
+    )
     return pl.pallas_call(
         kernel,
         grid=(n_k, n_i),
@@ -625,6 +628,7 @@ def _bwd_b_recompute(hp, w, b, lo, hi, dn, cbp, clp, labp, blank_rel, tp, kt,
             pltpu.VMEM((Hj, kt), jnp.float32),
             pltpu.VMEM((1, kt), jnp.float32),
         ],
+        compiler_params=_CP,
         interpret=interpret,
     )(hp, wp, bp, dn, cbp, clp, labp)
 
@@ -640,11 +644,10 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
 
     _, _, tp_a, kt_a, tp_b, kt_b = _tiles(Hj)
     # all current tile heights are equal; the stored-u layout fixes Np
+    # _bwd_a_u/_bwd_b_u shrink tiles to the slab for small shapes and
+    # assert divisibility themselves — no pre-check here.
     Np = up.shape[0] if up is not None else -(-N // tp_a) * tp_a
-    assert Np % tp_a == 0 and Np % tp_b == 0, "tile heights misaligned"
     ks = min(up.shape[1], K) if up is not None else 0
-    if up is not None:
-        assert up.shape[1] % kt_a == 0 and up.shape[1] % kt_b == 0
 
     hp = _pad_to(h, Np, 0)
     dn = _pad_to(denom.reshape(1, N), Np, 1)
@@ -720,9 +723,11 @@ def _bwd_rechunked(hp, w, b, dn, cs, cbp, clp, labp, blank_idx, tiles,
     Np, Hj = hp.shape
     K = w.shape[1]
     Kp = -(-K // kt_a) * kt_a
-    # chunk count from the transient budget; chunk rows tile-aligned
+    # chunk count from the transient budget; chunk rows must tile BOTH the
+    # derive/pass-A height and the pass-B height (powers of two: lcm = max)
+    tpm = max(tp_a, tp_b)
     n_chunks = max(1, -(-(Np * Kp * 2) // RECHUNK_LIMIT_BYTES))
-    Nc = -(-(-(-Np // n_chunks)) // tp_a) * tp_a
+    Nc = -(-(-(-Np // n_chunks)) // tpm) * tpm
     n_chunks = -(-Np // Nc)
     Npc = n_chunks * Nc
 

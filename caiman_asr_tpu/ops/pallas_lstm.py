@@ -101,7 +101,7 @@ def _pallas_recurrence(gates_x, w_hh_t, h0, c0, *, hard: bool, t_blk: int, inter
         grid=grid,
         in_specs=[
             pl.BlockSpec((t_blk, B, H4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # weights DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),  # weights DMA'd manually
             pl.BlockSpec((B, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -255,7 +255,7 @@ def _pallas_bwd_recurrence(gates, c_prev, cs, dys, dcs, w_hh, *, hard, t_blk, in
             pl.BlockSpec((t_blk, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((t_blk, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((t_blk, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # w_hh DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),  # w_hh DMA'd manually
         ],
         out_specs=[
             pl.BlockSpec((t_blk, B, H4), rev, memory_space=pltpu.VMEM),

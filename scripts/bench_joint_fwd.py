@@ -1,12 +1,7 @@
 """A/B the fused joint forward kernel variants on real TPU.
 
-The software-pipelined forward (`CAIMAN_JOINT_FWD_PIPE=1`, read at import
-time) interleaves each vocab tile's exp/accumulate VPU sweep under the next
-tile's MXU GEMM. Run once per variant (fresh process each, the env flag is
-import-time):
-
-    PYTHONPATH=... CAIMAN_JOINT_FWD_PIPE=0 python scripts/bench_joint_fwd.py --shape large
-    PYTHONPATH=... CAIMAN_JOINT_FWD_PIPE=1 python scripts/bench_joint_fwd.py --shape large
+Historical note: a software-pipelined variant (CAIMAN_JOINT_FWD_PIPE) was
+A/B'd here and lost (109.7 vs 89.1 ms at large) — removed from the kernels.
 
 Timing forces a host fetch of a data-dependent scalar (block_until_ready is
 dispatch-only over the axon tunnel).
@@ -67,7 +62,7 @@ def main():
     val = float(c)
     t_chain = (time.perf_counter() - t0) / args.iters * 1e3
 
-    pipe = os.environ.get("CAIMAN_JOINT_FWD_PIPE", "0")
+    pipe = "n/a"
     print(
         f"FWD_PIPE={pipe} shape={args.shape} N={N}: "
         f"fwd {t_chain:.2f} ms/iter chained ({t_naive:.2f} dispatch-loop), "

@@ -18,12 +18,23 @@ SHAPES = {
 }
 
 
+def _fetch(out):
+    """Host-fetch one scalar (block_until_ready is dispatch-only over the
+    tunnelled axon backend — a host fetch is the only real barrier)."""
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
+
+
 def time_fn(fn, *args, iters=20):
-    fn(*args)[0].block_until_ready()  # compile
+    _fetch(fn(*args))  # compile + settle
+    _fetch(fn(*args))
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = fn(*args)
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    _fetch(out)  # device executes serially: bounds per-iter time + 1 RTT/N
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -32,7 +43,9 @@ def main():
     ap.add_argument("--shape", default="base", choices=list(SHAPES))
     ap.add_argument("--n", type=int, default=262144)
     ap.add_argument("--cand", type=str, default=None,
-                    help="single candidate 'tp_fwd,tp_a,tp_b,kt_b' (one per process)")
+                    help="single candidate 'tp_fwd,kt_fwd,tp_a,kt_a,tp_b,kt_b'"
+                         " (run one per process: tile constants bind at"
+                         " kernel build)")
     args = ap.parse_args()
     Hj, K = SHAPES[args.shape]
     N = args.n

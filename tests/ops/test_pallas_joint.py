@@ -37,19 +37,6 @@ def test_forward_parity(data):
     np.testing.assert_allclose(np.asarray(fl), np.asarray(rl), atol=1e-5)
 
 
-def test_forward_parity_pipelined(data, monkeypatch):
-    """The software-pipelined denominator kernel (exp sweep lagged one vocab
-    tile behind the GEMM) computes the identical result."""
-    from caiman_asr_tpu.ops import pallas_joint
-
-    h, w, b, labels = data
-    rb, rl = ref_impl(h, w, b, labels)
-    monkeypatch.setattr(pallas_joint, "_FWD_PIPE", True)
-    fb, fl = fused_joint_lse(h, w, b, labels, BLANK, True)
-    np.testing.assert_allclose(np.asarray(fb), np.asarray(rb), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(fl), np.asarray(rl), atol=1e-5)
-
-
 @pytest.mark.parametrize("mode", ["stored", "rechunk", "recompute"])
 def test_vjp_parity(data, monkeypatch, mode):
     """stored: forward keeps the bf16 u slab (2-GEMM backward). rechunk:

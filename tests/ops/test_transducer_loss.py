@@ -273,12 +273,14 @@ def test_joint_dropout_applied_in_training_loss():
 def test_packed_lattice_loss_matches_dense(monkeypatch):
     """pack_to path == dense path (values and grads) on a ragged batch.
 
-    The stored-u backward is pinned OFF: this test is about packing
-    semantics at tight tolerance; the stored-u path's bf16 numerator
-    rounding is covered by test_pallas_joint.test_vjp_parity[True]."""
+    Both bf16-u backward paths (stored-u AND the N-chunked re-derive) are
+    pinned OFF so the fp32 per-pass recompute runs: this test is about
+    packing semantics at tight tolerance; the bf16-u paths' numerator
+    rounding is covered by test_pallas_joint.test_vjp_parity."""
     import caiman_asr_tpu.ops.pallas_joint as pj
 
     monkeypatch.setattr(pj, "Z_STORE_LIMIT_BYTES", 0)
+    monkeypatch.setattr(pj, "RECHUNK_LIMIT_BYTES", 0)
     rng = np.random.default_rng(11)
     B, T, U, H, K = 3, 7, 4, 8, 12
     f = jnp.asarray(rng.normal(size=(B, T, H)), jnp.float32)
