@@ -34,7 +34,7 @@ import numpy as np
 
 BASELINE_RTS = 2000.0
 CHUNK_SECONDS = 0.060
-DEADLINE = time.time() + 480.0  # leave headroom under the driver's timeout
+DEADLINE = None  # set in main(); import must stay side-effect free
 
 # Results accumulated so far, so the signal backstop can still emit a
 # truthful line if a fresh kernel compile (5-8 min over the remote-TPU
@@ -110,11 +110,6 @@ def _sig_backstop(signum, frame):
     os._exit(0)
 
 
-signal.signal(signal.SIGTERM, _sig_backstop)
-signal.signal(signal.SIGALRM, _sig_backstop)
-signal.alarm(565)  # just under the driver's timeout
-
-
 def _build_engine(batch_size: int, pipeline_depth: int = 8):
     import jax
     import jax.numpy as jnp
@@ -185,14 +180,18 @@ def measure_compute(batch_size: int, iters: int = 100, group: int = 5):
         (rng.standard_normal((batch_size, eng.carry_samples + eng.hop_samples))
          * 0.05 * 32768).astype(np.int16)
     )
-    adv = jnp.ones((batch_size,), bool)
-    rebase = jnp.zeros((batch_size,), jnp.int32)
+
+    def make_meta(i):
+        # [2B+1] int32: adv flags | rebase counts | tick index (rng fold)
+        meta = np.zeros(2 * batch_size + 1, np.int32)
+        meta[:batch_size] = 1
+        meta[-1] = i
+        return jnp.asarray(meta)
+
     enc_state, dec_state = eng.enc_state, eng.dec_state
-    key = jax.random.PRNGKey(7)
     for i in range(2):
         packed, enc_state, dec_state = eng._jit_tick(
-            eng.params, samples, enc_state, dec_state, adv,
-            jax.random.fold_in(key, i), rebase,
+            eng.params, samples, enc_state, dec_state, make_meta(i)
         )
     _ = np.asarray(packed)  # host fetch: the only reliable barrier here
     times = []
@@ -200,8 +199,8 @@ def measure_compute(batch_size: int, iters: int = 100, group: int = 5):
         t0 = time.perf_counter()
         for i in range(group):
             packed, enc_state, dec_state = eng._jit_tick(
-                eng.params, samples, enc_state, dec_state, adv,
-                jax.random.fold_in(key, 100 + g * group + i), rebase,
+                eng.params, samples, enc_state, dec_state,
+                make_meta(100 + g * group + i),
             )
         _ = np.asarray(packed)
         times.append((time.perf_counter() - t0) / group)
@@ -213,7 +212,16 @@ def measure_compute(batch_size: int, iters: int = 100, group: int = 5):
 
 
 def main():
+    import sys
+    import traceback
+
     import jax
+
+    global DEADLINE
+    DEADLINE = time.time() + 480.0  # headroom under the driver's timeout
+    signal.signal(signal.SIGTERM, _sig_backstop)
+    signal.signal(signal.SIGALRM, _sig_backstop)
+    signal.alarm(565)  # just under the driver's timeout
 
     platform = jax.devices()[0].platform
     if platform != "tpu":
@@ -230,6 +238,7 @@ def main():
             mean, p99 = measure_engine(B)
             engine_results.append((B, mean, p99))
         except Exception:
+            traceback.print_exc(file=sys.stderr)  # visible, not fatal
             continue
         if mean > 2 * CHUNK_SECONDS:
             break  # larger batches cannot pass either
@@ -238,7 +247,7 @@ def main():
         try:
             _partial["compute"] = (compute_b,) + measure_compute(compute_b)
         except Exception:
-            pass
+            traceback.print_exc(file=sys.stderr)  # visible, not fatal
 
     signal.alarm(0)
     _emit(engine_results, _partial["compute"])

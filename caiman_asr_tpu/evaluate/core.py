@@ -181,8 +181,11 @@ def evaluate(
                 )
     if logger is not None:
         metrics = {"wer": result.wer * 100.0, "took": time.time() - t0}
-        if loss is not None:
-            metrics["loss"] = loss
+        if result.loss is not None:
+            # result.loss, not the local `loss`: after aggregation it is the
+            # count-weighted GLOBAL loss (the local shard's loss would
+            # silently disagree with the global WER logged next to it)
+            metrics["loss"] = result.loss
         logger.log((epoch, step), metrics, subset=subset)
     if dump_preds_dir is not None:
         out = Path(dump_preds_dir)

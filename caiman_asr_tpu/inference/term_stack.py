@@ -64,7 +64,11 @@ class TermStack:
     def _push_word(self, word: str, sty: Optional[Style]) -> str:
         if len(word) >= self._cols:
             word = word[: self._cols - 1]  # hard cap: never exceed a line
-        if word.startswith(" ") and self._col + len(word) > self._cols:
+        # wrap check applies to EVERY fragment: a continuing fragment (no
+        # leading space) near the right edge must also break, or the write
+        # passes self._cols and the cursor model desyncs from the terminal's
+        # auto-wrap (pop() would then erase the wrong cells)
+        if self._col + len(word) > self._cols:
             self._line_cols.append(0)
             self._write("\n")
         if word.startswith(" ") and self._col == 0:

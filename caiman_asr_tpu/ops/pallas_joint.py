@@ -303,6 +303,22 @@ def _pad_to(x, n, axis, value=0):
     return jnp.pad(x, pad, constant_values=value) if n != x.shape[axis] else x
 
 
+def _fit_tile(size: int, want: int) -> int:
+    """Largest tile <= ``want`` that DIVIDES ``size``.
+
+    Pallas grids floor-divide, so a non-dividing tile silently skips the
+    tail (wrong results, no error). Slab dims here are always multiples of
+    LANES, so stepping down by LANES terminates at a divisor (worst case
+    LANES itself). Keeps custom vocab sizes working when the swept tile
+    (e.g. kt_b=3072) does not divide their padded slab width."""
+    assert size % LANES == 0, f"slab dim {size} not a multiple of {LANES}"
+    t = max(min(want, size), LANES)
+    t -= t % LANES
+    while size % t:
+        t -= LANES
+    return t
+
+
 # HBM budget for the stored-u training fast path (see _fwd_kernel_store):
 # enabled when the padded [N, K] bf16 slab fits. ~4.7 GB at base-85M
 # B=32x12s shapes (on by default there); ~9.7 GB at large-196M (off).
@@ -458,15 +474,9 @@ def _bwd_a_u(up, w, lo, hi, cs, tp, kt, interpret):
     Np = up.shape[0]
     Hj = w.shape[0]
     Kcp = up.shape[1]
-    # tiles larger than the (already tile-padded) slab shrink to it —
-    # small test/packed shapes; the grid floor-divides, so a non-dividing
-    # tile would silently DROP the tail columns (wrong grads, no error) —
-    # refuse loudly instead
-    tp, kt = min(tp, Np), min(kt, Kcp)
-    assert Np % tp == 0 and Kcp % kt == 0, (
-        f"stored-u slab [{Np}, {Kcp}] not divisible by pass-A tiles "
-        f"({tp}, {kt}); fix _tiles so kt_a divides the slab width"
-    )
+    # shrink to the largest tiles that DIVIDE the (already tile-padded)
+    # slab — small test/packed shapes and custom vocab widths
+    tp, kt = _fit_tile(Np, tp), _fit_tile(Kcp, kt)
     n_i, n_k = Np // tp, Kcp // kt
     wp = _pad_to(w[:, lo:hi], Kcp, 1)
     kernel = functools.partial(_bwd_dh_kernel_u, n_k=n_k)
@@ -525,6 +535,7 @@ def _bwd_a_recompute(hp, w, b, lo, hi, dn, csum, tp, kt, interpret):
     Np, Hj = hp.shape
     Kc = hi - lo
     Kcp = -(-Kc // kt) * kt
+    tp = _fit_tile(Np, tp)  # grids floor-divide: tp must divide the rows
     n_i, n_k = Np // tp, Kcp // kt
     wp = _pad_to(w[:, lo:hi], Kcp, 1)
     bp = _pad_to(b[lo:hi].reshape(1, Kc).astype(jnp.float32), Kcp, 1, value=NEG)
@@ -552,14 +563,9 @@ def _bwd_b_u(hp, up, cs, cbp, clp, labp, blank_rel, tp, kt, interpret):
     chunk start (out-of-chunk ids never match the in-tile iota)."""
     Np, Hj = hp.shape
     Kcp = up.shape[1]
-    # tiles shrink to the slab for small shapes; the grid floor-divides,
-    # so a non-dividing kt_b would silently DROP the tail columns of
-    # dW/db (wrong grads, no error) — refuse loudly
-    tp, kt = min(tp, Np), min(kt, Kcp)
-    assert Np % tp == 0 and Kcp % kt == 0, (
-        f"stored-u slab [{Np}, {Kcp}] not divisible by pass-B tiles "
-        f"({tp}, {kt}); fix _tiles so kt_b divides the slab width"
-    )
+    # shrink to the largest tiles that DIVIDE the slab (grids floor-divide;
+    # a non-dividing tile would silently drop tail columns of dW/db)
+    tp, kt = _fit_tile(Np, tp), _fit_tile(Kcp, kt)
     n_i, n_k = Np // tp, Kcp // kt
     kernel = functools.partial(
         _bwd_dw_kernel_u, kt=kt, n_i=n_i, n_k=n_k, blank_idx=blank_rel
@@ -598,6 +604,7 @@ def _bwd_b_recompute(hp, w, b, lo, hi, dn, cbp, clp, labp, blank_rel, tp, kt,
     Np, Hj = hp.shape
     Kc = hi - lo
     Kcp = -(-Kc // kt) * kt
+    tp = _fit_tile(Np, tp)  # grids floor-divide: tp must divide the rows
     n_i, n_k = Np // tp, Kcp // kt
     wp = _pad_to(w[:, lo:hi], Kcp, 1)
     bp = _pad_to(b[lo:hi].reshape(1, Kc).astype(jnp.float32), Kcp, 1, value=NEG)
@@ -643,10 +650,12 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
     K = w.shape[1]
 
     _, _, tp_a, kt_a, tp_b, kt_b = _tiles(Hj)
-    # all current tile heights are equal; the stored-u layout fixes Np
-    # _bwd_a_u/_bwd_b_u shrink tiles to the slab for small shapes and
-    # assert divisibility themselves — no pre-check here.
-    Np = up.shape[0] if up is not None else -(-N // tp_a) * tp_a
+    # Align the padded row count to BOTH pass tile heights (they differ at
+    # large shapes: tp_a=512, tp_b=1024) so each pass runs its full-size
+    # tile; the kernels additionally _fit_tile to the slab, so a foreign
+    # Np (stored-u layout fixes it to the forward's tiling) stays correct.
+    tpm = max(tp_a, tp_b)
+    Np = up.shape[0] if up is not None else -(-N // tpm) * tpm
     ks = min(up.shape[1], K) if up is not None else 0
 
     hp = _pad_to(h, Np, 0)

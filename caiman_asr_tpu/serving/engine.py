@@ -63,6 +63,23 @@ class StreamState:
     hist: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
 
 
+def _fetch_loop(q):
+    """Fetcher thread body: materialize packed tick outputs on the host.
+    Touches only the queue and the entry it was handed (never the engine —
+    deliberately a free function so the thread cannot pin the engine
+    alive); _consume waits on the entry's event. ``None`` is the shutdown
+    sentinel (posted by close() or the engine's gc finalizer)."""
+    while True:
+        entry = q.get()
+        if entry is None:
+            return
+        try:
+            entry[0] = np.asarray(entry[0])
+        except Exception as e:  # surfaced by _consume on the tick thread
+            entry[0] = e
+        entry[2].set()
+
+
 class StreamingEngine:
     def __init__(
         self,
@@ -221,12 +238,21 @@ class StreamingEngine:
         if pipeline_depth > 0:
             import queue
             import threading
+            import weakref
 
             self._fetchq = queue.Queue()
+            # The thread must NOT hold a reference to the engine (a bound
+            # method would): an engine dropped without close() would stay
+            # pinned forever by the blocked queue.get() — params never
+            # freed, and the native _claim_global_state gc fallback could
+            # never reclaim the serializer/staging slots. The loop only
+            # needs the queue; a finalizer posts the shutdown sentinel when
+            # the engine is garbage collected.
             self._fetch_thread = threading.Thread(
-                target=self._fetch_loop, daemon=True
+                target=_fetch_loop, args=(self._fetchq,), daemon=True
             )
             self._fetch_thread.start()
+            weakref.finalize(self, self._fetchq.put, None)
 
         self.enc_state = self._zero_enc_state()
         self.dec_state = self._zero_dec_state()
@@ -238,20 +264,6 @@ class StreamingEngine:
         import threading
 
         self._lock = threading.RLock()
-
-    def _fetch_loop(self):
-        """Fetcher thread: materialize packed tick outputs on the host.
-        Touches only the entry it was handed (never engine state), so it
-        needs no lock; _consume waits on the entry's event."""
-        while True:
-            entry = self._fetchq.get()
-            if entry is None:
-                return
-            try:
-                entry[0] = np.asarray(entry[0])
-            except Exception as e:  # surfaced by _consume on the tick thread
-                entry[0] = e
-            entry[2].set()
 
     def close(self):
         """Release process-global native resources (serializer/staging C

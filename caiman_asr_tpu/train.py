@@ -436,28 +436,35 @@ def main(args=None):
             if args.profiler and step % args.timings_frequency == 0:
                 timers.dump(step)
 
-            skip_hist.append(int(metrics["skipped"]))
-            rate = sum(skip_hist) / len(skip_hist)
-            if len(skip_hist) >= 50 and rate >= 0.5 and not skip_warned:
-                logger.log(
-                    (epoch, step),
-                    {"skipped_rate_alert": rate},
-                    subset="train",
-                )
-                print(
-                    f"WARNING: {rate:.0%} of the last {len(skip_hist)} steps "
-                    "were skipped (non-finite loss). Systematic joint-logit "
-                    "overflow or data corruption — training is NOT updating.",
-                    flush=True,
-                )
-                skip_warned = True
-            elif rate < 0.25:
-                skip_warned = False
-            if len(skip_hist) == skip_hist.maxlen and rate == 1.0:
-                raise RuntimeError(
-                    f"every one of the last {skip_hist.maxlen} steps was "
-                    "skipped (non-finite loss) — aborting a stalled run"
-                )
+            # Device scalar — NOT fetched here: an int() per step would
+            # block the host on every step (a full tunnel RTT on remote
+            # TPUs) and kill host/device overlap. The alarm below samples
+            # it only at log_frequency boundaries with ONE batched fetch.
+            skip_hist.append(metrics["skipped"])
+            if step % args.log_frequency == 0 and len(skip_hist) >= 50:
+                skips = np.asarray(jnp.stack(list(skip_hist)))
+                rate = float(skips.mean())
+                if rate >= 0.5 and not skip_warned:
+                    logger.log(
+                        (epoch, step),
+                        {"skipped_rate_alert": rate},
+                        subset="train",
+                    )
+                    print(
+                        f"WARNING: {rate:.0%} of the last {len(skip_hist)} "
+                        "steps were skipped (non-finite loss). Systematic "
+                        "joint-logit overflow or data corruption — training "
+                        "is NOT updating.",
+                        flush=True,
+                    )
+                    skip_warned = True
+                elif rate < 0.25:
+                    skip_warned = False
+                if len(skip_hist) == skip_hist.maxlen and rate == 1.0:
+                    raise RuntimeError(
+                        f"every one of the last {skip_hist.maxlen} steps was "
+                        "skipped (non-finite loss) — aborting a stalled run"
+                    )
 
             logger.accumulate(
                 {

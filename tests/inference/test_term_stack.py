@@ -89,6 +89,21 @@ def test_wrapping_and_cross_line_pop():
     assert out == "aaa bbb"
 
 
+def test_no_leading_space_fragment_wraps_at_edge():
+    """A continuing fragment (no leading space — _split_words produces one
+    when a partial extends the previous word) pushed near the right edge
+    must wrap instead of writing past the line width; the FakeTerm asserts
+    col <= cols on every write. Popping must restore the screen exactly."""
+    out = render(
+        [("push", "abcdef", None), ("push", "ghi", None)], cols=8
+    )
+    assert out == "abcdef\nghi"
+    out = render(
+        [("push", "abcdef", None), ("push", "ghi", None), ("pop",)], cols=8
+    )
+    assert out == "abcdef"
+
+
 def test_partial_revision_cycle():
     """Finals persist; partials revise in place (the live-client policy)."""
     buf = io.StringIO()

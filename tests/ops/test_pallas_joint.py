@@ -149,6 +149,79 @@ def test_hybrid_split_vjp_parity(monkeypatch):
                                    atol=2e-3, rtol=1e-3)
 
 
+def test_recompute_large_tiles_cover_row_tail(monkeypatch):
+    """Large-shape tiles (Hj>=1024) have tp_a=512 < tp_b=1024: a padded row
+    count aligned only to tp_a would make pass B's floor-divided grid DROP
+    the last 512 rows from dW/db (silent wrong grads). N=1100 forces a row
+    count that is not a 1024-multiple under tp_a-only alignment."""
+    import caiman_asr_tpu.ops.pallas_joint as pj
+
+    monkeypatch.setattr(pj, "Z_STORE_LIMIT_BYTES", 0)
+    monkeypatch.setattr(pj, "RECHUNK_LIMIT_BYTES", 0)
+    rng = np.random.default_rng(5)
+    n, hj, k = 1100, 1024, 600
+    blank = k - 1
+    h = jnp.asarray(rng.normal(size=(n, hj)) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(hj, k)) * 0.03, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(k,)) * 0.1, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, k - 1, (n,)), jnp.int32)
+    cb = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    cl = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+
+    def ref(h, w, b):
+        z = h @ w + b
+        denom = jax.nn.logsumexp(z, axis=-1)
+        lb = z[:, blank] - denom
+        ll = jnp.take_along_axis(z, labels[:, None], axis=1)[:, 0] - denom
+        return jnp.sum(lb * cb) + jnp.sum(ll * cl)
+
+    def fused(h, w, b):
+        lb, ll = fused_joint_lse(h, w, b, labels, blank, True)
+        return jnp.sum(lb * cb) + jnp.sum(ll * cl)
+
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(h, w, b)
+    g_fused = jax.grad(fused, argnums=(0, 1, 2))(h, w, b)
+    for a, r in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=3e-4, rtol=3e-4)
+
+
+def test_stored_u_nondividing_vocab(monkeypatch):
+    """A custom vocab whose padded width the swept kt_b (3072) does not
+    divide (K=3200 -> Kp=4096) must still run the default stored-u
+    backward: tiles fall back to the largest dividing width instead of
+    crashing (or silently dropping columns)."""
+    import caiman_asr_tpu.ops.pallas_joint as pj
+
+    monkeypatch.setattr(pj, "Z_STORE_LIMIT_BYTES", 1 << 62)
+    rng = np.random.default_rng(6)
+    n, hj, k = 70, 16, 3200
+    blank = k - 1
+    h = jnp.asarray(rng.normal(size=(n, hj)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(hj, k)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(k,)) * 0.1, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, k - 1, (n,)), jnp.int32)
+    cb = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    cl = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+
+    def ref(h, w, b):
+        z = h @ w + b
+        denom = jax.nn.logsumexp(z, axis=-1)
+        lb = z[:, blank] - denom
+        ll = jnp.take_along_axis(z, labels[:, None], axis=1)[:, 0] - denom
+        return jnp.sum(lb * cb) + jnp.sum(ll * cl)
+
+    def fused(h, w, b):
+        lb, ll = fused_joint_lse(h, w, b, labels, blank, True)
+        return jnp.sum(lb * cb) + jnp.sum(ll * cl)
+
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(h, w, b)
+    g_fused = jax.grad(fused, argnums=(0, 1, 2))(h, w, b)
+    for a, r in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-3, rtol=1e-3)
+
+
 def test_blank_in_nonfinal_tile():
     """blank index in the middle of the vocab still extracts correctly."""
     rng = np.random.default_rng(2)
