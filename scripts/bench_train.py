@@ -53,6 +53,14 @@ def main():
     ap.add_argument("--dur", type=float, default=12.0)
     ap.add_argument("-U", type=int, default=40)
     ap.add_argument("--step-only", action="store_true")
+    ap.add_argument(
+        "--ragged", action="store_true",
+        help="bucketed-real-batch proxy: per-utterance lengths sampled as "
+             "durations ~ U[0.85, 1.0]*dur and tokens ~ U[0.6, 1.0]*U "
+             "(what a duration-bucketed sampler delivers), run through the "
+             "packed-lattice loss (pack_to) exactly as train.py does; "
+             "audio-s/s counts VALID seconds only — the apples-to-apples "
+             "number vs the reference's ragged-real-data baselines")
     ap.add_argument("--profile", type=str, default=None, help="trace dir")
     args = ap.parse_args()
 
@@ -88,12 +96,35 @@ def main():
                            donate=False)
 
     rng = np.random.default_rng(0)
+    pack_to = None
+    if args.ragged:
+        # bucketed-batch raggedness: durations tight (the bucketing sampler
+        # groups similar lengths), token counts looser
+        feat_lens_np = rng.integers(int(0.85 * T), T + 1, (A, B))
+        txt_lens_np = rng.integers(int(0.6 * U), U + 1, (A, B))
+        audio_s = float(feat_lens_np.sum()) * (args.dur / T)
+    else:
+        feat_lens_np = np.full((A, B), T)
+        txt_lens_np = np.full((A, B), U)
     batch = {
         "feats": jnp.asarray(rng.normal(size=(A, T, B, 240)), jnp.float32),
-        "feat_lens": jnp.full((A, B), T, jnp.int32),
+        "feat_lens": jnp.asarray(feat_lens_np, jnp.int32),
         "txt": jnp.asarray(rng.integers(0, blank - 1, (A, B, U)), jnp.int32),
-        "txt_lens": jnp.full((A, B), U, jnp.int32),
+        "txt_lens": jnp.asarray(txt_lens_np, jnp.int32),
     }
+    if args.ragged:
+        from caiman_asr_tpu.training.pack import pack_cap
+
+        stf = cfg.enc_stack_time_factor
+        enc_lens = -(-feat_lens_np // stf)
+        nv = int(max(np.sum(enc_lens[a] * (txt_lens_np[a] + 1))
+                     for a in range(A)))
+        enc_t = -(-T // stf)
+        dense_n = B * enc_t * (U + 1)
+        pack_to = pack_cap(nv, dense_n)
+        print(f"ragged: valid lattice {nv}/{dense_n} "
+              f"({nv/dense_n:.0%}), pack_to={pack_to}, "
+              f"valid audio {audio_s:.0f} s/step")
     scalars = {
         "delay_penalty": jnp.zeros(()),
         "star_penalty": jnp.zeros(()),
@@ -103,7 +134,7 @@ def main():
 
     # chain the state through iterations: forces serial execution on device
     def chained_step(st):
-        st, m = step(st, batch, key, scalars)
+        st, m = step(st, batch, key, scalars, pack_to=pack_to)
         return st
 
     t_step = timeit(chained_step, state)
