@@ -49,14 +49,11 @@ def _emit(engine_results, compute):
         return
     _emitted = True
     if not engine_results:
-        print(json.dumps({
-            "metric": "streaming_rts_base85m_greedy",
-            "value": 0.0,
-            "unit": "no rung completed within the deadline (fresh kernel "
-                    "compiles over the remote-TPU tunnel take 5-8 min each; "
-                    "rerun with a warm cache)",
-            "vs_baseline": 0.0,
-        }), flush=True)
+        _emit_zero(
+            "no rung completed within the deadline (fresh kernel compiles "
+            "over the remote-TPU tunnel take 5-8 min each; rerun with a "
+            "warm cache)"
+        )
         return
     platform = "tpu"
     try:
@@ -103,6 +100,15 @@ def _emit(engine_results, compute):
         ),
         flush=True,
     )
+
+
+def _emit_zero(reason: str):
+    print(json.dumps({
+        "metric": "streaming_rts_base85m_greedy",
+        "value": 0.0,
+        "unit": reason,
+        "vs_baseline": 0.0,
+    }), flush=True)
 
 
 def _sig_backstop(signum, frame):
@@ -248,14 +254,10 @@ def main():
 
     platform = _detect_platform()
     if platform is None:
-        print(json.dumps({
-            "metric": "streaming_rts_base85m_greedy",
-            "value": 0.0,
-            "unit": "backend unavailable (remote-TPU tunnel down or init "
-                    "timed out after 240 s) — rerun when the chip is "
-                    "reachable",
-            "vs_baseline": 0.0,
-        }), flush=True)
+        _emit_zero(
+            "backend unavailable (remote-TPU tunnel down or init timed out "
+            "after 240 s) — rerun when the chip is reachable"
+        )
         os._exit(0)  # a hung probe thread would block a normal exit
     if platform != "tpu":
         ladder, compute_b = [8], 8

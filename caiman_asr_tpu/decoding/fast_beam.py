@@ -68,6 +68,18 @@ def _hash_step(h, token):
     return h * HASH_MULT + token.astype(jnp.uint32) + jnp.uint32(1)
 
 
+def _lm_tables(ngram_lm, ngram_alpha: float):
+    """Device-resident (score, next_state, init_state) from a DeviceNgram,
+    or None when fusion is off."""
+    if ngram_lm is None or ngram_alpha <= 0.0:
+        return None
+    return (
+        jnp.asarray(ngram_lm.score),
+        jnp.asarray(ngram_lm.next_state),
+        int(ngram_lm.init_state),
+    )
+
+
 def _merged_scores(s, h, l):
     """logaddexp duplicate (hash, len) entries into their best-scoring copy
     (which keeps its pred/LM state — ref beam.py:507-512); the other copies
@@ -116,13 +128,7 @@ class FastBeamDecoder:
         self.cap = cap
         self.merge = merge
         self.ngram_alpha = float(ngram_alpha)
-        self.lm = None
-        if ngram_lm is not None and ngram_alpha > 0.0:
-            self.lm = (
-                jnp.asarray(ngram_lm.score),
-                jnp.asarray(ngram_lm.next_state),
-                int(ngram_lm.init_state),
-            )
+        self.lm = _lm_tables(ngram_lm, ngram_alpha)
         self._jit_decode = jax.jit(self._decode_impl, static_argnames=("cap",))
 
     # ----------------------------------------------------------- internals
@@ -366,13 +372,7 @@ def make_streaming_beam_step(
     """
     W, E, K = beam_width, expansions, model.n_classes
     L, Hp = model.cfg.pred_rnn_layers, model.cfg.pred_n_hid
-    lm = None
-    if ngram_lm is not None and ngram_alpha > 0.0:
-        lm = (
-            jnp.asarray(ngram_lm.score),
-            jnp.asarray(ngram_lm.next_state),
-            int(ngram_lm.init_state),
-        )
+    lm = _lm_tables(ngram_lm, ngram_alpha)
     alpha = float(ngram_alpha)
 
     def logprobs(params, f, g):

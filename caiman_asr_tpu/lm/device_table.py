@@ -115,13 +115,11 @@ def build_device_tables(
 
     for i in range(1, S):
         s = states[i]
+        # `+` already allocates a fresh row — safe to mutate in place
         row = score[parent_id(s)] + np.float32(lm.backoffs.get(s, 0.0))
         ti = cont_tok.get(i)
         if ti is not None:
-            row = row.copy()
             row[np.asarray(ti, np.int64)] = np.asarray(cont_val[i], np.float32)
-        else:
-            row = row.copy()
         row[skip] = 0.0
         score[i] = row
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import threading
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, List, Optional, Tuple
@@ -237,7 +238,6 @@ class StreamingEngine:
         self._fetch_thread = None
         if pipeline_depth > 0:
             import queue
-            import threading
             import weakref
 
             self._fetchq = queue.Queue()
@@ -261,8 +261,6 @@ class StreamingEngine:
         self._free = list(range(self.B))
         # The server ticks from an executor thread while connection handlers
         # open/close/push from the event loop — serialize engine access.
-        import threading
-
         self._lock = threading.RLock()
 
     def close(self):
@@ -637,8 +635,6 @@ class StreamingEngine:
                 pass  # backend without async copies: the fetcher blocks
             entry = [packed, adv, None]
             if self._fetchq is not None:
-                import threading
-
                 entry[2] = threading.Event()
                 self._pending.append(entry)
                 self._fetchq.put(entry)
@@ -685,7 +681,7 @@ class StreamingEngine:
         """Fetch one in-flight tick's packed outputs and append the derived
         responses to `out` (a lane can accumulate responses from several
         drained ticks)."""
-        packed, adv, ev = entry if len(entry) == 3 else (*entry, None)
+        packed, adv, ev = entry
         if ev is not None:
             ev.wait()
             packed = entry[0]

@@ -7,7 +7,6 @@ Timing forces a host fetch of a data-dependent scalar (block_until_ready is
 dispatch-only over the axon tunnel).
 """
 import argparse
-import os
 import time
 
 import jax
@@ -62,9 +61,8 @@ def main():
     val = float(c)
     t_chain = (time.perf_counter() - t0) / args.iters * 1e3
 
-    pipe = "n/a"
     print(
-        f"FWD_PIPE={pipe} shape={args.shape} N={N}: "
+        f"shape={args.shape} N={N}: "
         f"fwd {t_chain:.2f} ms/iter chained ({t_naive:.2f} dispatch-loop), "
         f"val={val:.3e}",
         flush=True,

@@ -144,7 +144,7 @@ def _drive_windowed(win, script):
                         np.int32)
         full[lane] = _packed(toks_full, lens, scores, win)[0]
         out = {}
-        eng._consume((full, adv), out)
+        eng._consume([full, adv, None], out)
         for m in out.get(lane, []):
             if not m["is_provisional"]:
                 finals.append(m["alternatives"][0]["transcript"])
@@ -310,7 +310,7 @@ def test_long_form_rebase_host_bookkeeping():
             full = np.zeros((eng.B, pk.shape[1]), np.int32)
             full[lane] = pk[0]
             out = {}
-            eng._consume((full, adv), out)
+            eng._consume([full, adv, None], out)
             for m in out.get(lane, []):
                 if not m["is_provisional"]:
                     finals.append(m["alternatives"][0]["transcript"])
