@@ -61,6 +61,10 @@ def main():
              "packed-lattice loss (pack_to) exactly as train.py does; "
              "audio-s/s counts VALID seconds only — the apples-to-apples "
              "number vs the reference's ragged-real-data baselines")
+    ap.add_argument(
+        "--no-donate", dest="donate", action="store_false",
+        help="disable train-state donation (doubles state HBM — the "
+             "pre-r2 bench behavior, for comparison only)")
     ap.add_argument("--profile", type=str, default=None, help="trace dir")
     args = ap.parse_args()
 
@@ -92,8 +96,12 @@ def main():
 
     opt = build_optimizer(OptimizerConfig(), model.param_lr_factors())
     state = init_train_state(model, opt, jax.random.PRNGKey(0))
+    # donate=True matches real training (train.py) AND its HBM footprint —
+    # without donation the train state (params+grads+LAMB m/v+EMA) is
+    # double-buffered, ~3 GB of phantom pressure at large-196M that
+    # previously made stored-u look unfittable
     step = make_train_step(model, opt, blank_idx=blank, compute_dtype=jnp.bfloat16,
-                           donate=False)
+                           donate=args.donate)
 
     rng = np.random.default_rng(0)
     pack_to = None
@@ -132,12 +140,21 @@ def main():
     }
     key = jax.random.PRNGKey(1)
 
-    # chain the state through iterations: forces serial execution on device
-    def chained_step(st):
-        st, m = step(st, batch, key, scalars, pack_to=pack_to)
+    # chain the state through iterations (forces serial execution on device);
+    # rebinding also keeps donation valid — each call consumes the previous
+    # state buffers
+    def run_steps(st, n):
+        for _ in range(n):
+            st, _m = step(st, batch, key, scalars, pack_to=pack_to)
         return st
 
-    t_step = timeit(chained_step, state)
+    state = run_steps(state, 2)  # compile + settle
+    _fetch(state)
+    iters = 10
+    t0 = time.perf_counter()
+    state = run_steps(state, iters)
+    _fetch(state)
+    t_step = (time.perf_counter() - t0) / iters
     print(f"full step: {t_step*1e3:.1f} ms  -> {audio_s/t_step:.0f} audio-s/s/chip")
     if args.step_only:
         return
@@ -197,10 +214,8 @@ def main():
 
     if args.profile:
         with jax.profiler.trace(args.profile):
-            st = state
-            for _ in range(3):
-                st = chained_step(st)
-            _fetch(st)
+            state = run_steps(state, 3)
+            _fetch(state)
         print("trace written to", args.profile)
 
 
