@@ -161,3 +161,27 @@ def test_fresh_lane_state_isolated(setup):
         if lane in out and "alternatives" in out[lane]:
             texts.append(out[lane]["alternatives"][0]["transcript"])
     assert "".join(texts) == ref
+
+
+def test_dropped_engine_is_gc_reclaimable(setup):
+    """A pipelined engine dropped WITHOUT close() must still be garbage
+    collectable: the fetcher thread holds only the queue (not the engine),
+    and a gc finalizer posts the shutdown sentinel so the thread exits.
+    Regression: a bound-method thread target pinned the engine (params
+    never freed, native global-state slots never reclaimable)."""
+    import gc
+    import weakref
+
+    model, params, mel_stats = setup
+    eng = StreamingEngine(
+        model, params, BLANK, Tok(), mel_stats=mel_stats, max_streams=2,
+        pipeline_depth=2, native_serializer=False,
+    )
+    thread = eng._fetch_thread
+    assert thread is not None and thread.is_alive()
+    ref = weakref.ref(eng)
+    del eng
+    gc.collect()
+    assert ref() is None, "dropped engine still reachable (thread pins it?)"
+    thread.join(timeout=10)
+    assert not thread.is_alive(), "fetcher thread did not exit after gc"
