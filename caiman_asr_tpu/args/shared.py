@@ -25,6 +25,19 @@ def add_shared_args(parser: argparse.ArgumentParser):
     io.add_argument("--mel_stats_path", type=str, default=None,
                     help="npz with melmeans/melvars dataset statistics")
 
+    parser.add_argument("--val_from_dir", action="store_true",
+                        help="validate on a directory of audio + {stem}.txt "
+                             "pairs instead of JSON manifests")
+    parser.add_argument("--val_audio_dir", type=str, default=None,
+                        help="audio directory (relative to --dataset_dir)")
+    parser.add_argument("--val_txt_dir", type=str, default=None,
+                        help="transcript directory (defaults to the audio dir)")
+    parser.add_argument(
+        "--max_inputs_per_batch", type=float, default=1e7,
+        help="auto batch reduction: split the decode encoder batch so "
+             "T*B_sub*feats stays under this (reference "
+             "rnnt/unbatch_encoder.py:14-47)",
+    )
     parser.add_argument(
         "--prob_val_narrowband", type=float, default=0.0,
         help="probability of 8 kHz-resimulating a validation utterance "
@@ -35,11 +48,11 @@ def add_shared_args(parser: argparse.ArgumentParser):
                      help="read webdataset tar shards instead of JSON manifests")
     src.add_argument("--train_tar_files", type=str, nargs="+", default=[])
     src.add_argument("--val_tar_files", type=str, nargs="+", default=[])
-    src.add_argument("--use_hugging_face", action="store_true")
-    src.add_argument("--hugging_face_val_dataset", type=str, default=None)
-    src.add_argument("--hugging_face_val_config", type=str, default=None)
-    src.add_argument("--hugging_face_val_split", type=str, default="validation")
-    src.add_argument("--hugging_face_val_transcript_key", type=str, default="text")
+    src.add_argument("--use_hugging_face", "--use_hf", action="store_true")
+    src.add_argument("--hugging_face_val_dataset", "--hf_val_dataset", type=str, default=None)
+    src.add_argument("--hugging_face_val_config", "--hf_val_config", type=str, default=None)
+    src.add_argument("--hugging_face_val_split", "--hf_val_split", type=str, default="validation")
+    src.add_argument("--hugging_face_val_transcript_key", "--hf_val_transcript_key", type=str, default="text")
 
 
 def add_decoder_args(parser: argparse.ArgumentParser):
@@ -71,7 +84,7 @@ def add_decoder_args(parser: argparse.ArgumentParser):
 
 def add_wer_analysis_args(parser: argparse.ArgumentParser):
     wa = parser.add_argument_group("wer analysis")
-    wa.add_argument("--wer_breakdown", action="store_true",
+    wa.add_argument("--wer_breakdown", "--breakdown_wer", action="store_true",
                     help="print WER breakdown by case/punctuation class")
     wa.add_argument("--breakdown_chars", type=str, default=".,?")
     wa.add_argument("--punctuation_error_rate", action="store_true")

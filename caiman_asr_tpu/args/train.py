@@ -28,11 +28,11 @@ def train_arg_parser() -> argparse.ArgumentParser:
     training.add_argument("--hold_steps", type=int, default=18000)
     training.add_argument("--half_life_steps", type=int, default=10880)
     training.add_argument("--train_manifests", type=str, nargs="+", default=[])
-    training.add_argument("--train_manifest_ratios", type=float, nargs="+",
+    training.add_argument("--train_manifest_ratios", "--train_manifests_ratios", type=float, nargs="+",
                           default=None, help="absolute epoch share per manifest")
     training.add_argument("--relative_train_manifest_ratios", type=float,
                           nargs="+", default=None)
-    training.add_argument("--canary_manifest_exponent", type=float, default=None)
+    training.add_argument("--canary_manifest_exponent", "--canary_exponent", type=float, default=None)
     training.add_argument(
         "--model_parallel", type=int, default=1,
         help="shard the joint vocab projection over this many devices "
@@ -67,12 +67,12 @@ def train_arg_parser() -> argparse.ArgumentParser:
     optim.add_argument("--no_amp", action="store_true",
                        help="disable bf16 mixed precision (f32 compute)")
     optim.add_argument("--weights_init_scale", type=float, default=0.5)
-    optim.add_argument("--hidden_hidden_bias_scale", type=float, default=None)
+    optim.add_argument("--hidden_hidden_bias_scale", "--hidden_hidden_bias_scaled", type=float, default=None)
 
     ckpt = parser.add_argument_group("checkpointing")
     ckpt.add_argument("--resume", action="store_true")
     ckpt.add_argument("--fine_tune", action="store_true")
-    ckpt.add_argument("--ckpt", type=str, default=None)
+    ckpt.add_argument("--ckpt", "--checkpoint", type=str, default=None)
     ckpt.add_argument("--allow_partial_checkpoint", action="store_true")
     ckpt.add_argument("--save_frequency", type=int, default=5000)
     ckpt.add_argument("--val_frequency", type=int, default=1000)
@@ -89,12 +89,25 @@ def train_arg_parser() -> argparse.ArgumentParser:
     pen.add_argument("--dp_final_value", type=float, default=0.01)
     pen.add_argument("--dp_toggle_step", type=int, default=25000)
     pen.add_argument("--dp_wer_threshold", type=float, default=None)
-    pen.add_argument("--star_penalty", type=float, default=None)
+    pen.add_argument("--star_penalty", type=str, default=None,
+                     help='float, or "linear_schedule" for StepSchedule '
+                          "(reference args/star.py)")
+    pen.add_argument("--star_initial_value", type=float, default=0.75)
+    pen.add_argument("--star_final_value", type=float, default=1.0)
+    pen.add_argument("--star_toggle_step", type=int, default=None)
+    pen.add_argument("--star_wer_threshold", type=float, default=0.2)
     pen.add_argument("--eos_penalty", type=float, default=0.0)
 
     norm = parser.add_argument_group("mel normalization ramp")
     norm.add_argument("--norm_ramp_start_step", type=int, default=None)
     norm.add_argument("--norm_ramp_end_step", type=int, default=None)
+
+    parser.add_argument(
+        "--num_buckets", type=int, default=6,
+        help="duration-bucketing granularity: shuffle window of "
+             "batch_size*num_buckets utterances sorted by length "
+             "(reference data/dali/sampler.py:645-713)",
+    )
 
     noise = parser.add_argument_group("noise augmentation")
     noise.add_argument("--prob_background_noise", type=float, default=0.25)

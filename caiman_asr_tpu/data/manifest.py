@@ -61,3 +61,39 @@ def load_manifests(paths: Sequence[str | Path], **kw) -> List[Utterance]:
     for i, p in enumerate(paths):
         utts.extend(load_manifest(p, manifest_idx=i, **kw))
     return utts
+
+
+AUDIO_SUFFIXES = (".flac", ".wav")
+
+
+def utterances_from_dir(
+    audio_dir: str | Path, txt_dir: Optional[str | Path] = None
+) -> List[Utterance]:
+    """Build utterances from a directory of audio files paired with
+    ``{stem}.txt`` transcripts (reference --val_from_dir /
+    docs/src/training/directory_of_audio_format.md; txt_dir defaults to
+    audio_dir). Files without a transcript are skipped with a warning."""
+    import warnings
+
+    from caiman_asr_tpu.data.make_datasets.io import audio_duration
+
+    audio_dir = Path(audio_dir)
+    txt_root = Path(txt_dir) if txt_dir is not None else audio_dir
+    out: List[Utterance] = []
+    for p in sorted(audio_dir.rglob("*")):
+        if p.suffix.lower() not in AUDIO_SUFFIXES:
+            continue
+        txt = txt_root / p.relative_to(audio_dir).with_suffix(".txt")
+        if not txt.exists():
+            warnings.warn(f"no transcript for {p} (expected {txt}); skipped")
+            continue
+        out.append(
+            Utterance(
+                fname=str(p),
+                transcript=txt.read_text().strip(),
+                duration=audio_duration(p),
+            )
+        )
+    if not out:
+        raise ValueError(f"no audio+transcript pairs under {audio_dir}")
+    return out

@@ -67,9 +67,11 @@ class RNNTBeamDecoder:
         user_token_ids: Sequence[int] = (),
         fuzzy_topk_logits: bool = False,
         return_partials: bool = True,
+        max_inputs_per_batch: int = int(1e7),
     ):
         self.model = model
         self.blank_idx = blank_idx
+        self.max_inputs_per_batch = max_inputs_per_batch
         self.tokenizer = tokenizer
         self.beam_width = beam_width
         self.max_symbols = max_symbols_per_step
@@ -159,7 +161,9 @@ class RNNTBeamDecoder:
     def decode(self, params, feats, feat_lens) -> List[Dict[int, FrameResponses]]:
         from caiman_asr_tpu.decoding.unbatch import encode_lower_batch_size
 
-        encs, enc_lens = encode_lower_batch_size(self.model, params, feats, feat_lens)
+        encs, enc_lens = encode_lower_batch_size(
+            self.model, params, feats, feat_lens, self.max_inputs_per_batch
+        )
         return self.decode_encs(params, np.asarray(encs), np.asarray(enc_lens))
 
     def decode_encs(self, params, encs, enc_lens) -> List[Dict[int, FrameResponses]]:

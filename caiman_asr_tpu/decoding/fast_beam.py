@@ -116,9 +116,11 @@ class FastBeamDecoder:
         ngram_lm=None,
         ngram_alpha: float = 0.0,
         merge: bool = True,
+        max_inputs_per_batch: int = int(1e7),
     ):
         self.model = model
         self.blank_idx = blank_idx
+        self.max_inputs_per_batch = max_inputs_per_batch
         self.W = beam_width
         self.E = max_symbols_per_step
         self.temperature = temperature
@@ -295,7 +297,9 @@ class FastBeamDecoder:
     def decode(self, params, feats, feat_lens) -> List[Dict[int, FrameResponses]]:
         from caiman_asr_tpu.decoding.unbatch import encode_lower_batch_size
 
-        encs, enc_lens = encode_lower_batch_size(self.model, params, feats, feat_lens)
+        encs, enc_lens = encode_lower_batch_size(
+            self.model, params, feats, feat_lens, self.max_inputs_per_batch
+        )
         toks, ts, lens, scores = self.decode_encs(params, encs, enc_lens)
         return self.build_responses(toks, ts, lens, scores)
 

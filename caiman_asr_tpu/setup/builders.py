@@ -106,12 +106,14 @@ def build_train_loader(
             [u.duration for u in utts],
             [u.manifest_idx for u in utts],
             batch_size=batch_size, world_size=world_size, seed=seed,
+            num_buckets=getattr(args, "num_buckets", 6),
             **{k: v for k, v in ratio_modes.items() if v is not None},
         )
     else:
         sampler = BucketingSampler(
             [u.duration for u in utts], batch_size=batch_size,
             world_size=world_size, seed=seed,
+            num_buckets=getattr(args, "num_buckets", 6),
         )
     background, babble = build_noise(args, pipe, seed)
     return AudioDataLoader(
@@ -170,8 +172,20 @@ def build_data_source_loader(
             reader, tokenizer, batch_size,
             normalize_config=normalize_config_from(pipe),
         )
-    manifests = args.train_manifests if train else args.val_manifests
-    utts = load_utterances(manifests, args.dataset_dir, pipe)
+    if not train and getattr(args, "val_from_dir", False):
+        # directory-of-audio validation: {stem}.flac|wav + {stem}.txt pairs
+        # (reference --val_from_dir/--val_audio_dir/--val_txt_dir,
+        # data/build_dataloader.py:182-190)
+        from caiman_asr_tpu.data.manifest import utterances_from_dir
+
+        root = Path(args.dataset_dir)
+        utts = utterances_from_dir(
+            root / args.val_audio_dir if args.val_audio_dir else root,
+            (root / args.val_txt_dir) if args.val_txt_dir else None,
+        )
+    else:
+        manifests = args.train_manifests if train else args.val_manifests
+        utts = load_utterances(manifests, args.dataset_dir, pipe)
     norm_cfg = normalize_config_from(pipe, cfg.user_tokens)
     rank, world = 0, 1
     if getattr(args, "multihost", False):
@@ -274,6 +288,9 @@ def build_greedy_decoder(model, blank_idx, tokenizer, args=None) -> GreedyDecode
             max_symbol_per_sample=args.max_symbol_per_sample,
             temperature=args.temperature,
             fuzzy_topk_logits=args.fuzzy_topk_logits,
+            max_inputs_per_batch=int(
+                getattr(args, "max_inputs_per_batch", 1e7)
+            ),
         )
     return GreedyDecoder(model, blank_idx, tokenizer=tokenizer, **kw)
 
@@ -348,6 +365,9 @@ def build_decoder(
             tokenizer=tokenizer,
             ngram_lm=tables,
             ngram_alpha=scale if tables is not None else 0.0,
+            max_inputs_per_batch=int(
+                getattr(args, "max_inputs_per_batch", 1e7)
+            ),
         )
 
     from caiman_asr_tpu.decoding.beam import RNNTBeamDecoder
@@ -367,6 +387,7 @@ def build_decoder(
         eos_is_terminal=getattr(args, "eos_is_terminal", False),
         eos_vad_threshold=getattr(args, "eos_vad_threshold", float("inf")),
         user_token_ids=[i for i in [eos_idx] if i is not None and i >= 0],
+        max_inputs_per_batch=int(getattr(args, "max_inputs_per_batch", 1e7)),
         beam_width=args.beam_width,
         max_symbols_per_step=args.max_symbols_per_step or 8,
         max_symbol_per_sample=args.max_symbol_per_sample,

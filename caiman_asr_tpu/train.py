@@ -77,15 +77,21 @@ def stack_microbatches(micro):
     }
 
 
-def build_penalty_schedule(args):
-    if args.delay_penalty == "linear_schedule":
+def build_penalty_schedule(args, value_attr="delay_penalty", prefix="dp"):
+    """Constant or step/WER-toggled schedule for a loss penalty — the
+    value flag accepts a float or the literal "linear_schedule" plus
+    {prefix}_initial_value/{prefix}_final_value/{prefix}_toggle_step/
+    {prefix}_wer_threshold (reference train_utils/schedule.py semantics,
+    shared by the delay penalty and the star penalty)."""
+    val = getattr(args, value_attr)
+    if val == "linear_schedule":
         return StepSchedule(
-            args.dp_initial_value,
-            args.dp_final_value,
-            toggle_step=args.dp_toggle_step,
-            wer_threshold=args.dp_wer_threshold,
+            getattr(args, f"{prefix}_initial_value"),
+            getattr(args, f"{prefix}_final_value"),
+            toggle_step=getattr(args, f"{prefix}_toggle_step"),
+            wer_threshold=getattr(args, f"{prefix}_wer_threshold"),
         )
-    return ConstantSchedule(float(args.delay_penalty))
+    return ConstantSchedule(float(val or 0.0))
 
 
 def main(args=None):
@@ -282,7 +288,9 @@ def main(args=None):
     decoder = build_decoder(model, blank_idx, tokenizer, args, cfg, eos_idx=eos_idx)
 
     dp_sched = build_penalty_schedule(args)
-    star_sched = ConstantSchedule(args.star_penalty or 0.0)
+    star_sched = build_penalty_schedule(
+        args, value_attr="star_penalty", prefix="star"
+    )
     noise_sched = (
         GradNoiseSchedule(
             cfg.grad_noise.noise_level,
@@ -413,7 +421,9 @@ def main(args=None):
                 "delay_penalty": jnp.asarray(
                     dp_sched.step(step, hints={"wer": last_wer}), jnp.float32
                 ),
-                "star_penalty": jnp.asarray(star_sched.step(step), jnp.float32),
+                "star_penalty": jnp.asarray(
+                    star_sched.step(step, hints={"wer": last_wer}), jnp.float32
+                ),
                 "grad_noise_std": jnp.asarray(
                     noise_sched.std(step) if noise_sched else 0.0, jnp.float32
                 ),

@@ -42,12 +42,12 @@ def val_arg_parser() -> argparse.ArgumentParser:
     add_state_reset_args(parser)
     add_latency_args(parser)
     add_wer_analysis_args(parser)
-    parser.add_argument("--ckpt", type=str, default=None, help="checkpoint to evaluate")
+    parser.add_argument("--ckpt", "--checkpoint", type=str, default=None, help="checkpoint to evaluate")
     parser.add_argument("--cpu", action="store_true",
                         help="force CPU execution (reference ValCPUSetup)")
     parser.add_argument("--use_ema", action="store_true", default=True)
     parser.add_argument("--no_ema", dest="use_ema", action="store_false")
-    parser.add_argument("--calc_loss", action="store_true")
+    parser.add_argument("--calc_loss", "--calculate_loss", action="store_true")
     return parser
 
 

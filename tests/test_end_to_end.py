@@ -237,3 +237,25 @@ def test_resume(workspace, tmp_path):
     args2 = make_train_args(root, cfg_path, out, training_steps=4, resume=True)
     state, _ = train_mod.main(args2)
     assert int(state.step) == 4
+
+
+def test_val_from_dir(workspace, tmp_path):
+    """--val_from_dir validates on audio + {stem}.txt pairs with no JSON
+    manifest (reference --val_from_dir/--val_audio_dir/--val_txt_dir)."""
+    root, cfg_path = workspace
+    ad = root / "val_audio"
+    ad.mkdir(exist_ok=True)
+    for i in range(3):
+        (ad / f"utt{i}.wav").write_bytes((root / f"utt{i}.wav").read_bytes())
+        (ad / f"utt{i}.txt").write_text(TEXTS[i])
+
+    vargs = val_arg_parser().parse_args([])
+    vargs.model_config = str(cfg_path)
+    vargs.output_dir = str(tmp_path / "val_out")
+    vargs.dataset_dir = str(root)
+    vargs.val_from_dir = True
+    vargs.val_audio_dir = "val_audio"
+    vargs.val_batch_size = 4
+    result = validate(vargs)
+    assert len(result.hyps) == 3
+    assert sorted(result.refs) == sorted(t for t in TEXTS[:3])

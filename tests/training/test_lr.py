@@ -26,3 +26,29 @@ def test_lr_schedule_matches_reference():
 def test_lr_floor():
     sched = lr_schedule(1e-3, 5e-4, 2, 2, 1)
     assert abs(float(sched(1000)) - 5e-4) < 1e-9
+
+
+def test_star_penalty_schedule_flags():
+    """--star_penalty accepts a float OR "linear_schedule" driven by the
+    star_* flags (reference args/star.py + train_utils/schedule.py): the
+    WER threshold flips it to final_value, stickily."""
+    from caiman_asr_tpu.args.train import train_arg_parser
+    from caiman_asr_tpu.train import build_penalty_schedule
+
+    args = train_arg_parser().parse_args(
+        ["--star_penalty", "linear_schedule", "--star_wer_threshold", "0.2"]
+    )
+    sched = build_penalty_schedule(args, value_attr="star_penalty", prefix="star")
+    assert sched.step(10, hints={"wer": 0.5}) == 0.75  # reference initial
+    assert sched.step(11, hints={"wer": 0.1}) == 1.0   # flipped by WER
+    assert sched.step(12, hints={"wer": 0.9}) == 1.0   # sticky
+
+    args = train_arg_parser().parse_args(["--star_penalty", "0.3"])
+    const = build_penalty_schedule(args, value_attr="star_penalty", prefix="star")
+    assert const.step(0) == 0.3
+
+    none = build_penalty_schedule(
+        train_arg_parser().parse_args([]), value_attr="star_penalty",
+        prefix="star",
+    )
+    assert none.step(0) == 0.0
