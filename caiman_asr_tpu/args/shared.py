@@ -33,6 +33,10 @@ def add_shared_args(parser: argparse.ArgumentParser):
     parser.add_argument("--val_txt_dir", type=str, default=None,
                         help="transcript directory (defaults to the audio dir)")
     parser.add_argument(
+        "--n_utterances_only", type=int, default=None,
+        help="debug: keep only the first N utterances of the dataset "
+             "(reference args/shared.py n_utterances_only)")
+    parser.add_argument(
         "--max_inputs_per_batch", type=float, default=1e7,
         help="auto batch reduction: split the decode encoder batch so "
              "T*B_sub*feats stays under this (reference "

@@ -101,6 +101,9 @@ def train_arg_parser() -> argparse.ArgumentParser:
     norm = parser.add_argument_group("mel normalization ramp")
     norm.add_argument("--norm_ramp_start_step", type=int, default=None)
     norm.add_argument("--norm_ramp_end_step", type=int, default=None)
+    norm.add_argument("--norm_use_global_stats", action="store_true",
+                      help="dataset mel stats from step 0 (no blend ramp; "
+                           "reference args/mel_feat_norm.py:13)")
 
     parser.add_argument(
         "--num_buckets", type=int, default=6,

@@ -67,6 +67,7 @@ def evaluate(
     ctm_path: Optional[str] = None,
     gt_ctm_path: Optional[str] = None,
     frame_width: float = 0.06,
+    norm_ratio: float = 1.0,
 ) -> EvalResult:
     """Run one full evaluation over ``loader``. ``decoder`` must expose
     ``decode(params, feats, feat_lens) -> List[Dict[int, FrameResponses]]``."""
@@ -83,7 +84,9 @@ def evaluate(
 
     for batch in loader.epoch(0):
         feats, feat_lens = feat_pipeline(
-            batch.audio, batch.audio_lens, dataset_to_utt_ratio=1.0
+            # 1.0 = dataset stats (the streaming-compatible endpoint);
+            # --norm_over_utterance evaluates legacy models at 0.0
+            batch.audio, batch.audio_lens, dataset_to_utt_ratio=norm_ratio
         )
         if val_loss_fn is not None:
             ls, n = val_loss_fn(

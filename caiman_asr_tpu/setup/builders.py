@@ -186,6 +186,13 @@ def build_data_source_loader(
     else:
         manifests = args.train_manifests if train else args.val_manifests
         utts = load_utterances(manifests, args.dataset_dir, pipe)
+    n_only = getattr(args, "n_utterances_only", None)
+    if n_only is not None and len(utts) > n_only:
+        # seeded shuffle-then-truncate, identical on every process
+        # (reference data/dali/utils.py:149-163)
+        import random
+
+        utts = random.Random(getattr(args, "seed", 1)).sample(utts, n_only)
     norm_cfg = normalize_config_from(pipe, cfg.user_tokens)
     rank, world = 0, 1
     if getattr(args, "multihost", False):

@@ -302,14 +302,20 @@ def main(args=None):
     )
     mel_ramp = None
     if mel_stats is not None:
-        mel_ramp = MelNormRamp(
-            args.norm_ramp_start_step
-            if args.norm_ramp_start_step is not None
-            else args.warmup_steps,
-            args.norm_ramp_end_step
-            if args.norm_ramp_end_step is not None
-            else args.warmup_steps + args.hold_steps,
-        )
+        if getattr(args, "norm_use_global_stats", False):
+            # dataset stats from step 0 (no blend ramp) — reference
+            # args/mel_feat_norm.py:13; ramp "complete" immediately, so
+            # serving-bundle export is not gated
+            mel_ramp = MelNormRamp(-1, 0)
+        else:
+            mel_ramp = MelNormRamp(
+                args.norm_ramp_start_step
+                if args.norm_ramp_start_step is not None
+                else args.warmup_steps,
+                args.norm_ramp_end_step
+                if args.norm_ramp_end_step is not None
+                else args.warmup_steps + args.hold_steps,
+            )
 
     # -------------------------------------------------------------- loop
     from caiman_asr_tpu.log.profiling import PhaseTimers, Profiler

@@ -48,6 +48,11 @@ def val_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--use_ema", action="store_true", default=True)
     parser.add_argument("--no_ema", dest="use_ema", action="store_false")
     parser.add_argument("--calc_loss", "--calculate_loss", action="store_true")
+    parser.add_argument(
+        "--norm_over_utterance", action="store_true",
+        help="normalize mel features with full-utterance stats instead of "
+             "dataset stats — NOT streaming compatible; for evaluating "
+             "legacy models (reference args/mel_feat_norm.py:43)")
     return parser
 
 
@@ -131,6 +136,7 @@ def validate(args=None):
         normalize_config=normalize_config_from(cfg.input_val),
         charset=list(cfg.tokenizer.labels),
         dump_preds_dir=(out_dir / "preds") if args.dump_preds else None,
+        norm_ratio=0.0 if getattr(args, "norm_over_utterance", False) else 1.0,
         subset="dev",
         logger=logger,
         state_resets=state_resets,
