@@ -33,6 +33,10 @@ def add_shared_args(parser: argparse.ArgumentParser):
     parser.add_argument("--val_txt_dir", type=str, default=None,
                         help="transcript directory (defaults to the audio dir)")
     parser.add_argument(
+        "--inspect_audio", action="store_true",
+        help="debug: dump every fully-augmented utterance as wav under "
+             "output_dir/augmented_audio (reference dali/pipeline.py:142)")
+    parser.add_argument(
         "--n_utterances_only", type=int, default=None,
         help="debug: keep only the first N utterances of the dataset "
              "(reference args/shared.py n_utterances_only)")

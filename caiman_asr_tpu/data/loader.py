@@ -70,6 +70,7 @@ class AudioDataLoader:
         background_noise=None,   # (NoiseDataset, NoiseSampler)
         babble_noise=None,       # NoiseSampler
         prob_narrowband: float = 0.0,
+        inspect_audio_dir=None,
     ):
         self.utts = list(utterances)
         self.sampler = sampler
@@ -87,6 +88,8 @@ class AudioDataLoader:
         self.background_noise = background_noise
         self.babble_noise = babble_noise
         self.prob_narrowband = prob_narrowband
+        self.inspect_audio_dir = inspect_audio_dir
+        self._inspect_n = 0
         self._token_cache: Dict[int, List[int]] = {}
         max_dur = pipeline.dataset.max_duration or max(
             (u.duration for u in self.utts), default=1.0
@@ -166,6 +169,24 @@ class AudioDataLoader:
                     others = [j for j in range(len(audios)) if j != i]
                     j = others[int(rngs[i].integers(len(others)))]
                     audios[i] = blend_noise(rngs[i], audios[i], audios[j], snr, start)
+        if self.inspect_audio_dir is not None:
+            # debug dump of the fully augmented host-side audio (reference
+            # --inspect_audio, dali/pipeline.py:142-147 save_audio)
+            import wave as _wave
+            from pathlib import Path as _Path
+
+            d = _Path(self.inspect_audio_dir)
+            d.mkdir(parents=True, exist_ok=True)
+            for a in audios:
+                with _wave.open(str(d / f"augmented_{self._inspect_n:06d}.wav"),
+                                "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(int(self.sr))
+                    w.writeframes(
+                        (np.clip(a, -1, 1) * 32767).astype(np.int16).tobytes()
+                    )
+                self._inspect_n += 1
         tokens = [self._tokens(i) for i in idxs]
 
         max_s = quantise(

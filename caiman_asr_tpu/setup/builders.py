@@ -128,6 +128,11 @@ def build_train_loader(
         background_noise=background,
         babble_noise=babble,
         prob_narrowband=getattr(args, "prob_train_narrowband", 0.0),
+        inspect_audio_dir=(
+            str(Path(args.output_dir) / "augmented_audio")
+            if getattr(args, "inspect_audio", False)
+            else None
+        ),
     )
 
 

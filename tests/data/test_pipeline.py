@@ -178,3 +178,29 @@ def test_weighted_manifest_sampler():
         WeightedBucketingSampler(durs, mids, batch_size=10,
                                  absolute_ratios=[1.0, 1.0],
                                  relative_ratios=[1.0, 1.0])
+
+
+def test_inspect_audio_dump(tiny_dataset, tmp_path):
+    """inspect_audio_dir dumps every augmented utterance as a wav
+    (reference --inspect_audio, dali/pipeline.py:142-147)."""
+    import wave
+
+    root, manifest, tok_path = tiny_dataset
+    bundle = load_config("configs/testing-1023sp.yaml")
+    utts = load_manifest(manifest)
+    tok = Tokenizer(labels=list(" abcdefghijklmnopqrstuvwxyz'"),
+                    sentpiece_model=tok_path)
+    sampler = BucketingSampler(
+        [u.duration for u in utts], batch_size=4, world_size=1, seed=0
+    )
+    dump = tmp_path / "aug"
+    loader = AudioDataLoader(
+        utts, sampler, tok, bundle.cfg.input_train, train=True, seed=0,
+        inspect_audio_dir=str(dump),
+    )
+    next(iter(loader.epoch(0)))
+    wavs = sorted(dump.glob("augmented_*.wav"))
+    assert len(wavs) == 4
+    with wave.open(str(wavs[0]), "rb") as w:
+        assert w.getframerate() == bundle.cfg.input_train.logmel.sample_rate
+        assert w.getnframes() > 0
