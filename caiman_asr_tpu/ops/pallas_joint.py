@@ -153,6 +153,74 @@ def _derive_a_kernel(h_ref, w_ref, b_ref, cs_ref, out_u, out_sm, acc_scr,
         out_sm[:, :] = -cs_ref[0, :][:, None] * acc_scr[:, :]
 
 
+def _bwd_fused_kernel(h_ref, w_ref, b_ref, cs_ref, cb_ref, cl_ref, lab_ref,
+                      out_sm, dw_ref, db_ref, acc_scr, dw_scr, db_scr,
+                      *, kt, n_i, n_k, blank_idx):
+    """ONE-kernel backward: derive + pass A + pass B per tile visit.
+
+    Grid (i rows outer, j vocab inner). Each visit does the three GEMMs —
+    z = h·w (derive), u·Wᵀ (dh smear), hᵀ·dz (dW) — while u lives only in
+    registers/VMEM: the [N, K] slab never touches HBM at all (the rechunked
+    path pays a full write+read of it, ~22 ms at large-196M shapes). The
+    price is the FULL-WIDTH dW accumulator [Hj, Kp] fp32 resident in VMEM
+    scratch (71 MB at large — fine under the ~128 MB hardware VMEM; the
+    16 MB scoped default is a compiler limit). dW/db emit through (Hj, kt)
+    output blocks during the LAST row sweep — the final visit to output
+    block j is exactly step (n_i-1, j), after its last contribution.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dw_scr[:] = jnp.zeros_like(dw_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    h = h_ref[:]
+    z = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+    z = z + b_ref[0, :][None, :]
+    u = jnp.exp(z)
+    # pass A: smear accumulator over vocab tiles
+    acc_scr[:, :] += jnp.dot(
+        u.astype(w_ref.dtype), w_ref[:].T, preferred_element_type=jnp.float32
+    )
+    # pass B: dz = -cs*u + label one-hot (blank handled as a static-column
+    # matvec below, see _bwd_dw_kernel_u)
+    tp = u.shape[0]
+    cl = cl_ref[0, :]
+    k_iota = lax.broadcasted_iota(jnp.int32, (tp, kt), 1)
+    col = lab_ref[0, :] - j * kt
+    dz = -cs_ref[0, :][:, None] * u
+    dz = dz + jnp.where(k_iota == col[:, None], cl[:, None], 0.0)
+    dw_scr[:, pl.ds(j * kt, kt)] += jnp.dot(
+        h.T, dz.astype(h.dtype), preferred_element_type=jnp.float32
+    )
+    db_scr[0, pl.ds(j * kt, kt)] += jnp.sum(dz, axis=0)
+    if 0 <= blank_idx < n_k * kt:
+
+        @pl.when(j == blank_idx // kt)
+        def _():
+            cb = cb_ref[0, :]
+            dw_scr[:, blank_idx : blank_idx + 1] += jnp.dot(
+                h.T, cb[:, None].astype(h.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            db_scr[0, blank_idx : blank_idx + 1] += jnp.sum(cb)[None]
+
+    @pl.when(j == n_k - 1)
+    def _():
+        out_sm[:, :] = -cs_ref[0, :][:, None] * acc_scr[:, :]
+
+    @pl.when(i == n_i - 1)
+    def _():
+        dw_ref[:, :] = dw_scr[:, pl.ds(j * kt, kt)]
+        db_ref[0, :] = db_scr[0, pl.ds(j * kt, kt)]
+
+
 def _bwd_dh_kernel_u(u_ref, w_ref, cs_ref, out_ref, acc_scr, *, n_k):
     """Pass A, stored-u variant: the per-tile work is ONE bf16 GEMM on the
     stored softmax numerators, nothing else. cs = (cb+cl) * exp(-d) is
@@ -360,6 +428,13 @@ Z_STORE_PARTIAL = os.environ.get("CAIMAN_JOINT_ZSTORE_PARTIAL", "0") == "1"
 # 1024 (the loss backward runs at the step's HBM high-water mark).
 RECHUNK_LIMIT_BYTES = int(os.environ.get("CAIMAN_JOINT_RECHUNK_MB", 512)) << 20
 
+# Fully-fused backward (one kernel: derive + pass A + pass B per tile; the
+# u slab never exists in HBM). Preferred over the rechunked path whenever
+# the full-width fp32 dW accumulator fits VMEM (71 MB at large-196M).
+# CAIMAN_JOINT_FUSED_BWD=0 falls back to the rechunk/stored-u logic.
+FUSED_BWD = os.environ.get("CAIMAN_JOINT_FUSED_BWD", "1") == "1"
+_FUSED_VMEM_LIMIT = int(os.environ.get("CAIMAN_JOINT_FUSED_VMEM_MB", 118)) << 20
+
 
 def _store_cols(Np: int, Kp: int, kt: int) -> int:
     """Number of vocab columns (multiple of kt, <= Kp) whose bf16 u slab
@@ -530,6 +605,64 @@ def _derive_a_chunk(hp, w, b, cs, tp, kt, interpret):
     return up, sm
 
 
+def _bwd_fused(hp, w, b, cs, cbp, clp, labp, blank_idx, tp, kt, interpret):
+    """One-kernel backward over the full vocab (see _bwd_fused_kernel).
+    Returns (smear [Np, Hj] f32, dw [Hj, Kp] f32, db [1, Kp] f32)."""
+    Np, Hj = hp.shape
+    K = w.shape[1]
+    Kp = -(-K // kt) * kt
+    tp = _fit_tile(Np, tp)
+    n_i, n_k = Np // tp, Kp // kt
+    wp = _pad_to(w, Kp, 1)
+    bp = _pad_to(b.reshape(1, K).astype(jnp.float32), Kp, 1, value=NEG)
+    kernel = functools.partial(
+        _bwd_fused_kernel, kt=kt, n_i=n_i, n_k=n_k, blank_idx=blank_idx
+    )
+    vec = lambda: pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    sm, dw, db = pl.pallas_call(
+        kernel,
+        grid=(n_i, n_k),
+        in_specs=[
+            pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            vec(), vec(), vec(), vec(),
+        ],
+        out_specs=[
+            pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
+            jax.ShapeDtypeStruct((Hj, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Kp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tp, Hj), jnp.float32),
+            pltpu.VMEM((Hj, Kp), jnp.float32),
+            pltpu.VMEM((1, Kp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(hp, wp, bp, cs, cbp, clp, labp)
+    return sm, dw, db
+
+
+def _fused_bwd_fits(Hj: int, Kp: int, tp: int, kt: int) -> bool:
+    """The fused backward needs the full-width fp32 dW accumulator plus the
+    streamed blocks to fit the scoped-VMEM budget."""
+    need = (
+        Hj * Kp * 4            # dw scratch
+        + Kp * 4               # db scratch
+        + tp * Hj * 4          # smear accumulator
+        + 2 * (tp * Hj * 2 + Hj * kt * 2 + tp * Hj * 4 + Hj * kt * 4 + kt * 4)
+    )
+    return need <= _FUSED_VMEM_LIMIT - (2 << 20)
+
+
 def _bwd_a_recompute(hp, w, b, lo, hi, dn, csum, tp, kt, interpret):
     """Pass A over a RECOMPUTED vocab chunk (z re-derived by GEMM + exp)."""
     Np, Hj = hp.shape
@@ -668,17 +801,30 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
     # vector once (p = u * exp(-d)); pad rows have csum = 0.
     cs = csum * jnp.exp(-dn)
 
-    if up is None and RECHUNK_LIMIT_BYTES > 0:
-        smear, dw, db = _bwd_rechunked(
-            hp, w, b, dn, cs, cbp, clp, labp, blank_idx,
-            (tp_a, kt_a, tp_b, kt_b), interpret,
-        )
-        dh = (
-            smear[:N]
-            + cb[:, None] * w[:, blank_idx][None, :].astype(jnp.float32)
-            + cl[:, None] * w.T[labels].astype(jnp.float32)
-        ).astype(h.dtype)
-        return dh, dw[:, :K].astype(w.dtype), db[0, :K].astype(b.dtype), None
+    if up is None:
+        Kp_a = -(-K // kt_a) * kt_a
+        if FUSED_BWD and _fused_bwd_fits(Hj, Kp_a, tp_a, kt_a):
+            smear, dw, db = _bwd_fused(
+                hp, w, b, cs, cbp, clp, labp, blank_idx, tp_a, kt_a,
+                interpret,
+            )
+        elif RECHUNK_LIMIT_BYTES > 0:
+            smear, dw, db = _bwd_rechunked(
+                hp, w, b, dn, cs, cbp, clp, labp, blank_idx,
+                (tp_a, kt_a, tp_b, kt_b), interpret,
+            )
+        else:
+            smear = dw = None
+        if smear is not None:
+            dh = (
+                smear[:N]
+                + cb[:, None] * w[:, blank_idx][None, :].astype(jnp.float32)
+                + cl[:, None] * w.T[labels].astype(jnp.float32)
+            ).astype(h.dtype)
+            return (
+                dh, dw[:, :K].astype(w.dtype), db[0, :K].astype(b.dtype),
+                None,
+            )
 
     # ---- pass A: smear term of dh
     smear = None

@@ -20,8 +20,11 @@ run() {
 # 1. on-device grad check of the edited joint kernels (blank matvec, tiles)
 run 01_gradcheck python scripts/check_joint_grads_tpu.py
 
-# 2. large-196M step + component breakdown (donation now on = real HBM)
+# 2. large-196M step + component breakdown (donation now on = real HBM;
+#    default backward is now the FUSED one-kernel path) + rechunk A/B
 run 02_large_breakdown python scripts/bench_train.py --large
+run 02b_large_rechunk env CAIMAN_JOINT_FUSED_BWD=0 \
+    python scripts/bench_train.py --large --step-only
 
 # 3. large ragged/packed (the apples-to-apples vs the A100 baseline)
 run 03_large_ragged python scripts/bench_train.py --large --ragged --step-only

@@ -37,13 +37,14 @@ def test_forward_parity(data):
     np.testing.assert_allclose(np.asarray(fl), np.asarray(rl), atol=1e-5)
 
 
-@pytest.mark.parametrize("mode", ["stored", "rechunk", "recompute"])
+@pytest.mark.parametrize("mode", ["stored", "fused", "rechunk", "recompute"])
 def test_vjp_parity(data, monkeypatch, mode):
-    """stored: forward keeps the bf16 u slab (2-GEMM backward). rechunk:
-    no residual slab; backward re-derives bf16 u per N-chunk (3 GEMMs).
-    recompute: per-pass z re-derivation in fp32 (4 GEMMs). The bf16-u
-    paths carry ~2^-9 RELATIVE error on the softmax numerators, hence
-    looser tolerances."""
+    """stored: forward keeps the bf16 u slab (2-GEMM backward). fused: the
+    one-kernel backward (derive + pass A + pass B per tile, dW accumulator
+    resident in VMEM, no slab). rechunk: backward re-derives bf16 u per
+    N-chunk (3 GEMMs). recompute: per-pass z re-derivation (4 GEMMs). The
+    bf16-u slab paths carry ~2^-9 RELATIVE error on the softmax numerators,
+    hence looser tolerances."""
     import caiman_asr_tpu.ops.pallas_joint as pj
 
     monkeypatch.setattr(
@@ -52,6 +53,7 @@ def test_vjp_parity(data, monkeypatch, mode):
     monkeypatch.setattr(
         pj, "RECHUNK_LIMIT_BYTES", (1 << 62) if mode == "rechunk" else 0
     )
+    monkeypatch.setattr(pj, "FUSED_BWD", mode == "fused")
     h, w, b, labels = data
     rng = np.random.default_rng(1)
     cb = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
@@ -81,6 +83,7 @@ def test_rechunked_multichunk_vjp_parity(monkeypatch):
 
     monkeypatch.setattr(pj, "Z_STORE_LIMIT_BYTES", 0)
     monkeypatch.setattr(pj, "RECHUNK_LIMIT_BYTES", 1 << 20)
+    monkeypatch.setattr(pj, "FUSED_BWD", False)  # force the rechunk path
     rng = np.random.default_rng(7)
     n, hj, k = 1100, 16, 600
     blank = k - 1
@@ -149,15 +152,18 @@ def test_hybrid_split_vjp_parity(monkeypatch):
                                    atol=2e-3, rtol=1e-3)
 
 
-def test_recompute_large_tiles_cover_row_tail(monkeypatch):
+@pytest.mark.parametrize("mode", ["recompute", "fused"])
+def test_recompute_large_tiles_cover_row_tail(monkeypatch, mode):
     """Large-shape tiles (Hj>=1024) have tp_a=512 < tp_b=1024: a padded row
     count aligned only to tp_a would make pass B's floor-divided grid DROP
     the last 512 rows from dW/db (silent wrong grads). N=1100 forces a row
-    count that is not a 1024-multiple under tp_a-only alignment."""
+    count that is not a 1024-multiple under tp_a-only alignment; both the
+    per-pass recompute and the fused one-kernel backward must cover it."""
     import caiman_asr_tpu.ops.pallas_joint as pj
 
     monkeypatch.setattr(pj, "Z_STORE_LIMIT_BYTES", 0)
     monkeypatch.setattr(pj, "RECHUNK_LIMIT_BYTES", 0)
+    monkeypatch.setattr(pj, "FUSED_BWD", mode == "fused")
     rng = np.random.default_rng(5)
     n, hj, k = 1100, 1024, 600
     blank = k - 1
@@ -194,6 +200,7 @@ def test_stored_u_nondividing_vocab(monkeypatch):
     import caiman_asr_tpu.ops.pallas_joint as pj
 
     monkeypatch.setattr(pj, "Z_STORE_LIMIT_BYTES", 1 << 62)
+    monkeypatch.setattr(pj, "FUSED_BWD", False)
     rng = np.random.default_rng(6)
     n, hj, k = 70, 16, 3200
     blank = k - 1

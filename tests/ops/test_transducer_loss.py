@@ -281,6 +281,7 @@ def test_packed_lattice_loss_matches_dense(monkeypatch):
 
     monkeypatch.setattr(pj, "Z_STORE_LIMIT_BYTES", 0)
     monkeypatch.setattr(pj, "RECHUNK_LIMIT_BYTES", 0)
+    monkeypatch.setattr(pj, "FUSED_BWD", False)  # fp32 per-pass recompute
     rng = np.random.default_rng(11)
     B, T, U, H, K = 3, 7, 4, 8, 12
     f = jnp.asarray(rng.normal(size=(B, T, H)), jnp.float32)
