@@ -221,6 +221,62 @@ def _bwd_fused_kernel(h_ref, w_ref, b_ref, cs_ref, cb_ref, cl_ref, lab_ref,
         db_ref[0, :] = db_scr[0, pl.ds(j * kt, kt)]
 
 
+def _bwd_fused_kernel_u(h_ref, u_ref, w_ref, cs_ref, cb_ref, cl_ref, lab_ref,
+                        out_sm, dw_ref, db_ref, acc_scr, dw_scr, db_scr,
+                        *, kt, n_i, n_k, blank_idx):
+    """Stored-u variant of the fused backward: passes A and B in ONE kernel
+    per tile visit, reading the bf16 u slab from HBM exactly once (the
+    two-kernel split reads it twice and re-streams h in pass B). Same
+    full-width VMEM dW accumulator + last-row-sweep emission scheme as
+    _bwd_fused_kernel."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dw_scr[:] = jnp.zeros_like(dw_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    h = h_ref[:]
+    u = u_ref[:]
+    acc_scr[:, :] += jnp.dot(u, w_ref[:].T, preferred_element_type=jnp.float32)
+
+    uf = u.astype(jnp.float32)
+    tp = uf.shape[0]
+    cl = cl_ref[0, :]
+    k_iota = lax.broadcasted_iota(jnp.int32, (tp, kt), 1)
+    col = lab_ref[0, :] - j * kt
+    dz = -cs_ref[0, :][:, None] * uf
+    dz = dz + jnp.where(k_iota == col[:, None], cl[:, None], 0.0)
+    dw_scr[:, pl.ds(j * kt, kt)] += jnp.dot(
+        h.T, dz.astype(h.dtype), preferred_element_type=jnp.float32
+    )
+    db_scr[0, pl.ds(j * kt, kt)] += jnp.sum(dz, axis=0)
+    if 0 <= blank_idx < n_k * kt:
+
+        @pl.when(j == blank_idx // kt)
+        def _():
+            cb = cb_ref[0, :]
+            dw_scr[:, blank_idx : blank_idx + 1] += jnp.dot(
+                h.T, cb[:, None].astype(h.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            db_scr[0, blank_idx : blank_idx + 1] += jnp.sum(cb)[None]
+
+    @pl.when(j == n_k - 1)
+    def _():
+        out_sm[:, :] = -cs_ref[0, :][:, None] * acc_scr[:, :]
+
+    @pl.when(i == n_i - 1)
+    def _():
+        dw_ref[:, :] = dw_scr[:, pl.ds(j * kt, kt)]
+        db_ref[0, :] = db_scr[0, pl.ds(j * kt, kt)]
+
+
 def _bwd_dh_kernel_u(u_ref, w_ref, cs_ref, out_ref, acc_scr, *, n_k):
     """Pass A, stored-u variant: the per-tile work is ONE bf16 GEMM on the
     stored softmax numerators, nothing else. cs = (cb+cl) * exp(-d) is
@@ -658,9 +714,56 @@ def _fused_bwd_fits(Hj: int, Kp: int, tp: int, kt: int) -> bool:
         Hj * Kp * 4            # dw scratch
         + Kp * 4               # db scratch
         + tp * Hj * 4          # smear accumulator
-        + 2 * (tp * Hj * 2 + Hj * kt * 2 + tp * Hj * 4 + Hj * kt * 4 + kt * 4)
+        + 2 * (tp * Hj * 2 + Hj * kt * 2 + tp * kt * 2  # h/w/u blocks
+               + tp * Hj * 4 + Hj * kt * 4 + kt * 4)    # output blocks
     )
     return need <= _FUSED_VMEM_LIMIT - (2 << 20)
+
+
+def _bwd_fused_u(hp, up, w, lo, hi, cs, cbp, clp, labp, blank_rel, tp, kt,
+                 interpret):
+    """Fused passes A+B over a STORED vocab chunk (see _bwd_fused_kernel_u).
+    Returns (smear [Np, Hj] f32, dw [Hj, Kcp] f32, db [1, Kcp] f32).
+    labp/blank_rel are RELATIVE to the chunk start."""
+    Np, Hj = hp.shape
+    Kcp = up.shape[1]
+    tp, kt = _fit_tile(Np, tp), _fit_tile(Kcp, kt)
+    n_i, n_k = Np // tp, Kcp // kt
+    wp = _pad_to(w[:, lo:hi], Kcp, 1)
+    kernel = functools.partial(
+        _bwd_fused_kernel_u, kt=kt, n_i=n_i, n_k=n_k, blank_idx=blank_rel
+    )
+    vec = lambda: pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    sm, dw, db = pl.pallas_call(
+        kernel,
+        grid=(n_i, n_k),
+        in_specs=[
+            pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, kt), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            vec(), vec(), vec(), vec(),
+        ],
+        out_specs=[
+            pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
+            jax.ShapeDtypeStruct((Hj, Kcp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Kcp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tp, Hj), jnp.float32),
+            pltpu.VMEM((Hj, Kcp), jnp.float32),
+            pltpu.VMEM((1, Kcp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(hp, up, wp, cs, cbp, clp, labp)
+    return sm, dw, db
 
 
 def _bwd_a_recompute(hp, w, b, lo, hi, dn, csum, tp, kt, interpret):
@@ -826,10 +929,23 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
                 None,
             )
 
-    # ---- pass A: smear term of dh
+    # ---- stored chunk: pass A + pass B (fused into one kernel when the
+    # full-width dW accumulator fits VMEM — reads the u slab ONCE)
     smear = None
+    dws, dbs = [], []
     if ks > 0:
-        smear = _bwd_a_u(up, w, 0, ks, cs, tp_a, kt_a, interpret)
+        if FUSED_BWD and _fused_bwd_fits(Hj, up.shape[1], tp_a, kt_a):
+            smear, dw1, db1 = _bwd_fused_u(
+                hp, up, w, 0, ks, cs, cbp, clp, labp, blank_idx,
+                tp_a, kt_a, interpret,
+            )
+        else:
+            smear = _bwd_a_u(up, w, 0, ks, cs, tp_a, kt_a, interpret)
+            dw1, db1 = _bwd_b_u(
+                hp, up, cs, cbp, clp, labp, blank_idx, tp_b, kt_b, interpret
+            )
+        dws.append(dw1[:, :ks])
+        dbs.append(db1[:, :ks])
     if ks < K:
         s2 = _bwd_a_recompute(hp, w, b, ks, K, dn, csum, tp_a, kt_a, interpret)
         smear = s2 if smear is None else smear + s2
@@ -840,14 +956,7 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
         + cl[:, None] * w.T[labels].astype(jnp.float32)
     ).astype(h.dtype)
 
-    # ---- pass B: dW and db
-    dws, dbs = [], []
-    if ks > 0:
-        dw1, db1 = _bwd_b_u(
-            hp, up, cs, cbp, clp, labp, blank_idx, tp_b, kt_b, interpret
-        )
-        dws.append(dw1[:, :ks])
-        dbs.append(db1[:, :ks])
+    # ---- recompute chunk: pass B
     if ks < K:
         labr = labp - ks
         dw2, db2 = _bwd_b_recompute(

@@ -36,8 +36,10 @@ run 04_large_zstore2g env CAIMAN_JOINT_ZSTORE_PARTIAL=1 CAIMAN_JOINT_ZSTORE_MB=2
 run 05_large_zstore4g env CAIMAN_JOINT_ZSTORE_PARTIAL=1 CAIMAN_JOINT_ZSTORE_MB=4096 \
     python scripts/bench_train.py --large --step-only
 
-# 6. base re-baseline after the kernel edits
+# 6. base re-baseline after the kernel edits (default = fused stored-u)
 run 06_base python scripts/bench_train.py --step-only
+run 06b_base_twokernel env CAIMAN_JOINT_FUSED_BWD=0 \
+    python scripts/bench_train.py --step-only
 run 07_base_ragged python scripts/bench_train.py --ragged --step-only
 
 # 8. the headline serving bench

@@ -37,23 +37,27 @@ def test_forward_parity(data):
     np.testing.assert_allclose(np.asarray(fl), np.asarray(rl), atol=1e-5)
 
 
-@pytest.mark.parametrize("mode", ["stored", "fused", "rechunk", "recompute"])
+@pytest.mark.parametrize(
+    "mode", ["stored", "stored_fused", "fused", "rechunk", "recompute"]
+)
 def test_vjp_parity(data, monkeypatch, mode):
-    """stored: forward keeps the bf16 u slab (2-GEMM backward). fused: the
-    one-kernel backward (derive + pass A + pass B per tile, dW accumulator
-    resident in VMEM, no slab). rechunk: backward re-derives bf16 u per
-    N-chunk (3 GEMMs). recompute: per-pass z re-derivation (4 GEMMs). The
-    bf16-u slab paths carry ~2^-9 RELATIVE error on the softmax numerators,
-    hence looser tolerances."""
+    """stored: forward keeps the bf16 u slab, two-kernel backward.
+    stored_fused: same slab, passes A+B in ONE kernel (slab read once).
+    fused: the one-kernel no-slab backward (derive + A + B per tile, dW
+    accumulator resident in VMEM). rechunk: backward re-derives bf16 u
+    per N-chunk. recompute: per-pass z re-derivation. The bf16-u slab
+    paths carry ~2^-9 RELATIVE error on the softmax numerators, hence
+    looser tolerances."""
     import caiman_asr_tpu.ops.pallas_joint as pj
 
     monkeypatch.setattr(
-        pj, "Z_STORE_LIMIT_BYTES", (1 << 62) if mode == "stored" else 0
+        pj, "Z_STORE_LIMIT_BYTES",
+        (1 << 62) if mode.startswith("stored") else 0,
     )
     monkeypatch.setattr(
         pj, "RECHUNK_LIMIT_BYTES", (1 << 62) if mode == "rechunk" else 0
     )
-    monkeypatch.setattr(pj, "FUSED_BWD", mode == "fused")
+    monkeypatch.setattr(pj, "FUSED_BWD", mode in ("fused", "stored_fused"))
     h, w, b, labels = data
     rng = np.random.default_rng(1)
     cb = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
