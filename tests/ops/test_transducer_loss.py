@@ -270,18 +270,20 @@ def test_joint_dropout_applied_in_training_loss():
 
 
 @pytest.mark.slow
-def test_packed_lattice_loss_matches_dense(monkeypatch):
-    """pack_to path == dense path (values and grads) on a ragged batch.
+@pytest.mark.parametrize("fused", [False, True])
+def test_packed_lattice_loss_matches_dense(monkeypatch, fused):
+    """pack_to path == dense path (values and grads) on a ragged batch,
+    through the fp32 per-pass recompute AND the fused one-kernel backward
+    (fp32 inputs -> both tight).
 
-    Both bf16-u backward paths (stored-u AND the N-chunked re-derive) are
-    pinned OFF so the fp32 per-pass recompute runs: this test is about
-    packing semantics at tight tolerance; the bf16-u paths' numerator
-    rounding is covered by test_pallas_joint.test_vjp_parity."""
+    The bf16-u slab paths (stored-u, N-chunked re-derive) are pinned OFF:
+    their numerator rounding is covered by
+    test_pallas_joint.test_vjp_parity."""
     import caiman_asr_tpu.ops.pallas_joint as pj
 
     monkeypatch.setattr(pj, "Z_STORE_LIMIT_BYTES", 0)
     monkeypatch.setattr(pj, "RECHUNK_LIMIT_BYTES", 0)
-    monkeypatch.setattr(pj, "FUSED_BWD", False)  # fp32 per-pass recompute
+    monkeypatch.setattr(pj, "FUSED_BWD", fused)
     rng = np.random.default_rng(11)
     B, T, U, H, K = 3, 7, 4, 8, 12
     f = jnp.asarray(rng.normal(size=(B, T, H)), jnp.float32)
