@@ -165,6 +165,47 @@ def build_engine(args):
             loaded, ema, _, _ = load_checkpoint(args.ckpt)
             params = apply_params(params, ema if ema is not None else loaded)
         mel_stats = load_mel_stats(args.mel_stats_path)
+
+    # n-gram shallow fusion in the served beam: an ARPA model (CLI path, or
+    # the bytes embedded in the serving bundle) compiled into the dense
+    # device automaton the jitted beam fuses per expansion
+    tables, alpha = None, 0.0
+    if getattr(args, "decoder", "greedy") == "beam":
+        ngram_path = getattr(args, "ngram_path", None)
+        scale = getattr(args, "ngram_scale_factor", None)
+        if ngram_path is None and args.serving_bundle and "ngram" in extras:
+            import tempfile
+
+            tmp = tempfile.NamedTemporaryFile(
+                suffix=".arpa", delete=False
+            )
+            tmp.write(np.asarray(extras["ngram"], np.uint8).tobytes())
+            tmp.close()
+            ngram_path = tmp.name
+            if scale is None and "ngram_scale" in extras:
+                scale = float(extras["ngram_scale"])
+        if ngram_path:
+            from caiman_asr_tpu.lm.device_table import build_device_tables
+            from caiman_asr_tpu.lm.ngram import NGramLM
+
+            alpha = float(scale if scale is not None else cfg.ngram.scale_factor)
+            if alpha > 0.0:
+                lm = NGramLM.load(ngram_path)
+
+                def piece(i):
+                    try:
+                        return tokenizer.id_to_piece(i)
+                    except (IndexError, KeyError):
+                        return ""
+                tables = build_device_tables(
+                    lm,
+                    [piece(i) for i in range(model.n_classes)],
+                    skip_ids=[blank_idx],
+                )
+                print(
+                    f"n-gram fusion on: {tables.n_states} states, "
+                    f"alpha={alpha}", flush=True,
+                )
     return StreamingEngine(
         model,
         params,
@@ -178,6 +219,8 @@ def build_engine(args):
         frame_stacking=cfg.input_val.splicing.frame_stacking,
         frame_subsampling=cfg.input_val.splicing.frame_subsampling,
         pipeline_depth=getattr(args, "pipeline_depth", 1),
+        ngram_lm=tables,
+        ngram_alpha=alpha if tables is not None else 0.0,
     )
 
 
@@ -193,6 +236,10 @@ def main(argv=None):
     p.add_argument("--max_streams", type=int, default=64)
     p.add_argument("--decoder", default="greedy", choices=["greedy", "beam"])
     p.add_argument("--beam_width", type=int, default=4)
+    p.add_argument("--ngram_path", default=None,
+                   help="ARPA n-gram for device shallow fusion in beam mode "
+                        "(defaults to the serving bundle's embedded model)")
+    p.add_argument("--ngram_scale_factor", type=float, default=None)
     p.add_argument("--pipeline_depth", type=int, default=1,
                    help="in-flight ticks before host consumption; each unit "
                         "hides one tick of device->host latency and adds one "

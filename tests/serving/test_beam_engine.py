@@ -444,3 +444,42 @@ def test_cap_saturation_force_commit_preserves_stream():
                 finals2.append(m["alternatives"][0]["transcript"])
     text2 = "".join(finals2)
     assert text2 == "b" * 60, text2[:80]
+
+
+def test_beam_engine_with_lm_fusion(tmp_path):
+    """The streaming beam engine accepts the device LM automaton and ticks
+    (server --ngram_path path); fusion state rides the beam state."""
+    from caiman_asr_tpu.lm.device_table import build_device_tables
+    from caiman_asr_tpu.lm.ngram import NGramLM
+
+    pieces = [chr(97 + i) for i in range(N_CLASSES - 1)] + ["<blank>"]
+    lines = ["\\data\\", f"ngram 1={len(pieces)}", "", "\\1-grams:"]
+    for p in pieces[:-1]:
+        lines.append(f"-1.0\t{p}")
+    lines += ["-6.0\t<unk>", "", "\\end\\", ""]
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text("\n".join(lines))
+    tables = build_device_tables(
+        NGramLM.load(arpa), pieces, skip_ids=[BLANK]
+    )
+
+    model = RNNT(
+        RNNTModelConfig(
+            in_feats=240, enc_n_hid=16, enc_pre_rnn_layers=1, enc_post_rnn_layers=1,
+            enc_stack_time_factor=2, pred_n_hid=8, pred_rnn_layers=1, joint_n_hid=16,
+            enc_dropout=0.0, pred_dropout=0.0, joint_dropout=0.0,
+        ),
+        N_CLASSES,
+    )
+    params = model.init(jax.random.PRNGKey(3))
+    eng = StreamingEngine(
+        model, params, BLANK, Tok(), max_streams=2, decoder="beam",
+        beam_width=3, native_serializer=False,
+        ngram_lm=tables, ngram_alpha=0.5,
+    )
+    lane = eng.open_stream()
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=960 * 3) * 0.1).astype(np.float32)
+    finals, partials = collect(eng, lane, audio)
+    assert all(isinstance(f, str) for f in finals)
+    assert not eng.streams  # lane recycled cleanly
