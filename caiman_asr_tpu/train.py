@@ -318,11 +318,13 @@ def main(args=None):
             )
 
     # -------------------------------------------------------------- loop
-    from caiman_asr_tpu.log.profiling import PhaseTimers, Profiler
+    from caiman_asr_tpu.log.profiling import PhaseTimers, Profiler, ResourceRecorder
 
     profiler = Profiler(out_dir, enabled=args.profiler)
     timers = PhaseTimers(out_dir)
+    resources = ResourceRecorder(out_dir, enabled=args.profiler)
     profiler.start()
+    resources.start()
     rng = jax.random.PRNGKey(args.seed + 7)
     step = start_step
     last_wer = None
@@ -562,6 +564,7 @@ def main(args=None):
         epoch, step, best_wer, is_last=True, meta=_ckpt_meta(cfg, mel_ramp, step),
     )
     profiler.stop()
+    resources.stop()
     timers.dump(step)
     print(f"Training done at step {step}; best dev WER {best_wer:.2%}")
     logger.close()

@@ -259,3 +259,21 @@ def test_val_from_dir(workspace, tmp_path):
     result = validate(vargs)
     assert len(result.hyps) == 3
     assert sorted(result.refs) == sorted(t for t in TEXTS[:3])
+
+
+def test_resource_recorder(tmp_path):
+    """The --profiler host-resource sampler writes csv rows with sane
+    values (reference: top/nvidia-smi recorder subprocesses)."""
+    import time as _time
+
+    from caiman_asr_tpu.log.profiling import ResourceRecorder
+
+    rec = ResourceRecorder(tmp_path, interval=0.2, enabled=True)
+    rec.start()
+    _time.sleep(0.7)
+    rec.stop()
+    lines = (tmp_path / "profile" / "resources.csv").read_text().splitlines()
+    assert lines[0] == "time_s,cpu_pct,rss_mb,host_mem_used_mb"
+    assert len(lines) >= 2
+    t, cpu, rss, host = map(float, lines[1].split(","))
+    assert rss > 10 and host > 10 and cpu >= 0
