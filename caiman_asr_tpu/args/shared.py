@@ -38,8 +38,9 @@ def add_shared_args(parser: argparse.ArgumentParser):
              "output_dir/augmented_audio (reference dali/pipeline.py:142)")
     parser.add_argument(
         "--n_utterances_only", type=int, default=None,
-        help="debug: keep only the first N utterances of the dataset "
-             "(reference args/shared.py n_utterances_only)")
+        help="debug: keep a seeded random subset of N utterances "
+             "(reference semantics: shuffle then truncate, "
+             "data/dali/utils.py:149-163)")
     parser.add_argument(
         "--max_inputs_per_batch", type=float, default=1e7,
         help="auto batch reduction: split the decode encoder batch so "

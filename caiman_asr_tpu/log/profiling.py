@@ -96,8 +96,11 @@ class ResourceRecorder:
     @staticmethod
     def _cpu_times():
         with open("/proc/self/stat") as fh:
-            parts = fh.read().split()
-        return (int(parts[13]) + int(parts[14])) / os_sysconf_clk()
+            stat = fh.read()
+        # fields after the comm field, which may itself contain spaces:
+        # split on the CLOSING paren (utime/stime are fields 12/13 there)
+        parts = stat.rsplit(")", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) / os_sysconf_clk()
 
     @staticmethod
     def _rss_mb() -> float:

@@ -487,8 +487,10 @@ RECHUNK_LIMIT_BYTES = int(os.environ.get("CAIMAN_JOINT_RECHUNK_MB", 512)) << 20
 # Fully-fused backward (one kernel: derive + pass A + pass B per tile; the
 # u slab never exists in HBM). Preferred over the rechunked path whenever
 # the full-width fp32 dW accumulator fits VMEM (71 MB at large-196M).
-# CAIMAN_JOINT_FUSED_BWD=0 falls back to the rechunk/stored-u logic.
-FUSED_BWD = os.environ.get("CAIMAN_JOINT_FUSED_BWD", "1") == "1"
+# Default OFF until validated on real Mosaic (it has only run in interpret
+# mode; scripts/tpu_queue.sh 01_gradcheck is the gate) — flip the default
+# once the on-device grad check passes. CAIMAN_JOINT_FUSED_BWD=1 enables.
+FUSED_BWD = os.environ.get("CAIMAN_JOINT_FUSED_BWD", "0") == "1"
 _FUSED_VMEM_LIMIT = int(os.environ.get("CAIMAN_JOINT_FUSED_VMEM_MB", 118)) << 20
 
 

@@ -170,6 +170,7 @@ def build_engine(args):
     # the bytes embedded in the serving bundle) compiled into the dense
     # device automaton the jitted beam fuses per expansion
     tables, alpha = None, 0.0
+    tmp_arpa = None
     if getattr(args, "decoder", "greedy") == "beam":
         ngram_path = getattr(args, "ngram_path", None)
         scale = getattr(args, "ngram_scale_factor", None)
@@ -181,7 +182,7 @@ def build_engine(args):
             )
             tmp.write(np.asarray(extras["ngram"], np.uint8).tobytes())
             tmp.close()
-            ngram_path = tmp.name
+            ngram_path = tmp_arpa = tmp.name
             if scale is None and "ngram_scale" in extras:
                 scale = float(extras["ngram_scale"])
         if ngram_path:
@@ -191,6 +192,10 @@ def build_engine(args):
             alpha = float(scale if scale is not None else cfg.ngram.scale_factor)
             if alpha > 0.0:
                 lm = NGramLM.load(ngram_path)
+                if tmp_arpa is not None:
+                    import os
+
+                    os.unlink(tmp_arpa)
 
                 def piece(i):
                     try:

@@ -188,6 +188,17 @@ def build_data_source_loader(
             root / args.val_audio_dir if args.val_audio_dir else root,
             (root / args.val_txt_dir) if args.val_txt_dir else None,
         )
+        # same utterance filters as the manifest path (otherwise over-long
+        # audio would be silently truncated and scored against the full
+        # transcript)
+        ds = pipe.dataset
+        utts = [
+            u for u in utts
+            if (ds.max_duration is None or u.duration <= ds.max_duration)
+            and (ds.min_duration is None or u.duration >= ds.min_duration)
+            and (ds.max_transcript_len is None
+                 or len(u.transcript) <= ds.max_transcript_len)
+        ]
     else:
         manifests = args.train_manifests if train else args.val_manifests
         utts = load_utterances(manifests, args.dataset_dir, pipe)

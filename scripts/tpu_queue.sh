@@ -20,11 +20,11 @@ run() {
 # 1. on-device grad check of the edited joint kernels (blank matvec, tiles)
 run 01_gradcheck python scripts/check_joint_grads_tpu.py
 
-# 2. large-196M step + component breakdown (donation now on = real HBM;
-#    default backward is now the FUSED one-kernel path) + rechunk A/B
-run 02_large_breakdown python scripts/bench_train.py --large
-run 02b_large_rechunk env CAIMAN_JOINT_FUSED_BWD=0 \
-    python scripts/bench_train.py --large --step-only
+# 2. large-196M step + component breakdown (donation now on = real HBM):
+#    fused one-kernel backward vs the default rechunk path A/B
+run 02_large_breakdown env CAIMAN_JOINT_FUSED_BWD=1 \
+    python scripts/bench_train.py --large
+run 02b_large_rechunk python scripts/bench_train.py --large --step-only
 
 # 3. large ragged/packed (the apples-to-apples vs the A100 baseline)
 run 03_large_ragged python scripts/bench_train.py --large --ragged --step-only
@@ -36,10 +36,9 @@ run 04_large_zstore2g env CAIMAN_JOINT_ZSTORE_PARTIAL=1 CAIMAN_JOINT_ZSTORE_MB=2
 run 05_large_zstore4g env CAIMAN_JOINT_ZSTORE_PARTIAL=1 CAIMAN_JOINT_ZSTORE_MB=4096 \
     python scripts/bench_train.py --large --step-only
 
-# 6. base re-baseline after the kernel edits (default = fused stored-u)
-run 06_base python scripts/bench_train.py --step-only
-run 06b_base_twokernel env CAIMAN_JOINT_FUSED_BWD=0 \
-    python scripts/bench_train.py --step-only
+# 6. base re-baseline after the kernel edits: fused stored-u vs two-kernel
+run 06_base env CAIMAN_JOINT_FUSED_BWD=1 python scripts/bench_train.py --step-only
+run 06b_base_twokernel python scripts/bench_train.py --step-only
 run 07_base_ragged python scripts/bench_train.py --ragged --step-only
 
 # 8. the headline serving bench
