@@ -20,6 +20,14 @@ from caiman_asr_tpu.ops.logmel import LogMelFrontend
 from caiman_asr_tpu.setup.builders import load_utterances
 
 
+def _abspaths(dataset_dir, names):
+    from pathlib import Path
+
+    return [str(Path(n) if Path(n).is_absolute() else Path(dataset_dir) / n)
+            for n in names]
+
+
+
 def compute_mel_stats(frontend: LogMelFrontend, audio_iter, batch_size: int = 32):
     """Streaming per-mel-bin mean/variance over all valid frames
     (Welford-free: sum / sumsq accumulation in float64)."""
@@ -63,21 +71,40 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="dataset log-mel stats")
     p.add_argument("--model_config", required=True)
     p.add_argument("--dataset_dir", default=".")
-    p.add_argument("--manifests", nargs="+", required=True)
+    p.add_argument("--manifests", nargs="+", default=[])
+    p.add_argument("--read_from_tar", action="store_true")
+    p.add_argument("--tar_files", nargs="+", default=[],
+                   help="webdataset tar/zip shards (with --read_from_tar)")
     p.add_argument("--output_path", required=True)
     p.add_argument("--max_utts", type=int, default=None)
     args = p.parse_args(argv)
 
     bundle = load_config(args.model_config)
     pipe = bundle.cfg.input_val  # no augmentation
-    utts = load_utterances(args.manifests, args.dataset_dir, pipe)
-    if args.max_utts:
-        utts = utts[: args.max_utts]
     frontend = LogMelFrontend(pipe.logmel)
-    audio_iter = (read_audio(u.fname, pipe.logmel.sample_rate) for u in utts)
+    if getattr(args, "read_from_tar", False):
+        from itertools import islice
+
+        from caiman_asr_tpu.data.webdataset import WebDatasetReader
+
+        reader = WebDatasetReader(
+            _abspaths(args.dataset_dir, args.tar_files),
+            sample_rate=pipe.logmel.sample_rate,
+        )
+        samples = (a for a, _txt, _key in reader._samples(0))
+        audio_iter = islice(samples, args.max_utts) if args.max_utts else samples
+        n_desc = "tar shards"
+    elif args.manifests:
+        utts = load_utterances(args.manifests, args.dataset_dir, pipe)
+        if args.max_utts:
+            utts = utts[: args.max_utts]
+        audio_iter = (read_audio(u.fname, pipe.logmel.sample_rate) for u in utts)
+        n_desc = f"{len(utts)} utts"
+    else:
+        raise SystemExit("pass --manifests or --read_from_tar --tar_files")
     means, vars_ = compute_mel_stats(frontend, audio_iter)
     np.savez(args.output_path, melmeans=means, melvars=vars_)
-    print(f"wrote {args.output_path}: {len(utts)} utts, "
+    print(f"wrote {args.output_path}: {n_desc}, "
           f"mean[0]={means[0]:.3f} var[0]={vars_[0]:.3f}")
 
 

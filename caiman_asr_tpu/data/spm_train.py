@@ -24,19 +24,43 @@ from caiman_asr_tpu.data.tokenizer import (
 CHARSET = list(" abcdefghijklmnopqrstuvwxyz'")
 
 
+def _abspaths(dataset_dir, names):
+    from pathlib import Path
+
+    return [str(Path(n) if Path(n).is_absolute() else Path(dataset_dir) / n)
+            for n in names]
+
+
+
+def _load_texts(args) -> list:
+    """Transcripts from JSON manifests or webdataset shards
+    (reference webdataset_spm.py supports both sources)."""
+    if getattr(args, "read_from_tar", False):
+        from caiman_asr_tpu.data.webdataset import read_shard_transcripts
+
+        tars = _abspaths(args.dataset_dir, args.tar_files)
+        return read_shard_transcripts(tars)
+    if not args.manifests:
+        raise SystemExit("pass --manifests or --read_from_tar --tar_files")
+    utts = load_manifests([f"{args.dataset_dir}/{m}" for m in args.manifests])
+    return [u.transcript for u in utts]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="train sentencepiece vocab")
-    p.add_argument("--manifests", nargs="+", required=True)
+    p.add_argument("--manifests", nargs="+", default=[])
+    p.add_argument("--read_from_tar", action="store_true")
+    p.add_argument("--tar_files", nargs="+", default=[],
+                   help="webdataset tar/zip shards (with --read_from_tar)")
     p.add_argument("--dataset_dir", default=".")
     p.add_argument("--vocab_size", type=int, default=8703)
     p.add_argument("--output_prefix", required=True)
     p.add_argument("--max_corpus", type=int, default=None)
     args = p.parse_args(argv)
 
-    utts = load_manifests([f"{args.dataset_dir}/{m}" for m in args.manifests])
+    texts = _load_texts(args)
     corpus = [
-        normalize_transcript(u.transcript, CHARSET, NormalizeConfig())
-        for u in utts
+        normalize_transcript(t, CHARSET, NormalizeConfig()) for t in texts
     ]
     if args.max_corpus:
         corpus = corpus[: args.max_corpus]

@@ -222,3 +222,15 @@ class WebDatasetLoader:
                 group, self.tokenizer, self.norm_cfg, self.charset,
                 self.sample_quantum, self.token_quantum,
             )
+
+
+def read_shard_transcripts(tar_files) -> list:
+    """All transcripts from tar/zip shards without decoding audio (for
+    tokenizer/LM training — reference webdataset_spm.py / prep_kenlm_data
+    --read_from_tar)."""
+    out = []
+    for path in tar_files:
+        for name, data in WebDatasetReader._shard_members(Path(path)):
+            if name.lower().endswith(".txt"):
+                out.append(data.decode("utf-8").strip())
+    return out

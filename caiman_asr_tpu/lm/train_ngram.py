@@ -22,6 +22,14 @@ from typing import Dict, List, Sequence, Tuple
 BOS, EOS_SYM, UNK = "<s>", "</s>", "<unk>"
 
 
+def _abspaths(dataset_dir, names):
+    from pathlib import Path
+
+    return [str(Path(n) if Path(n).is_absolute() else Path(dataset_dir) / n)
+            for n in names]
+
+
+
 def count_ngrams(sentences: Sequence[List[str]], order: int):
     """Counts for every 1..order-gram with <s>/</s> sentence padding."""
     counts = [Counter() for _ in range(order + 1)]  # index by n
@@ -124,7 +132,10 @@ def train_ngram_from_sentences(
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="train an ARPA n-gram over pieces")
-    p.add_argument("--manifests", nargs="+", required=True)
+    p.add_argument("--manifests", nargs="+", default=[])
+    p.add_argument("--read_from_tar", action="store_true")
+    p.add_argument("--tar_files", nargs="+", default=[],
+                   help="webdataset tar/zip shards (with --read_from_tar)")
     p.add_argument("--dataset_dir", default=".")
     p.add_argument("--tokenizer_model", required=True)
     p.add_argument("--order", type=int, default=3)
@@ -138,10 +149,20 @@ def main(argv=None):
     from caiman_asr_tpu.data.unk_handling import UnkHandling, maybe_filter_transcripts
 
     tok = Tokenizer(list(" abcdefghijklmnopqrstuvwxyz'"), args.tokenizer_model)
-    utts = load_manifests([f"{args.dataset_dir}/{m}" for m in args.manifests])
+    if getattr(args, "read_from_tar", False):
+        from caiman_asr_tpu.data.webdataset import read_shard_transcripts
+
+        texts = read_shard_transcripts(
+            _abspaths(args.dataset_dir, args.tar_files)
+        )
+    elif args.manifests:
+        utts = load_manifests([f"{args.dataset_dir}/{m}" for m in args.manifests])
+        texts = [u.transcript for u in utts]
+    else:
+        raise SystemExit("pass --manifests or --read_from_tar --tar_files")
     token_ids = [
-        tok.tokenize(normalize_transcript(u.transcript, tok.charset, NormalizeConfig()))
-        for u in utts
+        tok.tokenize(normalize_transcript(t, tok.charset, NormalizeConfig()))
+        for t in texts
     ]
     token_ids = maybe_filter_transcripts(token_ids, UnkHandling[args.unk_handling])
     sentences = [[tok.id_to_piece(i) for i in ids] for ids in token_ids]

@@ -260,3 +260,67 @@ def test_loader_narrowband_probability(tmp_path, tok):
     e0 = float(np.abs(b0.audio[0][2000:6000]).mean())
     e1 = float(np.abs(b1.audio[0][2000:6000]).mean())
     assert e1 < 0.1 * e0  # 6 kHz tone killed by the 8 kHz round-trip
+
+
+def test_prep_clis_read_shards(tar_shard, tmp_path):
+    """spm_train / train_ngram / generate_mel_stats accept webdataset
+    shards (--read_from_tar --tar_files; reference webdataset_spm.py,
+    prep_kenlm_data.py, generate_mel_stats.py all support tar sources)."""
+    from caiman_asr_tpu.data.generate_mel_stats import main as mel_main
+    from caiman_asr_tpu.data.spm_train import main as spm_main
+    from caiman_asr_tpu.data.webdataset import read_shard_transcripts
+    from caiman_asr_tpu.lm.train_ngram import main as ngram_main
+
+    assert sorted(read_shard_transcripts([tar_shard])) == sorted(TEXTS)
+
+    spm_main([
+        "--read_from_tar", "--tar_files", str(tar_shard),
+        "--vocab_size", "40", "--output_prefix", str(tmp_path / "spm"),
+    ])
+    assert (tmp_path / "spm.json").exists()
+
+    ngram_main([
+        "--read_from_tar", "--tar_files", str(tar_shard),
+        "--tokenizer_model", str(tmp_path / "spm.json"),
+        "--order", "2", "--output_dir", str(tmp_path / "lm"),
+    ])
+    assert (tmp_path / "lm" / "ngram.arpa").exists()
+
+    mel_main([
+        "--model_config", "configs/testing-1023sp.yaml",
+        "--read_from_tar", "--tar_files", str(tar_shard),
+        "--output_path", str(tmp_path / "mel.npz"),
+    ])
+    z = np.load(tmp_path / "mel.npz")
+    assert z["melmeans"].shape == z["melvars"].shape == (80,)
+
+
+def test_make_webdataset_round_trip(tmp_path):
+    """manifests -> shards (make_webdataset) -> reader yields the same
+    samples."""
+    import json as json_mod
+
+    from caiman_asr_tpu.data.make_webdataset import main as make_main
+
+    rng = np.random.default_rng(3)
+    entries = []
+    for i, text in enumerate(TEXTS):
+        audio = (rng.normal(size=3000 + 100 * i) * 0.1).astype(np.float32)
+        fn = tmp_path / f"u{i}.wav"
+        fn.write_bytes(wav_bytes(audio))
+        dur = (3000 + 100 * i) / 16000
+        entries.append({"transcript": text,
+                        "files": [{"fname": f"u{i}.wav", "duration": dur}],
+                        "original_duration": dur})
+    (tmp_path / "m.json").write_text(json_mod.dumps(entries))
+
+    make_main([
+        "--manifests", "m.json", "--dataset_dir", str(tmp_path),
+        "--output_dir", str(tmp_path / "shards"), "--samples_per_shard", "3",
+    ])
+    shards = sorted((tmp_path / "shards").glob("shard-*.tar"))
+    assert len(shards) == 2  # 4 samples, 3 per shard
+    reader = WebDatasetReader(shards)
+    samples = list(reader.shuffled(0))
+    assert sorted(s[1] for s in samples) == sorted(TEXTS)
+    assert all(len(s[0]) >= 3000 for s in samples)
