@@ -181,3 +181,112 @@ def test_full_model_greedy_decode_parity():
         got = [int(t) for t in toks[b, : int(counts[b])]]
         assert got == want, f"utt {b}: {got} != {want}"
         assert len(want) > 0, "silent decode — parity test vacuous"
+
+
+# ---------------------------------------------------------------- hard mode
+def _hard_sig(z):
+    return torch.clamp(0.5 + z * 0.125, 0.0, 1.0)
+
+
+@torch.no_grad()
+def _hard_lstm_forward(lstm, x, h=None, c=None):
+    """Manual hard-activation LSTM over [T, B, in] (reference FPGA
+    arithmetic, lib/csrc/lstm.cu Kind::hard / legacy.py:13-20; torch has
+    no built-in equivalent). Returns (ys, h, c)."""
+    T, B, _ = x.shape
+    H = lstm.hidden_size
+    out = x
+    for layer in range(lstm.num_layers):
+        w_ih = getattr(lstm, f"weight_ih_l{layer}")
+        w_hh = getattr(lstm, f"weight_hh_l{layer}")
+        b = getattr(lstm, f"bias_ih_l{layer}") + getattr(lstm, f"bias_hh_l{layer}")
+        hl = torch.zeros(B, H) if h is None else h[layer]
+        cl = torch.zeros(B, H) if c is None else c[layer]
+        ys = []
+        for t in range(out.shape[0]):
+            g = out[t] @ w_ih.T + hl @ w_hh.T + b
+            gi, gf, gg, go = g.chunk(4, dim=1)
+            cl = _hard_sig(gf) * cl + _hard_sig(gi) * torch.clamp(gg, -1, 1)
+            hl = _hard_sig(go) * torch.clamp(cl, -1, 1)
+            ys.append(hl)
+        out = torch.stack(ys)
+    return out
+
+
+@torch.no_grad()
+def _torch_hard_greedy(mods, embed, f, f_len, cfg, blank):
+    """Greedy loop with a hard-activation prediction net."""
+    L, Hp = cfg.pred_rnn_layers, cfg.pred_n_hid
+    lstm = mods["prediction.dec_rnn.lstm"]
+
+    h = [torch.zeros(1, Hp) for _ in range(L)]
+    c = [torch.zeros(1, Hp) for _ in range(L)]
+
+    def pred_step(x):
+        nonlocal h, c
+        out = x  # [1, Hp]
+        for layer in range(L):
+            w_ih = getattr(lstm, f"weight_ih_l{layer}")
+            w_hh = getattr(lstm, f"weight_hh_l{layer}")
+            b = (getattr(lstm, f"bias_ih_l{layer}")
+                 + getattr(lstm, f"bias_hh_l{layer}"))
+            g = out @ w_ih.T + h[layer] @ w_hh.T + b
+            gi, gf, gg, go = g.chunk(4, dim=1)
+            c[layer] = (_hard_sig(gf) * c[layer]
+                        + _hard_sig(gi) * torch.clamp(gg, -1, 1))
+            h[layer] = _hard_sig(go) * torch.clamp(c[layer], -1, 1)
+            out = h[layer]
+        return out
+
+    g = mods["joint_pred"](pred_step(torch.zeros(1, Hp)))
+    toks = []
+    for t in range(f_len):
+        for _ in range(MAX_SYMBOLS):
+            logits = mods["joint_net.2"](torch.relu(f[t] + g))
+            k = int(torch.argmax(logits, dim=-1))
+            if k == blank:
+                break
+            toks.append(k)
+            g = mods["joint_pred"](pred_step(embed(torch.tensor([k]))))
+    return toks
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.isdir(REF_ASSETS), reason="reference test assets not mounted"
+)
+def test_hard_activation_decode_parity():
+    """FPGA-arithmetic mode: hard sigmoid/tanh LSTMs end to end — encoder
+    outputs equal and greedy decodes token-identical between a manual torch
+    re-execution and this framework with hard_activations=True (the
+    deployment-parity mode, reference lstm.cu Kind::hard +
+    rnnt/rnn.py custom_lstm hard path)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, hard_activations=True)
+    mods, embed, sd = _torch_model(CFG, N_CLASSES)
+    params = unflatten_named(convert_state_dict(sd))
+    model = RNNT(cfg, N_CLASSES)
+    feats_np, frame_lens_np = _real_features()
+
+    f, f_lens, _ = model.encode(
+        params, jnp.asarray(feats_np), jnp.asarray(frame_lens_np)
+    )
+    dec = GreedyDecoder(model, BLANK, max_symbols_per_step=MAX_SYMBOLS)
+    toks, _, _, counts = dec.decode_encs(params, f, f_lens)
+
+    with torch.no_grad():
+        x = torch.from_numpy(feats_np.copy())
+        out = _hard_lstm_forward(mods["encoder.pre_rnn.lstm"], x)
+        out = _torch_stack_time(out, CFG.enc_stack_time_factor)
+        out = _hard_lstm_forward(mods["encoder.post_rnn.lstm"], out)
+        tf = mods["joint_enc"](out.transpose(0, 1))
+    np.testing.assert_allclose(np.asarray(f), tf.numpy(), atol=2e-4)
+
+    emitted = 0
+    for b in range(feats_np.shape[1]):
+        want = _torch_hard_greedy(mods, embed, tf[b], int(f_lens[b]), CFG, BLANK)
+        got = [int(t) for t in toks[b, : int(counts[b])]]
+        assert got == want, f"utt {b}: {got} != {want}"
+        emitted += len(want)
+    assert emitted > 0, "silent decode — parity test vacuous"
