@@ -331,6 +331,7 @@ def main(args=None):
     t_log = time.time()
     layer_names = None  # per-layer stat names, built lazily on first log
     audio_secs_since_log = 0.0
+    durs_since_log = []  # per-utterance seconds (seq-len stats, ref train.py:371-401)
     utts_since_log = 0
     print(
         f"Training: micro-batch {micro_bs} x accum {accum}, "
@@ -383,6 +384,9 @@ def main(args=None):
                 )
             )
             audio_secs_since_log += float(np.sum(batch.audio_lens)) / train_loader.sr
+            durs_since_log.extend(
+                (np.asarray(batch.audio_lens) / train_loader.sr).tolist()
+            )
             utts_since_log += len(batch.audio_lens)
             if len(micro_group) < accum:
                 continue
@@ -493,12 +497,17 @@ def main(args=None):
             )
             if step % args.log_frequency == 0:
                 dt = time.time() - t_log
-                logger.accumulate(
-                    {
-                        "audio_s_per_s": audio_secs_since_log / dt,
-                        "utts_per_s": utts_since_log / dt,
-                    }
-                )
+                tput = {
+                    "audio_s_per_s": audio_secs_since_log / dt,
+                    "utts_per_s": utts_since_log / dt,
+                }
+                if durs_since_log:
+                    d = np.asarray(durs_since_log)
+                    tput.update(
+                        seq_len_mean_s=float(d.mean()),
+                        seq_len_max_s=float(d.max()),
+                    )
+                logger.accumulate(tput)
                 logger.flush_accumulated((epoch, step))
                 if "layer_stats" in metrics:
                     from caiman_asr_tpu.log.layer_stats import (
@@ -513,6 +522,7 @@ def main(args=None):
                         subset="train_layers",
                     )
                 t_log, audio_secs_since_log, utts_since_log = time.time(), 0.0, 0
+                durs_since_log = []
 
             if step % args.prediction_frequency == 0:
                 _log_train_sample(
