@@ -290,3 +290,129 @@ def test_hard_activation_decode_parity():
         assert got == want, f"utt {b}: {got} != {want}"
         emitted += len(want)
     assert emitted > 0, "silent decode — parity test vacuous"
+
+
+# ----------------------------------------------------------- batch-norm mode
+def _torch_bn_model(cfg, n_classes):
+    """Reference BN variant: stacked 1-layer LSTMs with BatchNorm1d after
+    each (rnn.py:100-196), reference state_dict names. BN running stats and
+    affines are randomized so eval-mode BN is NOT the identity."""
+    torch.manual_seed(11)
+
+    def stack(in_size, hid, layers):
+        lstms = [torch.nn.LSTM(in_size if i == 0 else hid, hid)
+                 for i in range(layers)]
+        bns = []
+        for _ in range(layers):
+            bn = torch.nn.BatchNorm1d(hid)
+            bn.running_mean.normal_(0.0, 0.5)
+            bn.running_var.uniform_(0.5, 2.0)
+            bn.weight.data.normal_(1.0, 0.2)
+            bn.bias.data.normal_(0.0, 0.2)
+            bn.eval()
+            bns.append(bn)
+        return lstms, bns
+
+    stacks = {
+        "encoder.pre_rnn": stack(cfg.in_feats, cfg.enc_n_hid,
+                                 cfg.enc_pre_rnn_layers),
+        "encoder.post_rnn": stack(cfg.enc_stack_time_factor * cfg.enc_n_hid,
+                                  cfg.enc_n_hid, cfg.enc_post_rnn_layers),
+        "prediction.dec_rnn": stack(cfg.pred_n_hid, cfg.pred_n_hid,
+                                    cfg.pred_rnn_layers),
+    }
+    heads = {
+        "joint_enc": torch.nn.Linear(cfg.enc_n_hid, cfg.joint_n_hid),
+        "joint_pred": torch.nn.Linear(cfg.pred_n_hid, cfg.joint_n_hid),
+        "joint_net.2": torch.nn.Linear(cfg.joint_n_hid, n_classes),
+    }
+    embed = torch.nn.Embedding(n_classes - 1, cfg.pred_n_hid)
+    sd = {"prediction.embed.weight": embed.weight.detach()}
+    for prefix, (lstms, bns) in stacks.items():
+        for i, (l, bn) in enumerate(zip(lstms, bns)):
+            for k, v in l.state_dict().items():
+                sd[f"{prefix}.lstms.{i}.{k}"] = v.detach()
+            for k, v in bn.state_dict().items():
+                sd[f"{prefix}.batch_norms.{i}.{k}"] = v.detach()
+    for name, m in heads.items():
+        for k, v in m.state_dict().items():
+            sd[f"{name}.{k}"] = v.detach()
+    return stacks, heads, embed, sd
+
+
+@torch.no_grad()
+def _bn_stack_forward(stack, x, states=None):
+    """x: [T, B, in]; states: optional list of per-layer (h, c)."""
+    lstms, bns = stack
+    new_states = []
+    for i, (lstm, bn) in enumerate(zip(lstms, bns)):
+        st = None if states is None else states[i]
+        x, st2 = lstm(x, st)
+        new_states.append(st2)
+        x = bn(x.permute(1, 2, 0)).permute(2, 0, 1)
+    return x, new_states
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.isdir(REF_ASSETS), reason="reference test assets not mounted"
+)
+def test_batch_norm_decode_parity():
+    """BN-variant full-model parity: stacked 1-layer LSTMs + eval-mode
+    BatchNorm1d (randomized running stats) — encoder outputs equal and
+    greedy decodes token-identical after conversion."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, enc_batch_norm=True, pred_batch_norm=True)
+    stacks, heads, embed, sd = _torch_bn_model(CFG, N_CLASSES)
+    params = unflatten_named(convert_state_dict(sd))
+    model = RNNT(cfg, N_CLASSES)
+    feats_np, frame_lens_np = _real_features()
+
+    f, f_lens, _ = model.encode(
+        params, jnp.asarray(feats_np), jnp.asarray(frame_lens_np), train=False
+    )
+    dec = GreedyDecoder(model, BLANK, max_symbols_per_step=MAX_SYMBOLS)
+    toks, _, _, counts = dec.decode_encs(params, f, f_lens)
+
+    with torch.no_grad():
+        x = torch.from_numpy(feats_np.copy())
+        out, _ = _bn_stack_forward(stacks["encoder.pre_rnn"], x)
+        out = _torch_stack_time(out, CFG.enc_stack_time_factor)
+        out, _ = _bn_stack_forward(stacks["encoder.post_rnn"], out)
+        tf = heads["joint_enc"](out.transpose(0, 1))
+    np.testing.assert_allclose(np.asarray(f), tf.numpy(), atol=3e-4)
+
+    blank = BLANK
+
+    @torch.no_grad()
+    def bn_greedy(fb, f_len):
+        L, Hp = CFG.pred_rnn_layers, CFG.pred_n_hid
+        states = [(torch.zeros(1, 1, Hp), torch.zeros(1, 1, Hp))
+                  for _ in range(L)]
+        y, states = _bn_stack_forward(
+            stacks["prediction.dec_rnn"], torch.zeros(1, 1, Hp), states
+        )
+        g = heads["joint_pred"](y[0])
+        toks = []
+        for t in range(f_len):
+            for _ in range(MAX_SYMBOLS):
+                logits = heads["joint_net.2"](torch.relu(fb[t] + g))
+                k = int(torch.argmax(logits, dim=-1))
+                if k == blank:
+                    break
+                toks.append(k)
+                y, states = _bn_stack_forward(
+                    stacks["prediction.dec_rnn"],
+                    embed(torch.tensor([[k]])).transpose(0, 1), states
+                )
+                g = heads["joint_pred"](y[0])
+        return toks
+
+    emitted = 0
+    for b in range(feats_np.shape[1]):
+        want = bn_greedy(tf[b], int(f_lens[b]))
+        got = [int(t) for t in toks[b, : int(counts[b])]]
+        assert got == want, f"utt {b}: {got} != {want}"
+        emitted += len(want)
+    assert emitted > 0, "silent decode — parity test vacuous"
