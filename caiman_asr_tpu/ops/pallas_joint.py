@@ -485,12 +485,24 @@ Z_STORE_PARTIAL = os.environ.get("CAIMAN_JOINT_ZSTORE_PARTIAL", "0") == "1"
 RECHUNK_LIMIT_BYTES = int(os.environ.get("CAIMAN_JOINT_RECHUNK_MB", 512)) << 20
 
 # Fully-fused backward (one kernel: derive + pass A + pass B per tile; the
-# u slab never exists in HBM). Preferred over the rechunked path whenever
-# the full-width fp32 dW accumulator fits VMEM (71 MB at large-196M).
-# Default OFF until validated on real Mosaic (it has only run in interpret
-# mode; scripts/tpu_queue.sh 01_gradcheck is the gate) — flip the default
-# once the on-device grad check passes. CAIMAN_JOINT_FUSED_BWD=1 enables.
-FUSED_BWD = os.environ.get("CAIMAN_JOINT_FUSED_BWD", "0") == "1"
+# u slab never exists in HBM). Validated on real Mosaic by
+# scripts/check_joint_grads_tpu.py (kernel error vs an exact f64 ref is
+# BELOW plain XLA's at both vocab widths). Measured on v5e (2026-08-18):
+# when the u slab does NOT fit HBM, fused beats the rechunked path at
+# large-196M (328 vs 357 ms/step); when the slab DOES fit, the two-kernel
+# stored-u path still edges the fused stored-u variant at base-85M
+# (143.9 vs 146.1 ms). Default policy "auto" encodes exactly that; the
+# env knob forces fused always on ("1") or off ("0").
+_env = os.environ.get("CAIMAN_JOINT_FUSED_BWD", "auto")
+FUSED_BWD = _env if _env == "auto" else _env == "1"  # "auto" | True | False
+
+
+def _use_fused(stored: bool) -> bool:
+    """Whether the one-kernel fused backward should handle this chunk.
+    ``stored``: a bf16 u slab exists for the chunk (forward stored it)."""
+    if FUSED_BWD == "auto":
+        return not stored
+    return bool(FUSED_BWD)
 _FUSED_VMEM_LIMIT = int(os.environ.get("CAIMAN_JOINT_FUSED_VMEM_MB", 118)) << 20
 
 
@@ -908,7 +920,7 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
 
     if up is None:
         Kp_a = -(-K // kt_a) * kt_a
-        if FUSED_BWD and _fused_bwd_fits(Hj, Kp_a, tp_a, kt_a):
+        if _use_fused(stored=False) and _fused_bwd_fits(Hj, Kp_a, tp_a, kt_a):
             smear, dw, db = _bwd_fused(
                 hp, w, b, cs, cbp, clp, labp, blank_idx, tp_a, kt_a,
                 interpret,
@@ -936,7 +948,7 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
     smear = None
     dws, dbs = [], []
     if ks > 0:
-        if FUSED_BWD and _fused_bwd_fits(Hj, up.shape[1], tp_a, kt_a):
+        if _use_fused(stored=True) and _fused_bwd_fits(Hj, up.shape[1], tp_a, kt_a):
             smear, dw1, db1 = _bwd_fused_u(
                 hp, up, w, 0, ks, cs, cbp, clp, labp, blank_idx,
                 tp_a, kt_a, interpret,
