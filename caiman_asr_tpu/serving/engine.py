@@ -52,7 +52,6 @@ class StreamState:
     # past ~4k lanes)
     chunks: List[np.ndarray] = field(default_factory=list)
     buf_len: int = 0
-    carry: Optional[np.ndarray] = None  # [1201] trailing samples incl. preemph
     dev_len: int = 0                    # max beam len at last consumed tick
     rebase_pending: bool = False        # a rebase is in flight (beam)
     frame_idx: int = 0                  # decoder frames emitted so far
@@ -62,6 +61,76 @@ class StreamState:
     # they slide past, so finals can ship even if agreement stalls past the
     # device->host window
     hist: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+
+
+def _upload_loop(q, eng_ref):
+    """Uploader thread body: for each queued tick, copy the staging slot to
+    the device (the slow part on remote transports — runs with NO lock
+    held), hand the slot back for reuse, then dispatch the jitted tick and
+    chain the engine's device state under the state lock (cheap). Entries:
+    (slot, meta, adv) tuples; ``None`` is the shutdown sentinel. Holds only
+    the queue and a weakref so a dropped engine is never pinned; each
+    iteration re-resolves the engine and exits if it was collected. Upload
+    errors are forwarded into the pending entry so the tick thread raises
+    them at consume time (the device-state chain is dead either way).
+    ``q.task_done()`` is only called AFTER the entry is visible in
+    eng._pending, so q.join() == "all dispatched results are consumable"."""
+    import queue as _queue
+
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        slot, meta, adv = item
+        eng = eng_ref()
+        if eng is None:
+            return
+        err = None
+        try:
+            if eng._bench_reuse_upload and eng._upload_cache is not None:
+                samples_dev = eng._upload_cache
+            else:
+                samples_dev = jnp.asarray(slot)
+                if eng._bench_reuse_upload:
+                    eng._upload_cache = samples_dev
+        except Exception as e:  # pragma: no cover - transport failure
+            err = e
+        eng._slot_pool.put(slot)
+        ev = threading.Event()
+        if err is None:
+            try:
+                with eng._state_lock:
+                    packed, eng._carry, eng.enc_state, eng.dec_state = (
+                        eng._jit_tick(
+                            eng.params, samples_dev, eng._carry,
+                            eng.enc_state, eng.dec_state, eng._init_dec,
+                            jnp.asarray(meta),
+                        )
+                    )
+                try:
+                    packed.copy_to_host_async()
+                except Exception:
+                    pass
+            except Exception as e:
+                err = e
+        if err is not None:
+            ev.set()
+            eng._pending.append([err, adv, ev])
+            del eng  # drop the ref before blocking on q.get()
+            q.task_done()
+            continue
+        entry = [packed, adv, ev]
+        eng._pending.append(entry)
+        if eng._fetchq is not None:
+            eng._fetchq.put(entry)
+        else:  # no fetcher: materialize here so consume never blocks the gil
+            try:
+                entry[0] = np.asarray(packed)
+            except Exception as e:
+                entry[0] = e
+            ev.set()
+        del eng, packed, entry  # drop refs before blocking on q.get()
+        q.task_done()
 
 
 def _fetch_loop(q):
@@ -208,9 +277,10 @@ class StreamingEngine:
             try:
                 from caiman_asr_tpu.native import AudioStaging
 
-                self._native_stg = AudioStaging(
-                    self.B, self.carry_samples, self.hop_samples
-                )
+                # carry_len=0: the carry is DEVICE state (self._carry below),
+                # so staging only assembles the hop samples — 20% less
+                # host->device upload per tick and no host carry memcpy
+                self._native_stg = AudioStaging(self.B, 0, self.hop_samples)
                 self._active = np.zeros(self.B, np.uint8)
                 self._closed = np.zeros(self.B, np.uint8)
             except Exception as e:
@@ -222,13 +292,17 @@ class StreamingEngine:
                     f"native audio staging unavailable ({e}); "
                     "using the Python staging path"
                 )
-        self._jit_tick = jax.jit(self._tick_impl, donate_argnums=(2, 3))
+        # args: (params, samples_new[B,hop] i16, carry[B,carry] i16,
+        #        enc_state, dec_state, init_dec, meta[3B+1])
+        self._jit_tick = jax.jit(self._tick_impl, donate_argnums=(2, 3, 4))
         self._tick_count = 0
         self._rng0 = jax.random.PRNGKey(4242)
         self.pipeline_depth = pipeline_depth
         from collections import deque
 
         # entries: [packed (device array or fetched np array), adv, event]
+        # single-producer (tick thread or uploader) / single-consumer (tick
+        # thread) deque: CPython append/popleft are atomic, no lock needed
         self._pending = deque()
         # Pipelined mode gets a fetcher thread: the device->host result copy
         # (a full transport round trip on remote TPUs, ~30 ms) runs off the
@@ -257,16 +331,65 @@ class StreamingEngine:
         self.enc_state = self._zero_enc_state()
         self.dec_state = self._zero_dec_state()
         self._init_dec = jax.tree.map(jnp.copy, self.dec_state)
+        self._carry = jnp.zeros((self.B, self.carry_samples), jnp.int16)
         self.streams: Dict[int, StreamState] = {}
         self._free = list(range(self.B))
+        # lanes whose device state must be zeroed at the next dispatch (the
+        # reset rides the tick's meta vector — no per-open scatter dispatch)
+        self._pending_resets: set = set()
         # The server ticks from an executor thread while connection handlers
         # open/close/push from the event loop — serialize engine access.
         self._lock = threading.RLock()
+        # Guards the device-state chain (enc/dec/carry + dispatch order).
+        # Never acquired while waiting on a queue: the uploader takes it
+        # only around the (cheap) dispatch, the tick thread only when it
+        # dispatches inline or reads dec_state for a final flush.
+        self._state_lock = threading.Lock()
+        # Input-side pipeline: the host->device upload of the staging matrix
+        # is the long pole on remote transports (and non-trivial on PCIe at
+        # 16k lanes). With pipeline_depth > 0, tick() fills one of two
+        # staging slots and hands it to an uploader thread; the upload of
+        # tick N+1 then overlaps tick N's device work + response drain, so
+        # steady-state tick wall time is max(upload, device, host) instead
+        # of the sum. Slot hand-back (after jnp.asarray copies the bytes)
+        # uses a queue as the backpressure token — never while holding the
+        # engine lock, so tick-blocked-on-slot cannot deadlock the uploader.
+        self._upq = None
+        self._up_thread = None
+        self._slot_pool = None
+        # Benchmark-only: when True the uploader reuses one cached device
+        # buffer instead of shipping the staging slot, so the full engine
+        # loop can be timed with the WAN transport (not a product cost)
+        # elided. Never set in serving paths.
+        self._bench_reuse_upload = False
+        self._upload_cache = None
+        if pipeline_depth > 0:
+            import queue as _queue
+
+            self._upq = _queue.Queue()
+            self._slot_pool = _queue.Queue()
+            for _ in range(2):
+                self._slot_pool.put(
+                    np.zeros((self.B, self.hop_samples), np.int16)
+                )
+            # free function + weakref: a bound method would pin a dropped
+            # engine forever (same reasoning as the fetcher thread above)
+            self._up_thread = threading.Thread(
+                target=_upload_loop, args=(self._upq, weakref.ref(self)),
+                daemon=True,
+            )
+            self._up_thread.start()
+            weakref.finalize(self, self._upq.put, None)
 
     def close(self):
         """Release process-global native resources (serializer/staging C
         state) and stop the fetcher thread so another engine can be
         constructed in this process."""
+        if self._upq is not None:
+            self._upq.put(None)
+            self._up_thread.join(timeout=30)
+            self._upq = None
+            self._up_thread = None
         if self._fetchq is not None:
             self._fetchq.put(None)
             self._fetch_thread.join(timeout=10)
@@ -282,18 +405,19 @@ class StreamingEngine:
     def warmup(self):
         """Force-compile the tick program before serving traffic (first-tick
         JIT latency would otherwise hit the first streams)."""
-        samples = jnp.zeros(
-            (self.B, self.carry_samples + self.hop_samples), jnp.int16
-        )
+        samples = jnp.zeros((self.B, self.hop_samples), jnp.int16)
         # two passes: the second absorbs the weak-type-settling retrace so
         # live traffic never pays a compile
-        for i in range(2):
-            meta = np.zeros(2 * self.B + 1, np.int32)
-            meta[-1] = i
-            out, self.enc_state, self.dec_state = self._jit_tick(
-                self.params, samples, self.enc_state, self.dec_state,
-                jnp.asarray(meta),
-            )
+        with self._state_lock:
+            for i in range(2):
+                meta = np.zeros(3 * self.B + 1, np.int32)
+                meta[-1] = i
+                out, self._carry, self.enc_state, self.dec_state = (
+                    self._jit_tick(
+                        self.params, samples, self._carry, self.enc_state,
+                        self.dec_state, self._init_dec, jnp.asarray(meta),
+                    )
+                )
         _ = np.asarray(out)  # real barrier (block_until_ready is dispatch-only
         # over tunnelled backends)
 
@@ -328,14 +452,24 @@ class StreamingEngine:
         g = _linear(self.params["joint_pred"], y)
         return (g, h, cc)
 
-    def _tick_impl(self, params, samples, enc_state, dec_state, meta):
-        """samples: [B, carry+hop] int16 PCM; meta: [2B+1] int32 packing
-        ``[adv(B), rebase(B), tick_count]`` — one upload instead of three
-        (each small host->device put pays a full round trip on remote
-        transports), and the dither key folds from ``tick_count`` inside the
-        program (saves a separate fold_in dispatch per tick). int16 is the
-        wire format (websocket_api.md) and halves the per-tick host->device
-        upload; the scale to [-1, 1) fuses into the featurizer here for free.
+    def _tick_impl(self, params, samples_new, carry, enc_state, dec_state,
+                   init_dec, meta):
+        """samples_new: [B, hop] int16 PCM — ONLY the fresh 60 ms; the
+        241-sample window/preemph overlap (``carry``) is device state,
+        prepended here and re-extracted from the tail, so it never crosses
+        host->device (20% of the per-tick upload). meta: [3B+1] int32
+        packing ``[adv(B), rebase(B), reset(B), tick_count]`` — one upload
+        instead of several (each small host->device put pays a full round
+        trip on remote transports), and the dither key folds from
+        ``tick_count`` inside the program (saves a separate fold_in dispatch
+        per tick). int16 is the wire format (websocket_api.md) and halves
+        the per-tick host->device upload; the scale to [-1, 1) fuses into
+        the featurizer here for free.
+
+        reset: lanes freshly (re)opened since the last dispatch — their
+        carry/enc/dec state is zeroed (dec: restored to ``init_dec``) BEFORE
+        this tick computes, replacing per-open host-side scatter dispatches
+        (which would also race the uploader thread's donated state chain).
 
         rebase (beam only): [B] int32 — drop this many already-committed
         token positions from the front of each lane's beam buffers before
@@ -345,10 +479,21 @@ class StreamingEngine:
         applied value is echoed in the packed output so pipelined host
         bookkeeping shifts coordinates at exactly the right tick."""
         cfg = self.cfg
-        B = samples.shape[0]
+        B = samples_new.shape[0]
         adv = meta[:B].astype(bool)
         rebase = meta[B : 2 * B]
-        rng = jax.random.fold_in(self._rng0, meta[2 * B])
+        reset = meta[2 * B : 3 * B].astype(bool)
+        rng = jax.random.fold_in(self._rng0, meta[3 * B])
+        # zero freshly-opened lanes before compute (they may advance this
+        # very tick); keep = ~reset selects the CURRENT state on live lanes
+        keep = ~reset
+        carry = jnp.where(reset[:, None], jnp.int16(0), carry)
+        enc_state = _gate_state(
+            enc_state, jax.tree.map(jnp.zeros_like, enc_state), keep
+        )
+        dec_state = _gate_state(dec_state, init_dec, keep)
+        samples = jnp.concatenate([carry, samples_new], axis=1)
+        new_carry = samples[:, -self.carry_samples :]
         samples = (samples.astype(jnp.float32) * (1.0 / 32768.0)).astype(
             self.dtype
         )
@@ -416,6 +561,7 @@ class StreamingEngine:
             toks, n, new_dec_state = self._decode_step(params, f[:, 0], dec_state)
 
         # freeze state on lanes that did not advance
+        new_carry = jnp.where(adv[:, None], new_carry, carry)
         new_enc_state = _gate_state(new_enc_state, enc_state, adv)
         new_dec_state = _gate_state(new_dec_state, dec_state, adv)
         # pack every host-bound output into ONE int32 array: a single
@@ -440,7 +586,7 @@ class StreamingEngine:
             out = jnp.concatenate(
                 [toks.astype(jnp.int32), n.astype(jnp.int32)[:, None]], axis=1
             )
-        return out, new_enc_state, new_dec_state
+        return out, new_carry, new_enc_state, new_dec_state
 
     # ------------------------------------------------------------- streams
     def open_stream(self) -> Optional[int]:
@@ -448,9 +594,7 @@ class StreamingEngine:
             if not self._free:
                 return None
             lane = self._free.pop(0)
-            self.streams[lane] = StreamState(
-                carry=np.zeros(self.carry_samples, np.int16)
-            )
+            self.streams[lane] = StreamState()
             if self._native_stg is not None:
                 self._native_stg.reset_lane(lane)
                 self._active[lane] = 1
@@ -467,34 +611,13 @@ class StreamingEngine:
                     self._closed[lane] = 1
 
     def _reset_lane(self, lane: int):
+        """Queue a device-state reset for the lane: applied inside the next
+        dispatched tick via the meta reset mask (one fused select for any
+        number of opens; per-open `.at[lane].set()` scatter dispatches would
+        also race the uploader thread's donated state chain)."""
         if self._native_ser is not None:
             self._native_ser.reset_lane(lane)
-        z = lambda x: x.at[..., lane, :].set(0.0)
-        self.enc_state = EncoderState(
-            pre_rnn=tuple(z(h) for h in self.enc_state.pre_rnn),
-            post_rnn=tuple(z(h) for h in self.enc_state.post_rnn),
-        )
-        if self.decoder == "beam":
-            def set_lane(cur, init):
-                if cur.ndim == 4:          # [L, B, W, H]
-                    return cur.at[:, lane].set(init[:, lane])
-                if cur.ndim == 3 and cur.shape[1] != self.B:  # [B, W, *]
-                    return cur.at[lane].set(init[lane])
-                if cur.ndim == 3:          # [L, B, H] (not used in beam)
-                    return cur.at[:, lane].set(init[:, lane])
-                if cur.ndim == 2:          # [B, W]
-                    return cur.at[lane].set(init[lane])
-                return cur.at[lane].set(init[lane])  # [B]
-
-            self.dec_state = jax.tree.map(set_lane, self.dec_state, self._init_dec)
-        else:
-            g0, h0, c0 = self._init_dec
-            g, h, c = self.dec_state
-            self.dec_state = (
-                g.at[lane].set(g0[lane]),
-                h.at[:, lane].set(h0[:, lane]),
-                c.at[:, lane].set(c0[:, lane]),
-            )
+        self._pending_resets.add(lane)
 
     @staticmethod
     def _to_i16(samples: np.ndarray) -> np.ndarray:
@@ -566,13 +689,16 @@ class StreamingEngine:
     def _tick_locked(self) -> Dict[int, dict]:
         if not self.streams:
             return {}
-        if not hasattr(self, "_staging"):
-            # persistent staging matrix: rows of idle lanes keep stale data,
-            # which is harmless — the jitted tick gates their state on `adv`
-            self._staging = np.zeros(
-                (self.B, self.carry_samples + self.hop_samples), np.int16
-            )
-        samples = self._staging
+        if self._slot_pool is not None:
+            # blocks when both slots are in the uploader — the backpressure
+            # that makes steady-state tick time max(upload, device, host)
+            samples = self._slot_pool.get()
+        else:
+            if not hasattr(self, "_staging"):
+                # persistent staging matrix: rows of idle lanes keep stale
+                # data, harmless — the jitted tick gates state on `adv`
+                self._staging = np.zeros((self.B, self.hop_samples), np.int16)
+            samples = self._staging
         if self._native_stg is not None:
             adv, fin = self._native_stg.tick(samples, self._active, self._closed)
             finishing = [int(l) for l in np.flatnonzero(fin)]
@@ -586,10 +712,8 @@ class StreamingEngine:
                     if st.buf_len == 0:
                         finishing.append(lane)
                         continue
-                row = samples[lane]
-                row[: self.carry_samples] = st.carry
-                self._pop_into(st, row[self.carry_samples :])
-                st.carry = row[-self.carry_samples :].copy()
+                # hop samples only: the window/preemph carry is device state
+                self._pop_into(st, samples[lane])
                 adv[lane] = True
 
         rebase = np.zeros(self.B, np.int32)
@@ -618,38 +742,53 @@ class StreamingEngine:
         out: Dict[int, List[dict]] = {}
         if adv.any():
             self._tick_count += 1
-            meta = np.empty(2 * self.B + 1, np.int32)
+            meta = np.empty(3 * self.B + 1, np.int32)
             meta[: self.B] = adv
             meta[self.B : 2 * self.B] = rebase
+            meta[2 * self.B : 3 * self.B] = 0
+            for lane in self._pending_resets:
+                meta[2 * self.B + lane] = 1
+            self._pending_resets.clear()
             meta[-1] = self._tick_count
-            packed, self.enc_state, self.dec_state = self._jit_tick(
-                self.params,
-                jnp.asarray(samples),  # int16 on the wire, scaled on device
-                self.enc_state,
-                self.dec_state,
-                jnp.asarray(meta),
-            )
-            try:
-                packed.copy_to_host_async()
-            except Exception:
-                pass  # backend without async copies: the fetcher blocks
-            entry = [packed, adv, None]
-            if self._fetchq is not None:
-                entry[2] = threading.Event()
-                self._pending.append(entry)
-                self._fetchq.put(entry)
+            if self._upq is not None:
+                # hand the filled slot to the uploader: its (slow) upload
+                # overlaps this thread's response drain + the device's work
+                self._upq.put((samples, meta, adv))
                 # drain whatever the fetcher already finished, oldest first
                 # (keeps latency at fetch-time rather than a fixed depth)
                 while self._pending and self._pending[0][2].is_set():
                     self._consume(self._pending.popleft(), out)
+                while len(self._pending) > self.pipeline_depth:
+                    self._consume(self._pending.popleft(), out)
             else:
-                self._pending.append(entry)
-            while len(self._pending) > self.pipeline_depth:
-                self._consume(self._pending.popleft(), out)
+                with self._state_lock:
+                    packed, self._carry, self.enc_state, self.dec_state = (
+                        self._jit_tick(
+                            self.params,
+                            jnp.asarray(samples),  # int16; scaled on device
+                            self._carry,
+                            self.enc_state,
+                            self.dec_state,
+                            self._init_dec,
+                            jnp.asarray(meta),
+                        )
+                    )
+                try:
+                    packed.copy_to_host_async()
+                except Exception:
+                    pass  # backend without async copies: the fetch blocks
+                self._pending.append([packed, adv, None])
+                while len(self._pending) > self.pipeline_depth:
+                    self._consume(self._pending.popleft(), out)
+        elif self._slot_pool is not None:
+            self._slot_pool.put(samples)  # nothing advanced: return the slot
 
         if finishing:
             # final flush reads the lane's full device-side buffers; drain
-            # every in-flight tick first so `committed` is up to date
+            # the upload queue, then every in-flight tick, so `committed`
+            # and the device beam buffers are up to date
+            if self._upq is not None:
+                self._upq.join()
             while self._pending:
                 self._consume(self._pending.popleft(), out)
         for lane in finishing:
@@ -661,9 +800,10 @@ class StreamingEngine:
                     st.frame_idx = self._native_ser.frame_idx(lane)
                 else:
                     committed = st.committed
-                toks_l = np.asarray(self.dec_state["toks"][lane])
-                lens_l = np.asarray(self.dec_state["lens"][lane])
-                scores_l = np.asarray(self.dec_state["scores"][lane])
+                with self._state_lock:  # uploads drained above; cheap
+                    toks_l = np.asarray(self.dec_state["toks"][lane])
+                    lens_l = np.asarray(self.dec_state["lens"][lane])
+                    scores_l = np.asarray(self.dec_state["scores"][lane])
                 norm = scores_l / np.maximum(lens_l + 1, 1)
                 best = int(np.argmax(norm))
                 tail = [int(t) for t in toks_l[best, committed : lens_l[best]]]

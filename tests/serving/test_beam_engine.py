@@ -185,7 +185,7 @@ def test_force_commit_ships_history_when_agreement_stalls():
     eng = _make_engine(beam_win=8)
     from caiman_asr_tpu.serving.engine import StreamState
 
-    st = StreamState(carry=np.zeros(eng.carry_samples, np.float32))
+    st = StreamState()
     W, win = 3, 8
     # tick 1: base=0, hyps disagree from position 2 onward
     toks = np.zeros((W, win), np.int64)
@@ -236,9 +236,10 @@ def test_rebase_shift_equals_preshifted_state():
     st0["ts"] = jnp.asarray(toks)
     st0["lens"] = jnp.full((eng.B, eng.beam_width), 80, jnp.int32)
     samples = jnp.asarray(
-        (rng.normal(size=(eng.B, eng.carry_samples + eng.hop_samples))
-         * 0.05 * 32768).astype(np.int16)
+        (rng.normal(size=(eng.B, eng.hop_samples)) * 0.05 * 32768
+         ).astype(np.int16)
     )
+    carry = jnp.zeros((eng.B, eng.carry_samples), jnp.int16)
     r = 30
 
     shifted = dict(st0)
@@ -250,18 +251,20 @@ def test_rebase_shift_equals_preshifted_state():
     shifted["lens"] = st0["lens"] - r
 
     def mk_meta(rebase_val, tick):
-        m = np.zeros(2 * eng.B + 1, np.int32)
+        m = np.zeros(3 * eng.B + 1, np.int32)
         m[: eng.B] = 1  # adv
         m[eng.B : 2 * eng.B] = rebase_val
         m[-1] = tick
         return jnp.asarray(m)
 
-    out_a, _, dec_a = eng._jit_tick(
-        eng.params, samples, jax.tree.map(jnp.copy, eng.enc_state),
-        jax.tree.map(jnp.copy, st0), mk_meta(r, 9))
-    out_b, _, dec_b = eng._jit_tick(
-        eng.params, samples, jax.tree.map(jnp.copy, eng.enc_state),
-        shifted, mk_meta(0, 9))
+    out_a, _, _, dec_a = eng._jit_tick(
+        eng.params, samples, jnp.copy(carry),
+        jax.tree.map(jnp.copy, eng.enc_state),
+        jax.tree.map(jnp.copy, st0), eng._init_dec, mk_meta(r, 9))
+    out_b, _, _, dec_b = eng._jit_tick(
+        eng.params, samples, jnp.copy(carry),
+        jax.tree.map(jnp.copy, eng.enc_state),
+        shifted, eng._init_dec, mk_meta(0, 9))
     pa, pb = np.array(out_a), np.array(out_b)
     # echo column differs by design (r vs 0); everything else must match
     W, win = eng.beam_width, eng._beam_win
