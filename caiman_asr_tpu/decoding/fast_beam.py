@@ -80,6 +80,40 @@ def _lm_tables(ngram_lm, ngram_alpha: float):
     )
 
 
+def _improvable(active, finished, W: int, merge: bool):
+    """Whether ANY lane's active hypotheses can still change the finished
+    top-W. Log-probs are <= 0, so active scores only decrease with further
+    expansion: once every active score sits below the lane's worst kept
+    finished score, no future candidate can be selected — an EXACT early
+    exit for the expansion loop. With merging, sub-threshold candidates can
+    still logaddexp mass into kept hypotheses, so keep iterating until that
+    mass is below float32 significance (exp(-16) relative)."""
+    slack = 16.0 if merge else 0.0
+    worst_kept = finished["scores"][:, W - 1]  # top_k output is sorted
+    best_active = jnp.max(active["scores"], axis=1)
+    return jnp.any(best_active > worst_kept - slack)
+
+
+def _gather_w(tree, idx, L: int):
+    """Gather beam lanes by idx [B, W'] along each leaf's W axis.
+
+    Rank>=3 leaves use a one-hot multiply-sum instead of take_along_axis:
+    general gathers lower to scalar-indexed loops on TPU (~2x slower here,
+    and far worse on long trailing axes). The mask is 0/1 so the reduction
+    is exact for every dtype (bf16 states, int32 tokens, uint32 hashes)."""
+    def g(x):
+        if x.ndim <= 2:  # [B, M] scores/lens/hash/lm — tiny, gather is fine
+            return jnp.take_along_axis(x, idx, axis=1)
+        if x.ndim == 4 and x.shape[0] == L:  # [L, B, M, H]
+            oh = (idx[..., None] == jnp.arange(x.shape[2])).astype(x.dtype)
+            return jnp.sum(oh[None, :, :, :, None] * x[:, :, None, :, :], axis=3)
+        # [B, M, C] (toks/ts/g)
+        oh = (idx[..., None] == jnp.arange(x.shape[1])).astype(x.dtype)
+        return jnp.sum(oh[..., None] * x[:, None, :, :], axis=2)
+
+    return jax.tree.map(g, tree)
+
+
 def _merged_scores(s, h, l):
     """logaddexp duplicate (hash, len) entries into their best-scoring copy
     (which keeps its pred/LM state — ref beam.py:507-512); the other copies
@@ -186,17 +220,7 @@ class FastBeamDecoder:
             beam["lm"] = jnp.full((B, W), self.lm[2], jnp.int32)
 
         def gather_w(tree, idx):
-            """Gather beam lanes by idx [B, W'] along the W axis."""
-            def g(x):
-                if x.ndim == 4 and x.shape[0] == L:  # [L, B, 2W, ...]
-                    return jnp.take_along_axis(
-                        x, idx[None, :, :, None], axis=2
-                    )
-                extra = (1,) * (x.ndim - 2)
-                return jnp.take_along_axis(
-                    x, idx.reshape(idx.shape + extra), axis=1
-                )
-            return jax.tree.map(g, tree)
+            return _gather_w(tree, idx, L)
 
         def concat_w(a, b):
             def c(x, y):
@@ -211,13 +235,13 @@ class FastBeamDecoder:
             finished = dict(beam, scores=jnp.full((B, W), NEG_INF))
             active = beam
 
-            for e in range(E):
-                lp = self._logprobs(params, f_t, active["g"])  # [B, W, K]
-
-                # ---- blank-extend actives into the finished pool (with
+            def fin_update(finished, active, lp):
+                # blank-extend actives into the finished pool (with
                 # duplicate-merging: the reference's kept_hyps logaddexp,
                 # beam.py:467-469)
-                fin_cand = dict(active, scores=active["scores"] + lp[..., self.blank_idx])
+                fin_cand = dict(
+                    active, scores=active["scores"] + lp[..., self.blank_idx]
+                )
                 pool = concat_w(finished, fin_cand)
                 if self.merge:
                     pool["scores"] = _merged_scores(
@@ -226,12 +250,11 @@ class FastBeamDecoder:
                 top_s, top_i = lax.top_k(pool["scores"], W)
                 finished = gather_w(pool, top_i)
                 finished["scores"] = top_s
+                return finished
 
-                if e == E - 1:
-                    break
-
-                # ---- non-blank expansions: two-stage top-W (see the
-                # streaming step below for rationale)
+            def expand(active, lp):
+                # non-blank expansions: two-stage top-W (see the streaming
+                # step below for rationale)
                 lp_nb = lp.at[..., self.blank_idx].set(NEG_INF)
                 cand_s, cand_i = lax.approx_max_k(
                     lp_nb.reshape(B * W, K), W, recall_target=0.99
@@ -264,7 +287,27 @@ class FastBeamDecoder:
                 new["g"], new["h"], new["c"] = self._pred_advance(
                     params, token, new["h"], new["c"]
                 )
-                active = new
+                return new
+
+            def cond(carry):
+                e, active, finished = carry
+                return (e < E - 1) & _improvable(
+                    active, finished, W, self.merge
+                )
+
+            def body(carry):
+                e, active, finished = carry
+                lp = self._logprobs(params, f_t, active["g"])
+                finished = fin_update(finished, active, lp)
+                return e + 1, expand(active, lp), finished
+
+            # bounded early-exit loop (see _improvable): most frames emit 0-1
+            # tokens, so the expected trip count is ~1-2, not E
+            _, active, finished = lax.while_loop(
+                cond, body, (jnp.int32(0), active, finished)
+            )
+            lp = self._logprobs(params, f_t, active["g"])
+            finished = fin_update(finished, active, lp)
 
             # padded frames leave the beam untouched
             def keep(x_new, x_old):
@@ -396,12 +439,7 @@ def make_streaming_beam_step(
         return g, h2.reshape(Lc, B, Wc, Hpc), c2.reshape(Lc, B, Wc, Hpc)
 
     def gather_w(tree, idx):
-        def g(x):
-            if x.ndim == 4 and x.shape[0] == L:
-                return jnp.take_along_axis(x, idx[None, :, :, None], axis=2)
-            extra = (1,) * (x.ndim - 2)
-            return jnp.take_along_axis(x, idx.reshape(idx.shape + extra), axis=1)
-        return jax.tree.map(g, tree)
+        return _gather_w(tree, idx, L)
 
     def concat_w(a, b):
         def c(x, y):
@@ -437,10 +475,8 @@ def make_streaming_beam_step(
     def step(params, f_t, state):
         B = f_t.shape[0]
         frame = state.pop("frame")
-        finished = dict(state, scores=jnp.full((B, W), NEG_INF))
-        active = state
-        for e in range(E):
-            lp = logprobs(params, f_t, active["g"])
+
+        def fin_update(finished, active, lp):
             fin_cand = dict(active, scores=active["scores"] + lp[..., blank_idx])
             pool = concat_w(finished, fin_cand)
             if merge:
@@ -450,8 +486,9 @@ def make_streaming_beam_step(
             top_s, top_i = lax.top_k(pool["scores"], W)
             finished = gather_w(pool, top_i)
             finished["scores"] = top_s
-            if e == E - 1:
-                break
+            return finished
+
+        def expand(active, lp):
             # two-stage selection: cheap per-hypothesis top-W over the
             # vocab (approx_max_k lowers to the TPU-native approximate
             # top-k), then exact top-W over the W*W survivors — orders of
@@ -485,7 +522,28 @@ def make_streaming_beam_step(
             new["g"], new["h"], new["c"] = pred_advance(
                 params, token, new["h"], new["c"]
             )
-            active = new
+            return new
+
+        def cond(carry):
+            e, active, finished = carry
+            return (e < E - 1) & _improvable(active, finished, W, merge)
+
+        def body(carry):
+            e, active, finished = carry
+            lp = logprobs(params, f_t, active["g"])
+            finished = fin_update(finished, active, lp)
+            return e + 1, expand(active, lp), finished
+
+        # bounded early-exit loop: 60 ms ticks mostly emit 0-1 tokens, so
+        # the expected trip count is ~1-2 rather than the worst-case E —
+        # the dominant device-time win for the streaming beam (see
+        # _improvable for the exactness argument)
+        _, active, finished = lax.while_loop(
+            cond, body,
+            (jnp.int32(0), state, dict(state, scores=jnp.full((B, W), NEG_INF))),
+        )
+        lp = logprobs(params, f_t, active["g"])
+        finished = fin_update(finished, active, lp)
         finished["frame"] = frame + 1
         state["frame"] = frame  # restore caller's dict shape
         return finished

@@ -20,15 +20,44 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-B", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
+    ap.add_argument("--model", choices=["base", "large"], default="base")
     args = ap.parse_args()
     B = args.B
 
     import jax
     import jax.numpy as jnp
 
-    from bench import _build_engine
+    if args.decoder == "greedy" and args.model == "base":
+        from bench import _build_engine
 
-    eng = _build_engine(B)
+        eng = _build_engine(B)
+    else:
+        from caiman_asr_tpu.models.rnnt import RNNT, RNNTModelConfig
+        from caiman_asr_tpu.serving.engine import StreamingEngine
+
+        if args.model == "base":
+            cfg = RNNTModelConfig(
+                in_feats=240, enc_n_hid=1024, enc_pre_rnn_layers=2,
+                enc_post_rnn_layers=6, enc_stack_time_factor=2,
+                pred_n_hid=512, pred_rnn_layers=2, joint_n_hid=768,
+            )
+            n_classes = 8704
+        else:
+            cfg = RNNTModelConfig(
+                in_feats=240, enc_n_hid=1536, enc_pre_rnn_layers=2,
+                enc_post_rnn_layers=6, enc_stack_time_factor=2,
+                pred_n_hid=768, pred_rnn_layers=2, joint_n_hid=1024,
+            )
+            n_classes = 17408
+        model = RNNT(cfg, n_classes=n_classes)
+        params = model.init(jax.random.PRNGKey(0))
+        eng = StreamingEngine(
+            model, params, blank_idx=n_classes - 1, tokenizer=None,
+            max_streams=B, decoder=args.decoder, beam_width=4,
+            max_symbols_per_step=8 if args.decoder == "beam" else 4,
+            dtype=jnp.bfloat16, pipeline_depth=8,
+        )
     for _ in range(B):
         eng.open_stream()
     eng.warmup()

@@ -114,14 +114,15 @@ def _run(engine, audio):
 
 
 def _packed(toks_full, lens, scores, win):
-    """Build the packed per-tick array _tick_impl produces, from full
-    [W, cap] token buffers (simulating the device side)."""
+    """Build the packed per-tick WIRE array _tick_impl produces, from full
+    [W, cap] token buffers (simulating the device side): tokens ride as
+    int16 pairs bitcast into W*win/2 int32 lanes."""
     W = lens.shape[0]
     base = max(0, int(lens.max()) - win)
-    window = toks_full[:, base : base + win].astype(np.int32)
+    window = toks_full[:, base : base + win].astype(np.int16)
     return np.concatenate(
         [
-            window.reshape(1, -1),
+            window.reshape(1, -1).view(np.int32),
             lens.astype(np.int32)[None, :],
             np.array([[base]], np.int32),
             np.array([[0]], np.int32),  # rebase echo
@@ -267,8 +268,9 @@ def test_rebase_shift_equals_preshifted_state():
         shifted, eng._init_dec, mk_meta(0, 9))
     pa, pb = np.array(out_a), np.array(out_b)
     # echo column differs by design (r vs 0); everything else must match
+    # (tokens ride as int16 pairs — W*win/2 int32 lanes — see _tick_impl)
     W, win = eng.beam_width, eng._beam_win
-    echo_col = W * win + W + 1
+    echo_col = W * win // 2 + W + 1
     assert pa[0, echo_col] == r and pb[0, echo_col] == 0
     pa[:, echo_col] = pb[:, echo_col] = 0
     np.testing.assert_array_equal(pa, pb)
@@ -309,7 +311,7 @@ def test_long_form_rebase_host_bookkeeping():
             tk = np.roll(toks, -shift, axis=1) if shift else toks
             ln = lens - shift
             pk = _packed(tk, ln, scores, 16)
-            pk[0, 3 * 16 + 3 + 1] = r  # echo column (W*win + W + 1)
+            pk[0, 3 * 16 // 2 + 3 + 1] = r  # echo column (W*win/2 + W + 1)
             full = np.zeros((eng.B, pk.shape[1]), np.int32)
             full[lane] = pk[0]
             out = {}
