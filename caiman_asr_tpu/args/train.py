@@ -24,6 +24,18 @@ def train_arg_parser() -> argparse.ArgumentParser:
         help="disable the packed-joint loss path (pack the O(N*K) joint to "
              "valid lattice positions when batches are ragged enough)",
     )
+    training.add_argument(
+        "--pruned_loss_range", type=int, default=0,
+        help="0 (default) = exact dense transducer loss; N > 0 = two-stage "
+             "pruned loss (k2-style): a factored simple joint prunes the "
+             "label lattice to a width-N band before the full joint runs — "
+             "~(U+1)/N less joint compute/memory (ops/pruned_loss.py)",
+    )
+    training.add_argument(
+        "--simple_loss_scale", type=float, default=0.5,
+        help="weight of the auxiliary simple (factored) loss when "
+             "--pruned_loss_range > 0 (icefall convention)",
+    )
     training.add_argument("--warmup_steps", type=int, default=1632)
     training.add_argument("--hold_steps", type=int, default=18000)
     training.add_argument("--half_life_steps", type=int, default=10880)

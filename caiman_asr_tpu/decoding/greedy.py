@@ -241,8 +241,13 @@ def make_streaming_step(
     Returns a jittable function
       step(params, f [B, Hj], dec_state) -> (tokens [B, max_symbols], n [B], dec_state)
     processing exactly one encoder frame per stream with at most
-    ``max_symbols_per_step`` emissions (static unrolled scan — constant
-    latency, no recompiles). dec_state = (g [B, Hj], h, c [L, B, Hp]).
+    ``max_symbols_per_step`` emissions. The emission loop is a bounded
+    early-exit ``lax.while_loop``: a lane stops at its first blank, so once
+    every lane has stopped no further joint/pred evaluation can change
+    anything — on 60 ms serving ticks most frames emit 0-1 tokens, making
+    the expected trip count ~2 rather than max_symbols_per_step (the same
+    argument as the beam tick's early exit, fast_beam._improvable, but
+    exact by construction here). dec_state = (g [B, Hj], h, c [L, B, Hp]).
     """
 
     def logprobs(params, f, g):
@@ -264,23 +269,35 @@ def make_streaming_step(
     def step(params, f, dec_state):
         g, h, c = dec_state
         B = f.shape[0]
-        toks = jnp.full((B, max_symbols_per_step), blank_idx, jnp.int32)
-        stopped = jnp.zeros(B, bool)
-        n = jnp.zeros(B, jnp.int32)
-        for i in range(max_symbols_per_step):
+        toks0 = jnp.full((B, max_symbols_per_step), blank_idx, jnp.int32)
+        stopped0 = jnp.zeros(B, bool)
+        n0 = jnp.zeros(B, jnp.int32)
+
+        def cond(carry):
+            i, _toks, _n, stopped, _g, _h, _c = carry
+            return (i < max_symbols_per_step) & ~jnp.all(stopped)
+
+        def body(carry):
+            i, toks, n, stopped, g, h, c = carry
             if fast:
                 k = argmax_tokens(params, f, g)
             else:
                 lp = logprobs(params, f, g)
                 k = jnp.argmax(lp, axis=-1).astype(jnp.int32)
             emit = (~stopped) & (k != blank_idx)
-            toks = toks.at[:, i].set(jnp.where(emit, k, blank_idx))
+            toks = lax.dynamic_update_slice(
+                toks, jnp.where(emit, k, blank_idx)[:, None], (0, i)
+            )
             n = n + emit.astype(jnp.int32)
             g_new, (h_new, c_new) = model.pred_step(params, k, (h, c))
             g = jnp.where(emit[:, None], g_new, g)
             h = jnp.where(emit[None, :, None], h_new, h)
             c = jnp.where(emit[None, :, None], c_new, c)
-            stopped = stopped | (~emit)
+            return i + 1, toks, n, stopped | (~emit), g, h, c
+
+        _, toks, n, _, g, h, c = lax.while_loop(
+            cond, body, (jnp.int32(0), toks0, n0, stopped0, g, h, c)
+        )
         return toks, n, (g, h, c)
 
     return step

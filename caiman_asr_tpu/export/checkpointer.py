@@ -141,6 +141,10 @@ def apply_params(template_params, loaded, allow_partial: bool = False):
     t_flat = flatten_named(template_params)
     l_flat = flatten_named(loaded)
     extra = set(l_flat) - set(t_flat)
+    # training-only heads (pruned-loss simple projections) are expected
+    # extras when loading a pruned-trained checkpoint for val/serving
+    ignorable = {k for k in extra if k.split("/")[0] in ("simple_am", "simple_lm")}
+    extra -= ignorable
     if extra:
         raise ValueError(f"checkpoint has unknown parameters: {sorted(extra)[:8]}")
     missing = set(t_flat) - set(l_flat)

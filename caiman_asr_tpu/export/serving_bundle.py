@@ -49,6 +49,12 @@ def create_serving_bundle(
 ) -> Path:
     params, ema, _, meta = load_checkpoint(ckpt_path)
     weights = ema if (use_ema and ema is not None) else params
+    # training-only heads (pruned-loss simple projections) never serve;
+    # strip them so the schema gate and bundle match dense-trained models
+    weights = {
+        k: v for k, v in weights.items()
+        if k not in ("simple_am", "simple_lm")
+    }
 
     norm_w = float(meta.get("logmel_norm_weight", 0.0))
     if not math.isclose(norm_w, 1.0):

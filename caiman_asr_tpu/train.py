@@ -129,7 +129,11 @@ def main(args=None):
         ema=args.ema,
     )
     optimizer = build_optimizer(opt_cfg, model.param_lr_factors())
-    state = init_train_state(model, optimizer, jax.random.PRNGKey(args.seed))
+    pruned_range = getattr(args, "pruned_loss_range", 0) or 0
+    state = init_train_state(
+        model, optimizer, jax.random.PRNGKey(args.seed),
+        pruned_loss=pruned_range > 0,
+    )
 
     # ------------------------------------------------------------ resume
     ckptr = Checkpointer(out_dir / "ckpts")
@@ -245,6 +249,11 @@ def main(args=None):
     if mp > 1:
         if rsp_on:
             raise SystemExit("--model_parallel does not support RSP (DP-only)")
+        if pruned_range > 0:
+            raise SystemExit(
+                "--pruned_loss_range is not supported with --model_parallel "
+                "yet (the dense loss already shards over the vocab axis)"
+            )
         from caiman_asr_tpu.training.step import make_train_step_tp
 
         train_step = make_train_step_tp(
@@ -273,6 +282,8 @@ def main(args=None):
             rsp=rsp_on,
             compute_dtype=None if args.no_amp else jnp.bfloat16,
             collect_layer_stats=getattr(args, "log_layer_stats", False),
+            pruned_range=pruned_range,
+            simple_loss_scale=getattr(args, "simple_loss_scale", 0.5),
         )
     rsp_ctl, rnnt_state = None, None
     if rsp_on:
@@ -393,7 +404,9 @@ def main(args=None):
 
             stacked = stack_microbatches(micro_group)
             pack_to = None
-            if not getattr(args, "no_lattice_packing", False):
+            # the pruned loss bounds compute via the band; packing's static
+            # cap would only add compile churn on top
+            if pruned_range == 0 and not getattr(args, "no_lattice_packing", False):
                 enc_t = -(
                     -stacked["feats"].shape[1] // model.cfg.enc_stack_time_factor
                 )

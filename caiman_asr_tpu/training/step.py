@@ -53,8 +53,19 @@ class TrainState(NamedTuple):
     step: jax.Array  # int32 scalar, counts *taken* optimizer steps
 
 
-def init_train_state(model: RNNT, optimizer, rng: jax.Array) -> TrainState:
+def init_train_state(
+    model: RNNT, optimizer, rng: jax.Array, pruned_loss: bool = False
+) -> TrainState:
     params = model.init(rng)
+    if pruned_loss:
+        from caiman_asr_tpu.ops.pruned_loss import init_simple_params
+
+        params.update(
+            init_simple_params(
+                jax.random.fold_in(rng, 0x51), model.cfg.joint_n_hid,
+                model.n_classes,
+            )
+        )
     return TrainState(
         params=params,
         ema_params=jax.tree.map(jnp.copy, params),
@@ -89,11 +100,16 @@ def _micro_loss(
     collect_bn: bool = False,
     pack_to=None,
     vocab_axis=None,
+    pruned_range: int = 0,
+    simple_scale: float = 0.5,
 ):
     """Normalised loss for one microbatch. feats: [T, B, F].
 
     With collect_bn=True (batch-norm LSTM variant) returns
-    (loss, tuple of per-BN-layer (batch_mean, unbiased_batch_var))."""
+    (loss, tuple of per-BN-layer (batch_mean, unbiased_batch_var)).
+    With pruned_range > 0, the pruned two-stage objective replaces the
+    dense loss (ops/pruned_loss.py; pack_to is ignored — the band already
+    bounds compute)."""
     params, feats = _cast_compute(params, mb["feats"], compute_dtype)
     bn_updates: list = [] if collect_bn else None
     rng_model, rng_joint = jax.random.split(rng)
@@ -107,21 +123,42 @@ def _micro_loss(
         rng=rng_model,
         bn_updates=bn_updates,
     )
-    per_utt = transducer_loss_from_fg(
-        f,
-        g,
-        params["joint_fc"]["w"],
-        params["joint_fc"]["b"],
-        mb["txt"],
-        f_lens,
-        mb["txt_lens"],
-        blank_idx,
-        mods,
-        dropout_rng=rng_joint,
-        dropout_rate=model.cfg.joint_dropout,
-        pack_to=pack_to,
-        vocab_axis=vocab_axis,
-    )
+    if pruned_range > 0:
+        from caiman_asr_tpu.ops.pruned_loss import pruned_transducer_loss_from_fg
+
+        per_utt = pruned_transducer_loss_from_fg(
+            f,
+            g,
+            params["joint_fc"]["w"],
+            params["joint_fc"]["b"],
+            {"simple_am": params["simple_am"], "simple_lm": params["simple_lm"]},
+            mb["txt"],
+            f_lens,
+            mb["txt_lens"],
+            blank_idx,
+            mods,
+            prune_range=pruned_range,
+            simple_scale=simple_scale,
+            dropout_rng=rng_joint,
+            dropout_rate=model.cfg.joint_dropout,
+            vocab_axis=vocab_axis,
+        )
+    else:
+        per_utt = transducer_loss_from_fg(
+            f,
+            g,
+            params["joint_fc"]["w"],
+            params["joint_fc"]["b"],
+            mb["txt"],
+            f_lens,
+            mb["txt_lens"],
+            blank_idx,
+            mods,
+            dropout_rng=rng_joint,
+            dropout_rate=model.cfg.joint_dropout,
+            pack_to=pack_to,
+            vocab_axis=vocab_axis,
+        )
     loss = per_utt.sum() / denom
     if collect_bn:
         return loss, tuple(bn_updates)
@@ -140,6 +177,8 @@ def _micro_loss_rsp(
     gate: jax.Array,
     compute_dtype=None,
     pack_to=None,
+    pruned_range: int = 0,
+    simple_scale: float = 0.5,
 ):
     """RSP microbatch loss: threads (gated) streaming state and returns the
     new state for the next microbatch (stop-gradient'd — the reference
@@ -159,20 +198,40 @@ def _micro_loss_rsp(
         train=True,
         rng=rng_model,
     )
-    per_utt = transducer_loss_from_fg(
-        f,
-        g,
-        params["joint_fc"]["w"],
-        params["joint_fc"]["b"],
-        mb["txt"],
-        f_lens,
-        mb["txt_lens"],
-        blank_idx,
-        mods,
-        dropout_rng=rng_joint,
-        dropout_rate=model.cfg.joint_dropout,
-        pack_to=pack_to,
-    )
+    if pruned_range > 0:
+        from caiman_asr_tpu.ops.pruned_loss import pruned_transducer_loss_from_fg
+
+        per_utt = pruned_transducer_loss_from_fg(
+            f,
+            g,
+            params["joint_fc"]["w"],
+            params["joint_fc"]["b"],
+            {"simple_am": params["simple_am"], "simple_lm": params["simple_lm"]},
+            mb["txt"],
+            f_lens,
+            mb["txt_lens"],
+            blank_idx,
+            mods,
+            prune_range=pruned_range,
+            simple_scale=simple_scale,
+            dropout_rng=rng_joint,
+            dropout_rate=model.cfg.joint_dropout,
+        )
+    else:
+        per_utt = transducer_loss_from_fg(
+            f,
+            g,
+            params["joint_fc"]["w"],
+            params["joint_fc"]["b"],
+            mb["txt"],
+            f_lens,
+            mb["txt_lens"],
+            blank_idx,
+            mods,
+            dropout_rng=rng_joint,
+            dropout_rate=model.cfg.joint_dropout,
+            pack_to=pack_to,
+        )
     # detach + match the carry dtypes (state stays f32 under bf16 compute)
     new_state = jax.tree.map(
         lambda n, o: jax.lax.stop_gradient(n).astype(o.dtype), new_state, rnnt_state
@@ -253,6 +312,8 @@ def make_train_step(
     compute_dtype=None,
     donate: bool = True,
     collect_layer_stats: bool = False,
+    pruned_range: int = 0,
+    simple_loss_scale: float = 0.5,
 ):
     """Build the jitted train step.
 
@@ -306,7 +367,8 @@ def make_train_step(
                 partial(
                     _micro_loss_rsp, model, mods=mods, denom=denom,
                     blank_idx=blank_idx, compute_dtype=compute_dtype,
-                    pack_to=pack_to,
+                    pack_to=pack_to, pruned_range=pruned_range,
+                    simple_scale=simple_loss_scale,
                 ),
                 has_aux=True,
             )
@@ -343,6 +405,8 @@ def make_train_step(
                     _micro_loss, model, mods=mods, denom=denom,
                     blank_idx=blank_idx, compute_dtype=compute_dtype,
                     collect_bn=has_bn, pack_to=pack_to,
+                    pruned_range=pruned_range,
+                    simple_scale=simple_loss_scale,
                 ),
                 has_aux=has_bn,
             )

@@ -62,6 +62,10 @@ def main():
              "audio-s/s counts VALID seconds only — the apples-to-apples "
              "number vs the reference's ragged-real-data baselines")
     ap.add_argument(
+        "--pruned", type=int, default=0, metavar="S",
+        help="use the two-stage pruned loss with band width S "
+             "(--pruned_loss_range S in train.py); 0 = exact dense loss")
+    ap.add_argument(
         "--no-donate", dest="donate", action="store_false",
         help="disable train-state donation (doubles state HBM — the "
              "pre-r2 bench behavior, for comparison only)")
@@ -95,13 +99,14 @@ def main():
     audio_s = A * B * args.dur
 
     opt = build_optimizer(OptimizerConfig(), model.param_lr_factors())
-    state = init_train_state(model, opt, jax.random.PRNGKey(0))
+    state = init_train_state(model, opt, jax.random.PRNGKey(0),
+                             pruned_loss=args.pruned > 0)
     # donate=True matches real training (train.py) AND its HBM footprint —
     # without donation the train state (params+grads+LAMB m/v+EMA) is
     # double-buffered, ~3 GB of phantom pressure at large-196M that
     # previously made stored-u look unfittable
     step = make_train_step(model, opt, blank_idx=blank, compute_dtype=jnp.bfloat16,
-                           donate=args.donate)
+                           donate=args.donate, pruned_range=args.pruned)
 
     rng = np.random.default_rng(0)
     pack_to = None

@@ -110,6 +110,12 @@ def main():
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument(
+        "--pruned", type=int, default=0, metavar="S",
+        help="train with the two-stage pruned loss (band width S) instead "
+             "of the exact dense loss — the quality-parity check for "
+             "--pruned_loss_range",
+    )
+    p.add_argument(
         "--compare_decoders", action="store_true",
         help="after training, table greedy vs fast_beam vs fast_beam+LM vs "
              "host beam+LM dev WERs (LM trained on the train transcripts)",
@@ -151,7 +157,7 @@ def main():
         "--mel_stats_path", str(root / "mel_stats.npz"),
         "--norm_ramp_start_step", "200",
         "--norm_ramp_end_step", str(max(args.steps // 3, 400)),
-    ])
+    ] + (["--pruned_loss_range", str(args.pruned)] if args.pruned else []))
     _, best_wer = train_main(targs)
 
     vargs = val_arg_parser().parse_args([
