@@ -68,6 +68,50 @@ from caiman_asr_tpu.ops.transducer_loss import (
 
 
 # --------------------------------------------------------------------------
+# shard_map collective helpers with explicit cotangent rules
+# --------------------------------------------------------------------------
+# Under shard_map(check_vma=False) a bare lax.psum is transposed to another
+# psum, scaling the cotangent by the axis size; and shard-local partial
+# contributions to replicated operands are never reduced. These two wrappers
+# pin the correct reverse rules (the same contract vp_joint_lse's custom VJP
+# implements for the dense path):
+#   _psum_keep_ct:  y = sum_shards(x)   => dL/dx_local = dL/dy  (identity)
+#   _ident_psum_ct: y = x (replicated)  => dL/dx = psum(partial cotangents)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _psum_keep_ct(x, axis_name):
+    return lax.psum(x, axis_name)
+
+
+def _psum_keep_ct_fwd(x, axis_name):
+    return lax.psum(x, axis_name), None
+
+
+def _psum_keep_ct_bwd(axis_name, _, ct):
+    return (ct,)
+
+
+_psum_keep_ct.defvjp(_psum_keep_ct_fwd, _psum_keep_ct_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _ident_psum_ct(x, axis_name):
+    return x
+
+
+def _ident_psum_ct_fwd(x, axis_name):
+    return x, None
+
+
+def _ident_psum_ct_bwd(axis_name, _, ct):
+    return (lax.psum(ct, axis_name),)
+
+
+_ident_psum_ct.defvjp(_ident_psum_ct_fwd, _ident_psum_ct_bwd)
+
+
+# --------------------------------------------------------------------------
 # Stage 1: simple (factored) joint loss
 # --------------------------------------------------------------------------
 
@@ -93,46 +137,79 @@ def simple_lattice_scores(
     lm: jax.Array,
     labels: jax.Array,
     blank_idx: int,
+    vocab_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-cell (lp_blank, lp_label) [B, T, U+1] of the factored joint.
 
     am: [B, T, K]; lm: [B, U+1, K]; labels: [B, U] int32. The normaliser
-    is one batched GEMM (see module docstring)."""
+    is one batched GEMM (see module docstring).
+
+    Under ``vocab_axis`` (inside shard_map) am/lm are the LOCAL vocab
+    shard [.., K/n] and blank_idx/labels are GLOBAL ids: the normaliser
+    GEMM runs shard-local and one psum merges (sumexp, label, blank)
+    contributions — the same wire pattern as vocab_parallel.vp_joint_lse."""
     am = am.astype(jnp.float32)
     lm = lm.astype(jnp.float32)
-    B, T, K = am.shape
+    B, T, Kl = am.shape
     U1 = lm.shape[1]
 
-    amax = jnp.max(am, axis=-1)  # [B, T]
-    lmax = jnp.max(lm, axis=-1)  # [B, U1]
+    # max-subtraction offsets: stability only — stop_gradient'd so autodiff
+    # takes the plain-softmax path (the offsets cancel analytically)
+    # (stop_gradient BEFORE pmax: pmax has no differentiation rule)
+    amax = lax.stop_gradient(jnp.max(am, axis=-1))  # [B, T]
+    lmax = lax.stop_gradient(jnp.max(lm, axis=-1))  # [B, U1]
+    if vocab_axis is not None:
+        amax = lax.pmax(amax, vocab_axis)
+        lmax = lax.pmax(lmax, vocab_axis)
     ea = jnp.exp(am - amax[..., None])
     el = jnp.exp(lm - lmax[..., None])
-    norm = (
-        jnp.log(
-            jnp.maximum(
-                jnp.einsum(
-                    "btk,buk->btu", ea, el,
-                    preferred_element_type=jnp.float32,
-                ),
-                1e-30,
-            )
-        )
-        + amax[:, :, None]
-        + lmax[:, None, :]
+    ssum = jnp.einsum(
+        "btk,buk->btu", ea, el, preferred_element_type=jnp.float32
     )
 
     lab_padded = jnp.concatenate(
         [labels.astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1
     )  # [B, U+1]
-    am_y = jnp.take_along_axis(
-        am, jnp.broadcast_to(lab_padded[:, None, :], (B, T, U1)), axis=2
-    )  # am at column u's label: [B, T, U1]
-    lm_y = jnp.take_along_axis(lm, lab_padded[:, :, None], axis=2)[..., 0]
+    if vocab_axis is None:
+        am_y = jnp.take_along_axis(
+            am, jnp.broadcast_to(lab_padded[:, None, :], (B, T, U1)), axis=2
+        )  # am at column u's label: [B, T, U1]
+        lm_y = jnp.take_along_axis(lm, lab_padded[:, :, None], axis=2)[..., 0]
+        am_b = am[..., blank_idx]
+        lm_b = lm[..., blank_idx]
+    else:
+        k_off = lax.axis_index(vocab_axis) * Kl
+        lab_rel = lab_padded - k_off
+        lab_in = (lab_rel >= 0) & (lab_rel < Kl)
+        lab_c = jnp.clip(lab_rel, 0, Kl - 1)
+        am_y = jnp.where(
+            lab_in[:, None, :],
+            jnp.take_along_axis(
+                am, jnp.broadcast_to(lab_c[:, None, :], (B, T, U1)), axis=2
+            ),
+            0.0,
+        )
+        lm_y = jnp.where(
+            lab_in,
+            jnp.take_along_axis(lm, lab_c[:, :, None], axis=2)[..., 0],
+            0.0,
+        )
+        blank_rel = blank_idx - k_off
+        blank_in = (blank_rel >= 0) & (blank_rel < Kl)
+        blank_c = jnp.clip(blank_rel, 0, Kl - 1)
+        am_b = jnp.where(blank_in, am[..., blank_c], 0.0)
+        lm_b = jnp.where(blank_in, lm[..., blank_c], 0.0)
+        ssum, am_y, lm_y, am_b, lm_b = _psum_keep_ct(
+            (ssum, am_y, lm_y, am_b, lm_b), vocab_axis
+        )
 
-    lp_label = am_y + lm_y[:, None, :] - norm
-    lp_blank = (
-        am[..., blank_idx][:, :, None] + lm[..., blank_idx][:, None, :] - norm
+    norm = (
+        jnp.log(jnp.maximum(ssum, 1e-30))
+        + amax[:, :, None]
+        + lmax[:, None, :]
     )
+    lp_label = am_y + lm_y[:, None, :] - norm
+    lp_blank = am_b[:, :, None] + lm_b[:, None, :] - norm
     return lp_blank, lp_label
 
 
@@ -353,10 +430,17 @@ banded_rnnt_lattice.defvjp(_banded_fwd, _banded_bwd)
 
 
 def _simple_stage(f32, g32, simple_params, labels, t_lens, u_lens,
-                  blank_idx: int, mods: LossModifiers):
+                  blank_idx: int, mods: LossModifiers,
+                  vocab_axis: Optional[str] = None):
     """Simple loss + per-cell scores. Wrapped in jax.checkpoint by the
     caller: the [B, T, K] am / exp(am) tensors are transient in both
-    passes (recomputed in backward), never residuals."""
+    passes (recomputed in backward), never residuals. Under vocab_axis
+    the simple heads are the local vocab shard (K/n rows); each shard's
+    f/g cotangent is the partial through its local head rows, so it is
+    psum'd (the dh smear of vocab_parallel._vp_vjp_bwd, here for am/lm)."""
+    if vocab_axis is not None:
+        f32 = _ident_psum_ct(f32, vocab_axis)
+        g32 = _ident_psum_ct(g32, vocab_axis)
     am = (
         jnp.einsum(
             "bth,kh->btk",
@@ -375,7 +459,9 @@ def _simple_stage(f32, g32, simple_params, labels, t_lens, u_lens,
         )
         + simple_params["simple_lm"]["b"]
     )
-    lp_blank_s, lp_label_s = simple_lattice_scores(am, lm, labels, blank_idx)
+    lp_blank_s, lp_label_s = simple_lattice_scores(
+        am, lm, labels, blank_idx, vocab_axis
+    )
     null_s, emit_s = _penalised_scores(lp_blank_s, lp_label_s, labels, t_lens, mods)
     simple_loss = rnnt_lattice(null_s, emit_s, t_lens, u_lens)
     return simple_loss, lax.stop_gradient(null_s), lax.stop_gradient(emit_s)
@@ -402,18 +488,19 @@ def pruned_transducer_loss_from_fg(
 
     ``simple_scale * simple + pruned`` (icefall convention). Stage cost vs
     the dense loss: simple ~= dense/H_joint, pruned ~= dense * S/(U+1).
+
+    Under ``vocab_axis`` (inside shard_map, as make_train_step_tp runs):
+    w_fc/b_fc and the simple heads are the LOCAL vocab shards; blank_idx
+    and labels are global; the banded stage routes through the
+    vocab-parallel fused joint (parallel/vocab_parallel.py).
     """
-    if vocab_axis is not None:
-        raise NotImplementedError(
-            "pruned loss under tensor parallelism is not wired yet; "
-            "use the dense loss with --model_parallel"
-        )
     B, T, H = f.shape
     U1 = g.shape[1]
     S = min(prune_range, U1)
 
     simple_loss, null_s, emit_s = jax.checkpoint(
-        partial(_simple_stage, blank_idx=blank_idx, mods=mods)
+        partial(_simple_stage, blank_idx=blank_idx, mods=mods,
+                vocab_axis=vocab_axis)
     )(f, g, simple_params, labels, t_lens, u_lens)
 
     # pruning bounds from the simple posteriors (integer; no grads)
@@ -450,10 +537,10 @@ def pruned_transducer_loss_from_fg(
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    if H % 128 == 0:
+    if vocab_axis is not None or H % 128 == 0:
         lp_b_flat, lp_l_flat = _joint_lse(
             h, w_fc.T, b_fc, lab_band.reshape(-1), blank_idx,
-            not on_tpu, None,
+            not on_tpu, vocab_axis,
         )
     else:
         logits = (

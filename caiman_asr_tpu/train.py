@@ -249,11 +249,6 @@ def main(args=None):
     if mp > 1:
         if rsp_on:
             raise SystemExit("--model_parallel does not support RSP (DP-only)")
-        if pruned_range > 0:
-            raise SystemExit(
-                "--pruned_loss_range is not supported with --model_parallel "
-                "yet (the dense loss already shards over the vocab axis)"
-            )
         from caiman_asr_tpu.training.step import make_train_step_tp
 
         train_step = make_train_step_tp(
@@ -268,6 +263,8 @@ def main(args=None):
             grad_noise=cfg.grad_noise.noise_level > 0,
             compute_dtype=None if args.no_amp else jnp.bfloat16,
             collect_layer_stats=getattr(args, "log_layer_stats", False),
+            pruned_range=pruned_range,
+            simple_loss_scale=getattr(args, "simple_loss_scale", 0.5),
         )
     else:
         train_step = make_train_step(

@@ -485,11 +485,16 @@ def make_train_step(
 def joint_fc_pspecs(params, model_axis: str = "model"):
     """PartitionSpec pytree for the params: replicated everywhere except
     joint_fc.w [K, Hj] / joint_fc.b [K] sharded on the vocab dim over
-    ``model_axis`` (the layout vocab_parallel.vp_joint_lse consumes)."""
+    ``model_axis`` (the layout vocab_parallel.vp_joint_lse consumes).
+    The pruned-loss simple heads (same [K, Hj] shape) shard identically."""
     from jax.sharding import PartitionSpec as P
 
     specs = jax.tree.map(lambda _: P(), params)
-    specs["joint_fc"] = {"w": P(model_axis, None), "b": P(model_axis)}
+    vocab = {"w": P(model_axis, None), "b": P(model_axis)}
+    specs["joint_fc"] = dict(vocab)
+    for k in ("simple_am", "simple_lm"):
+        if k in params:
+            specs[k] = dict(vocab)
     return specs
 
 
@@ -509,6 +514,8 @@ def make_train_step_tp(
     data_axis: str = "data",
     model_axis: str = "model",
     collect_layer_stats: bool = False,
+    pruned_range: int = 0,
+    simple_loss_scale: float = 0.5,
 ):
     """Tensor-parallel train step over a 2-D (data x model) mesh.
 
@@ -551,6 +558,7 @@ def make_train_step_tp(
                 _micro_loss, model, mods=mods, denom=denom,
                 blank_idx=blank_idx, compute_dtype=compute_dtype,
                 collect_bn=False, pack_to=pack_to, vocab_axis=model_axis,
+                pruned_range=pruned_range, simple_scale=simple_loss_scale,
             )
         )
         if A == 1:  # static: skip the scan's fp32 grad-tree zero+add traffic
