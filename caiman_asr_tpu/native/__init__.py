@@ -75,39 +75,46 @@ def _ensure_built() -> ctypes.CDLL:
     ]
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
+    vp = ctypes.c_void_p
+    lib.ser_init.restype = vp
     lib.ser_init.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
                              ctypes.c_double, ctypes.c_int]
-    lib.ser_set_piece.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
-    lib.ser_reset_lane.argtypes = [ctypes.c_int]
+    lib.ser_free.argtypes = [vp]
+    lib.ser_set_piece.argtypes = [vp, ctypes.c_int, ctypes.c_char_p,
+                                  ctypes.c_int]
+    lib.ser_reset_lane.argtypes = [vp, ctypes.c_int]
     lib.ser_greedy_tick.restype = ctypes.c_long
-    lib.ser_greedy_tick.argtypes = [i32p, ctypes.c_long, ctypes.c_int, u8p,
-                                    ctypes.c_int, ctypes.c_char_p,
+    lib.ser_greedy_tick.argtypes = [vp, i32p, ctypes.c_long, ctypes.c_int,
+                                    u8p, ctypes.c_int, ctypes.c_char_p,
                                     ctypes.c_long, i32p, ctypes.c_long,
                                     ctypes.POINTER(ctypes.c_long)]
     lib.ser_beam_tick.restype = ctypes.c_long
-    lib.ser_beam_tick.argtypes = [i32p, ctypes.c_long, u8p, ctypes.c_int,
+    lib.ser_beam_tick.argtypes = [vp, i32p, ctypes.c_long, u8p, ctypes.c_int,
                                   ctypes.c_char_p, ctypes.c_long,
                                   ctypes.POINTER(ctypes.c_int64), i32p,
                                   ctypes.c_long,
                                   ctypes.POINTER(ctypes.c_long)]
     lib.ser_lane_committed.restype = ctypes.c_int64
-    lib.ser_lane_committed.argtypes = [ctypes.c_int]
+    lib.ser_lane_committed.argtypes = [vp, ctypes.c_int]
     lib.ser_lane_frame_idx.restype = ctypes.c_int64
-    lib.ser_lane_frame_idx.argtypes = [ctypes.c_int]
+    lib.ser_lane_frame_idx.argtypes = [vp, ctypes.c_int]
     i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.stg_init.restype = vp
     lib.stg_init.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
-    lib.stg_reset_lane.argtypes = [ctypes.c_int]
-    lib.stg_push.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
-    lib.stg_push_i16.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
-    lib.stg_push_rows_i16.argtypes = [ctypes.c_void_p, ctypes.c_long,
+    lib.stg_free.argtypes = [vp]
+    lib.stg_reset_lane.argtypes = [vp, ctypes.c_int]
+    lib.stg_push.argtypes = [vp, ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
+    lib.stg_push_i16.argtypes = [vp, ctypes.c_int, ctypes.c_void_p,
+                                 ctypes.c_long]
+    lib.stg_push_rows_i16.argtypes = [vp, ctypes.c_void_p, ctypes.c_long,
                                       ctypes.c_void_p, ctypes.c_int,
                                       ctypes.c_long]
-    lib.stg_push_rows_f32.argtypes = [ctypes.c_void_p, ctypes.c_long,
+    lib.stg_push_rows_f32.argtypes = [vp, ctypes.c_void_p, ctypes.c_long,
                                       ctypes.c_void_p, ctypes.c_int,
                                       ctypes.c_long]
     lib.stg_buffered.restype = ctypes.c_long
-    lib.stg_buffered.argtypes = [ctypes.c_int]
-    lib.stg_tick.argtypes = [i16p, ctypes.c_long, u8p, u8p, ctypes.c_int,
+    lib.stg_buffered.argtypes = [vp, ctypes.c_int]
+    lib.stg_tick.argtypes = [vp, i16p, ctypes.c_long, u8p, u8p, ctypes.c_int,
                              u8p, u8p]
     _lib = lib
     return lib
@@ -159,67 +166,37 @@ def levenshtein(a, b) -> int:
     )
 
 
-# The serializer/staging C state is process-global ("last constructed
-# wins"). Constructing a second live instance would silently corrupt the
-# first engine's lane buffers, so registration raises instead; a released
-# (close()d or garbage-collected) instance frees its slot.
-_live_owner: dict = {}
-
-
-def _claim_global_state(kind: str, owner) -> None:
-    import weakref
-
-    ref = _live_owner.get(kind)
-    if ref is not None and ref() is not None:
-        # An engine's jitted tick holds a self-reference cycle, so a dropped
-        # engine may linger until the cycle collector runs; give it one shot
-        # before declaring a genuine conflict.
-        import gc
-
-        gc.collect()
-        ref = _live_owner.get(kind)
-    if ref is not None and ref() is not None:
-        raise RuntimeError(
-            f"a live native {kind} instance already exists in this process; "
-            "the underlying C state is global (one engine per process). "
-            "close() the first engine, or construct the new one with "
-            "native_serializer=False to use the Python path."
-        )
-    _live_owner[kind] = weakref.ref(owner)
-
-
-def _release_global_state(kind: str, owner) -> None:
-    ref = _live_owner.get(kind)
-    if ref is not None and ref() is owner:
-        _live_owner[kind] = None
-
-
 class ResponseSerializer:
     """Native streaming-response serializer (see src/serialize.cpp).
 
     Owns the per-lane beam commit state (committed horizon, token history,
     frame index) and emits wire-ready JSON response strings from the
-    engine's packed per-tick outputs. One instance per StreamingEngine
-    (the underlying C state is global: last constructed wins — matching
-    the one-engine-per-process serving design).
+    engine's packed per-tick outputs. Instance-handle based: any number of
+    serializers coexist in one process (one per engine; the multi-chip
+    server constructs one per device). The C state is freed on close() or
+    garbage collection, whichever comes first.
     """
 
     def __init__(self, max_lanes: int, beam_width: int, beam_win: int,
                  frame_seconds: float, pieces):
+        import weakref
+
         self._lib = _ensure_built()
-        _claim_global_state("serializer", self)
-        rc = self._lib.ser_init(max_lanes, beam_width, beam_win,
-                                float(frame_seconds), len(pieces))
-        if rc != 0:
-            _release_global_state("serializer", self)
+        self._h = self._lib.ser_init(max_lanes, beam_width, beam_win,
+                                     float(frame_seconds), len(pieces))
+        if not self._h:
             raise ValueError(
                 f"ser_init rejected (max_lanes={max_lanes}, beam_width="
                 f"{beam_width}, beam_win={beam_win}, n_pieces={len(pieces)}):"
                 " beam_width must be in [1, 64] and all sizes positive"
             )
+        # finalizer owns the free; close() just runs it early (idempotent)
+        self._finalize = weakref.finalize(
+            self, self._lib.ser_free, self._h
+        )
         for i, p in enumerate(pieces):
             b = p.encode("utf-8") if isinstance(p, str) else bytes(p)
-            self._lib.ser_set_piece(i, b, len(b))
+            self._lib.ser_set_piece(self._h, i, b, len(b))
         self._buf = ctypes.create_string_buffer(4 << 20)
         self._dev_len = np.zeros(max_lanes, np.int64)
         # (lane, payload_off, payload_len) per record, filled by C; a lane
@@ -229,18 +206,18 @@ class ResponseSerializer:
         self._nrec = ctypes.c_long(0)
 
     def close(self):
-        """Release the process-global serializer slot so a new engine can
-        construct its own ResponseSerializer."""
-        _release_global_state("serializer", self)
+        """Free the native serializer state (idempotent)."""
+        self._finalize()
+        self._h = None
 
     def reset_lane(self, lane: int):
-        self._lib.ser_reset_lane(lane)
+        self._lib.ser_reset_lane(self._h, lane)
 
     def committed(self, lane: int) -> int:
-        return int(self._lib.ser_lane_committed(lane))
+        return int(self._lib.ser_lane_committed(self._h, lane))
 
     def frame_idx(self, lane: int) -> int:
-        return int(self._lib.ser_lane_frame_idx(lane))
+        return int(self._lib.ser_lane_frame_idx(self._h, lane))
 
     @staticmethod
     def _to_dict(raw: bytes, idx: np.ndarray):
@@ -257,11 +234,14 @@ class ResponseSerializer:
         -> (raw bytes, idx int32 [n, 3] of (lane, payload_off, payload_len)).
         The raw/idx form skips the per-record Python header walk — slice
         ``raw[off:off+len]`` to get each JSON payload."""
+        if self._h is None:
+            raise ValueError("ResponseSerializer used after close()")
         packed = np.ascontiguousarray(packed, np.int32)
         advu = np.ascontiguousarray(adv, np.uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         while True:
             n = self._lib.ser_greedy_tick(
+                self._h,
                 packed.ctypes.data_as(i32p),
                 packed.shape[1], packed.shape[1] - 1,
                 advu.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -283,11 +263,14 @@ class ResponseSerializer:
     def beam_tick_raw(self, packed: np.ndarray, adv: np.ndarray):
         """packed: int32 [B, W*win+W+2+W]; adv: bool [B].
         -> (raw bytes, idx int32 [n, 3], dev_len int64 [B])."""
+        if self._h is None:
+            raise ValueError("ResponseSerializer used after close()")
         packed = np.ascontiguousarray(packed, np.int32)
         advu = np.ascontiguousarray(adv, np.uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         while True:
             n = self._lib.ser_beam_tick(
+                self._h,
                 packed.ctypes.data_as(i32p),
                 packed.shape[1],
                 advu.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -315,26 +298,31 @@ class AudioStaging:
     audio per ready lane into the [B, carry+hop] staging matrix and returns
     the advanced/finishing masks. Buffers hold int16 PCM (the WebSocket
     wire format) — float pushes are converted at the boundary; the
-    int16->[-1,1] scale happens on device inside the jitted tick. Same
-    global-state caveat as ResponseSerializer: one instance per process
-    (last constructed wins).
+    int16->[-1,1] scale happens on device inside the jitted tick.
+    Instance-handle based like ResponseSerializer: one per engine, any
+    number per process.
     """
 
     def __init__(self, max_lanes: int, carry_len: int, hop: int):
+        import weakref
+
         self._lib = _ensure_built()
-        _claim_global_state("staging", self)
-        self._lib.stg_init(max_lanes, carry_len, hop)
+        self._h = self._lib.stg_init(max_lanes, carry_len, hop)
+        if not self._h:
+            raise ValueError("stg_init failed")
+        self._finalize = weakref.finalize(self, self._lib.stg_free, self._h)
         self._i16p = ctypes.POINTER(ctypes.c_int16)
         self._u8p = ctypes.POINTER(ctypes.c_uint8)
         self._adv = np.zeros(max_lanes, np.uint8)
         self._fin = np.zeros(max_lanes, np.uint8)
 
     def close(self):
-        """Release the process-global staging slot (see ResponseSerializer)."""
-        _release_global_state("staging", self)
+        """Free the native staging state (idempotent)."""
+        self._finalize()
+        self._h = None
 
     def reset_lane(self, lane: int):
-        self._lib.stg_reset_lane(lane)
+        self._lib.stg_reset_lane(self._h, lane)
 
     def push(self, lane: int, samples: np.ndarray):
         x = samples
@@ -343,12 +331,12 @@ class AudioStaging:
         if isinstance(x, np.ndarray) and x.dtype == np.int16:
             if not x.flags.c_contiguous:
                 x = np.ascontiguousarray(x)
-            self._lib.stg_push_i16(lane, x.ctypes.data, x.size)
+            self._lib.stg_push_i16(self._h, lane, x.ctypes.data, x.size)
             return
         if not (isinstance(x, np.ndarray) and x.dtype == np.float32
                 and x.flags.c_contiguous):
             x = np.ascontiguousarray(x, np.float32)
-        self._lib.stg_push(lane, x.ctypes.data, x.size)
+        self._lib.stg_push(self._h, lane, x.ctypes.data, x.size)
 
     def push_rows(self, block: np.ndarray, lanes=None):
         """Push row i of ``block`` ([m, n] int16 or float32) to lane
@@ -361,25 +349,25 @@ class AudioStaging:
         if block.dtype == np.int16:
             block = np.ascontiguousarray(block)
             self._lib.stg_push_rows_i16(
-                block.ctypes.data, block.shape[1], lanes_ptr,
+                self._h, block.ctypes.data, block.shape[1], lanes_ptr,
                 block.shape[0], block.shape[1],
             )
         else:
             block = np.ascontiguousarray(block, np.float32)
             self._lib.stg_push_rows_f32(
-                block.ctypes.data, block.shape[1], lanes_ptr,
+                self._h, block.ctypes.data, block.shape[1], lanes_ptr,
                 block.shape[0], block.shape[1],
             )
 
     def buffered(self, lane: int) -> int:
-        return int(self._lib.stg_buffered(lane))
+        return int(self._lib.stg_buffered(self._h, lane))
 
     def tick(self, staging: np.ndarray, active: np.ndarray,
              closed: np.ndarray):
         """staging: int16 [B, carry+hop] (filled in place);
         active/closed: uint8 [B]. Returns (adv bool [B], finishing bool [B])."""
         self._lib.stg_tick(
-            staging.ctypes.data_as(self._i16p), staging.shape[1],
+            self._h, staging.ctypes.data_as(self._i16p), staging.shape[1],
             np.ascontiguousarray(active, np.uint8).ctypes.data_as(self._u8p),
             np.ascontiguousarray(closed, np.uint8).ctypes.data_as(self._u8p),
             staging.shape[0],

@@ -37,8 +37,6 @@ struct SerState {
   std::vector<std::string> pieces;  // JSON-escaped, with U+2581 -> ' '
 };
 
-SerState g;
-
 void json_escape_into(std::string& dst, const char* s, int len) {
   for (int i = 0; i < len; i++) {
     unsigned char c = s[i];
@@ -74,8 +72,8 @@ void fmt_time(std::string& dst, double t) {
 }
 
 // one response JSON into dst
-void emit_json(std::string& dst, const Lane& ln, const int32_t* toks, int n,
-               bool provisional) {
+void emit_json(const SerState& g, std::string& dst, const Lane& ln,
+               const int32_t* toks, int n, bool provisional) {
   dst += "{\"start\": ";
   double t = (double)ln.frame_idx * g.frame_seconds;
   fmt_time(dst, t);
@@ -122,22 +120,30 @@ extern "C" {
 // so an unbounded --beam_width CLI value cannot overrun it.
 constexpr int kMaxW = 64;
 
-int ser_init(int max_lanes, int beam_width, int beam_win,
-             double frame_seconds, int n_pieces) {
+// Instance-handle API: ser_init allocates a SerState and returns an opaque
+// handle (nullptr on invalid args); every call takes the handle, so any
+// number of independent serializers coexist in one process (one per
+// engine / per chip — the multi-chip server constructs one per device).
+void* ser_init(int max_lanes, int beam_width, int beam_win,
+               double frame_seconds, int n_pieces) {
   if (max_lanes <= 0 || beam_width <= 0 || beam_width > kMaxW ||
       beam_win <= 0 || n_pieces <= 0)
-    return -1;
-  g.W = beam_width;
-  g.win = beam_win;
-  g.frame_seconds = frame_seconds;
-  g.lanes.assign(max_lanes, Lane{});
-  g.pieces.assign(n_pieces, std::string());
-  return 0;
+    return nullptr;
+  SerState* g = new SerState();
+  g->W = beam_width;
+  g->win = beam_win;
+  g->frame_seconds = frame_seconds;
+  g->lanes.assign(max_lanes, Lane{});
+  g->pieces.assign(n_pieces, std::string());
+  return g;
 }
+
+void ser_free(void* h) { delete static_cast<SerState*>(h); }
 
 // piece bytes for token id (raw sentencepiece piece; U+2581 prefix/infix
 // becomes a space, and the stored form is pre-JSON-escaped)
-void ser_set_piece(int id, const char* bytes, int len) {
+void ser_set_piece(void* h, int id, const char* bytes, int len) {
+  SerState& g = *static_cast<SerState*>(h);
   if (id < 0 || id >= (int)g.pieces.size()) return;
   std::string raw;
   for (int i = 0; i < len;) {
@@ -155,13 +161,15 @@ void ser_set_piece(int id, const char* bytes, int len) {
   g.pieces[id] = esc;
 }
 
-void ser_reset_lane(int lane) {
+void ser_reset_lane(void* h, int lane) {
+  SerState& g = *static_cast<SerState*>(h);
   if (lane >= 0 && lane < (int)g.lanes.size()) g.lanes[lane] = Lane{};
 }
 
-long ser_greedy_tick(const int32_t* packed, long row_stride, int cap,
+long ser_greedy_tick(void* h, const int32_t* packed, long row_stride, int cap,
                      const uint8_t* adv, int B, char* out, long out_cap,
                      int32_t* idx, long idx_cap, long* nrec_out) {
+  SerState& g = *static_cast<SerState*>(h);
   long off = 0, nrec = 0;
   std::string payload;
   for (int b = 0; b < B; b++) {
@@ -171,7 +179,7 @@ long ser_greedy_tick(const int32_t* packed, long row_stride, int cap,
     int n = row[cap];
     if (n > 0) {
       payload.clear();
-      emit_json(payload, ln, row, n, /*provisional=*/false);
+      emit_json(g, payload, ln, row, n, /*provisional=*/false);
       if (!put_record(out, out_cap, off, b, payload, idx, idx_cap, nrec))
         return -1;
     }
@@ -181,10 +189,11 @@ long ser_greedy_tick(const int32_t* packed, long row_stride, int cap,
   return off;
 }
 
-long ser_beam_tick(const int32_t* packed, long row_stride,
+long ser_beam_tick(void* h, const int32_t* packed, long row_stride,
                    const uint8_t* adv, int B, char* out, long out_cap,
                    int64_t* dev_len_out, int32_t* idx, long idx_cap,
                    long* nrec_out) {
+  SerState& g = *static_cast<SerState*>(h);
   const int W = g.W, win = g.win;
   long off = 0, nrec = 0;
   std::string payload;
@@ -242,7 +251,7 @@ long ser_beam_tick(const int32_t* packed, long row_stride,
 
     if (ln.committed < base) {  // agreement slid out of the window
       payload.clear();
-      emit_json(payload, ln, ln.hist.data() + ln.committed,
+      emit_json(g, payload, ln, ln.hist.data() + ln.committed,
                 (int)(base - ln.committed), false);
       if (!put_record(out, out_cap, off, b, payload, idx, idx_cap, nrec))
         return -1;
@@ -266,7 +275,7 @@ long ser_beam_tick(const int32_t* packed, long row_stride,
     }
     if (p > ln.committed) {
       payload.clear();
-      emit_json(payload, ln, bt + (ln.committed - base),
+      emit_json(g, payload, ln, bt + (ln.committed - base),
                 (int)(p - ln.committed), false);
       if (!put_record(out, out_cap, off, b, payload, idx, idx_cap, nrec))
         return -1;
@@ -274,7 +283,7 @@ long ser_beam_tick(const int32_t* packed, long row_stride,
     }
     if (blen > p) {
       payload.clear();
-      emit_json(payload, ln, bt + (p - base), (int)(blen - p), true);
+      emit_json(g, payload, ln, bt + (p - base), (int)(blen - p), true);
       if (!put_record(out, out_cap, off, b, payload, idx, idx_cap, nrec))
         return -1;
     }
@@ -284,12 +293,14 @@ long ser_beam_tick(const int32_t* packed, long row_stride,
   return off;
 }
 
-int64_t ser_lane_committed(int lane) {
+int64_t ser_lane_committed(void* h, int lane) {
+  SerState& g = *static_cast<SerState*>(h);
   if (lane < 0 || lane >= (int)g.lanes.size()) return -1;
   return g.lanes[lane].committed;
 }
 
-int64_t ser_lane_frame_idx(int lane) {
+int64_t ser_lane_frame_idx(void* h, int lane) {
+  SerState& g = *static_cast<SerState*>(h);
   if (lane < 0 || lane >= (int)g.lanes.size()) return -1;
   return g.lanes[lane].frame_idx;
 }

@@ -42,8 +42,6 @@ struct StgState {
   std::vector<AudioLane> lanes;
 };
 
-StgState g;
-
 inline int16_t f2i16(float v) {
   float s = lrintf(v * 32768.0f);
   if (s > 32767.0f) s = 32767.0f;
@@ -55,15 +53,21 @@ inline int16_t f2i16(float v) {
 
 extern "C" {
 
-int stg_init(int max_lanes, int carry_len, int hop) {
-  g.carry_len = carry_len;
-  g.hop = hop;
-  g.lanes.assign(max_lanes, AudioLane{});
-  for (auto& l : g.lanes) l.carry.assign(carry_len, 0);
-  return 0;
+// Instance-handle API (see serialize.cpp): any number of independent
+// staging instances coexist in one process (one per engine / per chip).
+void* stg_init(int max_lanes, int carry_len, int hop) {
+  StgState* g = new StgState();
+  g->carry_len = carry_len;
+  g->hop = hop;
+  g->lanes.assign(max_lanes, AudioLane{});
+  for (auto& l : g->lanes) l.carry.assign(carry_len, 0);
+  return g;
 }
 
-void stg_reset_lane(int lane) {
+void stg_free(void* h) { delete static_cast<StgState*>(h); }
+
+void stg_reset_lane(void* h, int lane) {
+  StgState& g = *static_cast<StgState*>(h);
   if (lane < 0 || lane >= (int)g.lanes.size()) return;
   AudioLane& l = g.lanes[lane];
   l.buf.clear();
@@ -71,7 +75,8 @@ void stg_reset_lane(int lane) {
   l.carry.assign(g.carry_len, 0);
 }
 
-void stg_push(int lane, const float* x, long n) {
+void stg_push(void* h, int lane, const float* x, long n) {
+  StgState& g = *static_cast<StgState*>(h);
   if (lane < 0 || lane >= (int)g.lanes.size()) return;
   AudioLane& l = g.lanes[lane];
   size_t base = l.buf.size();
@@ -79,7 +84,8 @@ void stg_push(int lane, const float* x, long n) {
   for (long i = 0; i < n; i++) l.buf[base + i] = f2i16(x[i]);
 }
 
-void stg_push_i16(int lane, const int16_t* x, long n) {
+void stg_push_i16(void* h, int lane, const int16_t* x, long n) {
+  StgState& g = *static_cast<StgState*>(h);
   if (lane < 0 || lane >= (int)g.lanes.size()) return;
   AudioLane& l = g.lanes[lane];
   l.buf.insert(l.buf.end(), x, x + n);
@@ -89,23 +95,24 @@ void stg_push_i16(int lane, const int16_t* x, long n) {
 // lanes[i] (or lane i when lanes == nullptr). One call replaces m
 // Python-level push_audio calls — the per-tick client loop at B=4k lanes
 // costs ~30 ms in Python calls alone.
-void stg_push_rows_i16(const int16_t* x, long row_stride, const int32_t* lanes,
-                       int m, long n) {
+void stg_push_rows_i16(void* h, const int16_t* x, long row_stride,
+                       const int32_t* lanes, int m, long n) {
   for (int i = 0; i < m; i++) {
     int lane = lanes ? lanes[i] : i;
-    stg_push_i16(lane, x + (long)i * row_stride, n);
+    stg_push_i16(h, lane, x + (long)i * row_stride, n);
   }
 }
 
-void stg_push_rows_f32(const float* x, long row_stride, const int32_t* lanes,
-                       int m, long n) {
+void stg_push_rows_f32(void* h, const float* x, long row_stride,
+                       const int32_t* lanes, int m, long n) {
   for (int i = 0; i < m; i++) {
     int lane = lanes ? lanes[i] : i;
-    stg_push(lane, x + (long)i * row_stride, n);
+    stg_push(h, lane, x + (long)i * row_stride, n);
   }
 }
 
-long stg_buffered(int lane) {
+long stg_buffered(void* h, int lane) {
+  StgState& g = *static_cast<StgState*>(h);
   if (lane < 0 || lane >= (int)g.lanes.size()) return -1;
   return (long)g.lanes[lane].len();
 }
@@ -114,9 +121,10 @@ long stg_buffered(int lane) {
 // new carry = last carry_len entries of the row. active/closed: uint8[B].
 // adv_out[b]=1 where the lane advanced; finishing_out[b]=1 where the lane
 // is closed and fully drained (emit EOS).
-void stg_tick(int16_t* staging, long row_stride, const uint8_t* active,
-              const uint8_t* closed, int B, uint8_t* adv_out,
-              uint8_t* finishing_out) {
+void stg_tick(void* h, int16_t* staging, long row_stride,
+              const uint8_t* active, const uint8_t* closed, int B,
+              uint8_t* adv_out, uint8_t* finishing_out) {
+  StgState& g = *static_cast<StgState*>(h);
   const int C = g.carry_len, H = g.hop;
   for (int b = 0; b < B; b++) {
     adv_out[b] = 0;

@@ -91,7 +91,7 @@ def _upload_loop(q, eng_ref):
             if eng._bench_reuse_upload and eng._upload_cache is not None:
                 samples_dev = eng._upload_cache
             else:
-                samples_dev = jnp.asarray(slot)
+                samples_dev = eng._dput(slot)
                 if eng._bench_reuse_upload:
                     eng._upload_cache = samples_dev
         except Exception as e:  # pragma: no cover - transport failure
@@ -105,7 +105,7 @@ def _upload_loop(q, eng_ref):
                         eng._jit_tick(
                             eng.params, samples_dev, eng._carry,
                             eng.enc_state, eng.dec_state, eng._init_dec,
-                            jnp.asarray(meta),
+                            eng._dput(meta),
                         )
                     )
                 try:
@@ -174,6 +174,7 @@ class StreamingEngine:
         ngram_lm=None,
         ngram_alpha: float = 0.0,
         beam_merge: bool = True,
+        device=None,
     ):
         """pipeline_depth: number of in-flight ticks before results are
         consumed on the host. 0 = synchronous (each tick() returns its own
@@ -182,9 +183,17 @@ class StreamingEngine:
         i-N's results — the copy then overlaps N ticks of device work plus
         the real-time idle gap, hiding transfer latency entirely on
         co-located hosts and most of the RTT on tunnelled ones, at the cost
-        of N chunks (N*60 ms) of added response latency."""
+        of N chunks (N*60 ms) of added response latency.
+
+        device: pin this engine to one jax.Device (params, streaming state
+        and all per-tick transfers committed there, so the jitted tick runs
+        on that chip). None = default placement. One engine per chip is the
+        scale-out unit (serving/multi_chip.MultiChipEngine)."""
         self.model = model
-        self.params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        self._device = device
+        self.params = self._dput(
+            jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        )
         self.blank_idx = blank_idx
         self.tokenizer = tokenizer
         self.B = max_streams
@@ -201,17 +210,17 @@ class StreamingEngine:
 
         cos_b, sin_b = dft_bases(logmel.n_fft, win)
         w = hann_window(win)[:, None]
-        self._cos = jnp.asarray(cos_b * w, dtype)
-        self._sin = jnp.asarray(sin_b * w, dtype)
-        self._fb = jnp.asarray(
+        self._cos = self._dput(jnp.asarray(cos_b * w, dtype))
+        self._sin = self._dput(jnp.asarray(sin_b * w, dtype))
+        self._fb = self._dput(jnp.asarray(
             mel_filterbank(logmel.sample_rate, logmel.n_fft, logmel.n_mels), dtype
-        )
+        ))
         if mel_stats is not None:
-            self._mean = jnp.asarray(mel_stats[0], dtype)
-            self._std = jnp.asarray(mel_stats[1], dtype)
+            self._mean = self._dput(jnp.asarray(mel_stats[0], dtype))
+            self._std = self._dput(jnp.asarray(mel_stats[1], dtype))
         else:
-            self._mean = jnp.zeros((logmel.n_mels,), dtype)
-            self._std = jnp.ones((logmel.n_mels,), dtype)
+            self._mean = self._dput(jnp.zeros((logmel.n_mels,), dtype))
+            self._std = self._dput(jnp.ones((logmel.n_mels,), dtype))
 
         self.decoder = decoder
         self.beam_width = beam_width
@@ -330,10 +339,12 @@ class StreamingEngine:
             self._fetch_thread.start()
             weakref.finalize(self, self._fetchq.put, None)
 
-        self.enc_state = self._zero_enc_state()
-        self.dec_state = self._zero_dec_state()
-        self._init_dec = jax.tree.map(jnp.copy, self.dec_state)
-        self._carry = jnp.zeros((self.B, self.carry_samples), jnp.int16)
+        self.enc_state = self._dput(self._zero_enc_state())
+        self.dec_state = self._dput(self._zero_dec_state())
+        self._init_dec = self._dput(jax.tree.map(jnp.copy, self.dec_state))
+        self._carry = self._dput(
+            jnp.zeros((self.B, self.carry_samples), jnp.int16)
+        )
         self.streams: Dict[int, StreamState] = {}
         self._free = list(range(self.B))
         # lanes whose device state must be zeroed at the next dispatch (the
@@ -383,10 +394,15 @@ class StreamingEngine:
             self._up_thread.start()
             weakref.finalize(self, self._upq.put, None)
 
+    def _dput(self, x):
+        """Commit an array/pytree to this engine's device (no-op placement
+        when unpinned). Every host->device copy goes through here so a
+        pinned engine's jitted tick always executes on its own chip."""
+        return jax.device_put(x, self._device)
+
     def close(self):
-        """Release process-global native resources (serializer/staging C
-        state) and stop the fetcher thread so another engine can be
-        constructed in this process."""
+        """Release native resources (serializer/staging C state) and stop
+        the fetcher/uploader threads."""
         if self._upq is not None:
             self._upq.put(None)
             self._up_thread.join(timeout=30)
@@ -407,7 +423,7 @@ class StreamingEngine:
     def warmup(self):
         """Force-compile the tick program before serving traffic (first-tick
         JIT latency would otherwise hit the first streams)."""
-        samples = jnp.zeros((self.B, self.hop_samples), jnp.int16)
+        samples = self._dput(jnp.zeros((self.B, self.hop_samples), jnp.int16))
         # two passes: the second absorbs the weak-type-settling retrace so
         # live traffic never pays a compile
         with self._state_lock:
@@ -417,7 +433,7 @@ class StreamingEngine:
                 out, self._carry, self.enc_state, self.dec_state = (
                     self._jit_tick(
                         self.params, samples, self._carry, self.enc_state,
-                        self.dec_state, self._init_dec, jnp.asarray(meta),
+                        self.dec_state, self._init_dec, self._dput(meta),
                     )
                 )
         _ = np.asarray(out)  # real barrier (block_until_ready is dispatch-only
@@ -767,12 +783,12 @@ class StreamingEngine:
                     packed, self._carry, self.enc_state, self.dec_state = (
                         self._jit_tick(
                             self.params,
-                            jnp.asarray(samples),  # int16; scaled on device
+                            self._dput(samples),  # int16; scaled on device
                             self._carry,
                             self.enc_state,
                             self.dec_state,
                             self._init_dec,
-                            jnp.asarray(meta),
+                            self._dput(meta),
                         )
                     )
                 try:

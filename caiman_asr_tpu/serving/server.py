@@ -211,13 +211,8 @@ def build_engine(args):
                     f"n-gram fusion on: {tables.n_states} states, "
                     f"alpha={alpha}", flush=True,
                 )
-    return StreamingEngine(
-        model,
-        params,
-        blank_idx,
-        tokenizer,
+    engine_kw = dict(
         mel_stats=mel_stats,
-        max_streams=args.max_streams,
         decoder=getattr(args, "decoder", "greedy"),
         beam_width=getattr(args, "beam_width", 4),
         logmel=cfg.input_val.logmel,
@@ -226,6 +221,26 @@ def build_engine(args):
         pipeline_depth=getattr(args, "pipeline_depth", 1),
         ngram_lm=tables,
         ngram_alpha=alpha if tables is not None else 0.0,
+    )
+    num_chips = getattr(args, "num_chips", 1) or 1
+    if num_chips > 1:
+        from caiman_asr_tpu.serving.multi_chip import MultiChipEngine
+
+        devices = jax.local_devices()
+        if len(devices) < num_chips:
+            raise SystemExit(
+                f"--num_chips {num_chips} but only {len(devices)} devices "
+                "visible"
+            )
+        return MultiChipEngine(
+            model, params, blank_idx, tokenizer,
+            devices=devices[:num_chips],
+            max_streams_per_chip=args.max_streams,
+            **engine_kw,
+        )
+    return StreamingEngine(
+        model, params, blank_idx, tokenizer,
+        max_streams=args.max_streams, **engine_kw,
     )
 
 
@@ -238,7 +253,12 @@ def main(argv=None):
     p.add_argument("--mel_stats_path", default=None)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8765)
-    p.add_argument("--max_streams", type=int, default=64)
+    p.add_argument("--max_streams", type=int, default=64,
+                   help="lane capacity per chip")
+    p.add_argument("--num_chips", type=int, default=1,
+                   help="serve over the first N local devices: one pinned "
+                        "engine per chip, lanes routed to the least-loaded "
+                        "chip (linear capacity scale-out)")
     p.add_argument("--decoder", default="greedy", choices=["greedy", "beam"])
     p.add_argument("--beam_width", type=int, default=4)
     p.add_argument("--ngram_path", default=None,
@@ -253,8 +273,10 @@ def main(argv=None):
     engine = build_engine(args)
     engine.warmup()
     server = ASRServer(engine)
+    chips = getattr(engine, "n_chips", 1)
     print(f"serving on ws://{args.host}:{args.port}/asr/v0.1/stream "
-          f"({args.max_streams} lanes)", flush=True)
+          f"({engine.B} lanes over {chips} chip{'s' if chips > 1 else ''})",
+          flush=True)
     asyncio.run(server.serve(args.host, args.port))
 
 

@@ -237,14 +237,26 @@ def test_serializer_rejects_wide_beam():
     ser.close()
 
 
-def test_serializer_single_live_instance():
-    """The C state is process-global: a second live serializer raises; a
-    close()d one frees the slot."""
+def test_serializer_instances_are_independent():
+    """Instance-handle C state: two live serializers keep separate per-lane
+    commit state (the multi-chip server runs one per device), and a
+    close()d instance raises on use instead of touching freed memory."""
     from caiman_asr_tpu.native import ResponseSerializer
 
     a = ResponseSerializer(2, 1, 1, 0.06, ["x"])
-    with pytest.raises(RuntimeError):
-        ResponseSerializer(2, 1, 1, 0.06, ["x"])
+    b = ResponseSerializer(2, 1, 1, 0.06, ["y"])
+    # advance a greedy tick on `a` only: frame indices must diverge
+    packed = np.array([[0, 1], [0, 0]], np.int32)  # [cap=1 tok | count]
+    adv = np.array([1, 1], np.uint8)
+    a.greedy_tick(packed, adv)
+    assert a.frame_idx(0) == 1 and b.frame_idx(0) == 0
+    # and b detokenizes with its own piece table
+    recs = b.greedy_tick(packed, adv)
+    assert "y" in recs[0][0]
     a.close()
-    b = ResponseSerializer(2, 1, 1, 0.06, ["x"])
+    a.close()  # idempotent
+    with pytest.raises(ValueError):
+        a.greedy_tick(packed, adv)
+    # b is unaffected by a's close
+    assert b.frame_idx(0) == 1
     b.close()
