@@ -85,11 +85,23 @@ def speed_perturb(
     audio: np.ndarray, rate: float, quality_steps: int = 64
 ) -> np.ndarray:
     """Speed perturbation by resampling (reference: DALI audio_resample with
-    scale in [0.85, 1.15], pipeline.py:388-406)."""
+    scale in [0.85, 1.15], pipeline.py:388-406).
+
+    The rate is snapped to a rational with denominator <= ``quality_steps``
+    before the polyphase resample: resample_poly's filter length scales
+    with max(up, down), so feeding it raw sample counts (~rate * n taps)
+    costs ~100 ms per 12 s utterance, while p/q <= 64/64 costs ~2 ms.
+    A ~1/64-granular rate is indistinguishable for augmentation (the rate
+    is a uniform random draw to begin with)."""
     if rate == 1.0:
         return audio
-    n_out = int(round(len(audio) / rate))
-    scaled = sps.resample_poly(audio, max(1, n_out), max(1, len(audio)))
+    from fractions import Fraction
+
+    fr = Fraction(float(rate)).limit_denominator(quality_steps)
+    if fr.numerator == fr.denominator:
+        return audio
+    # output length ~= n / rate: up = denominator, down = numerator
+    scaled = sps.resample_poly(audio, fr.denominator, fr.numerator)
     return scaled.astype(np.float32)
 
 

@@ -324,3 +324,32 @@ def test_make_webdataset_round_trip(tmp_path):
     samples = list(reader.shuffled(0))
     assert sorted(s[1] for s in samples) == sorted(TEXTS)
     assert all(len(s[0]) >= 3000 for s in samples)
+
+
+def test_speed_perturb_rational_rate():
+    """speed_perturb snaps the rate to a small rational (denominator <=
+    quality_steps) before the polyphase resample: the raw-sample-count
+    factors it replaced built ~rate*n-tap filters costing ~100 ms per 12 s
+    utterance — 100x the whole rest of the host pipeline."""
+    from fractions import Fraction
+
+    from caiman_asr_tpu.data.audio import speed_perturb
+
+    rng = np.random.default_rng(0)
+    t = np.arange(16000, dtype=np.float32) / 16000.0
+    audio = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+
+    for rate in (0.85, 0.923, 1.1, 1.15):
+        out = speed_perturb(audio, rate)
+        fr = Fraction(rate).limit_denominator(64)
+        # resample_poly(n, up=den, down=num) -> ceil(n * den / num) samples
+        want = -(-len(audio) * fr.denominator // fr.numerator)
+        assert len(out) == want, (rate, len(out), want)
+        # a pure tone survives the resample: dominant bin scales by ~rate
+        spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+        f_out = np.argmax(spec) / (len(out) / 16000.0)
+        assert abs(f_out - 440.0 * float(fr)) < 5.0
+
+    # identity cases allocate nothing
+    same = speed_perturb(audio, 1.0)
+    assert same is audio
