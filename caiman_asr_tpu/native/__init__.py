@@ -210,14 +210,22 @@ class ResponseSerializer:
         self._finalize()
         self._h = None
 
+    def _live(self):
+        """Every C call goes through this: a None handle must raise here,
+        not dereference NULL in C (a segfault would take the whole serving
+        process down)."""
+        if self._h is None:
+            raise ValueError("ResponseSerializer used after close()")
+        return self._h
+
     def reset_lane(self, lane: int):
-        self._lib.ser_reset_lane(self._h, lane)
+        self._lib.ser_reset_lane(self._live(), lane)
 
     def committed(self, lane: int) -> int:
-        return int(self._lib.ser_lane_committed(self._h, lane))
+        return int(self._lib.ser_lane_committed(self._live(), lane))
 
     def frame_idx(self, lane: int) -> int:
-        return int(self._lib.ser_lane_frame_idx(self._h, lane))
+        return int(self._lib.ser_lane_frame_idx(self._live(), lane))
 
     @staticmethod
     def _to_dict(raw: bytes, idx: np.ndarray):
@@ -234,14 +242,13 @@ class ResponseSerializer:
         -> (raw bytes, idx int32 [n, 3] of (lane, payload_off, payload_len)).
         The raw/idx form skips the per-record Python header walk — slice
         ``raw[off:off+len]`` to get each JSON payload."""
-        if self._h is None:
-            raise ValueError("ResponseSerializer used after close()")
+        h = self._live()
         packed = np.ascontiguousarray(packed, np.int32)
         advu = np.ascontiguousarray(adv, np.uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         while True:
             n = self._lib.ser_greedy_tick(
-                self._h,
+                h,
                 packed.ctypes.data_as(i32p),
                 packed.shape[1], packed.shape[1] - 1,
                 advu.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -263,14 +270,13 @@ class ResponseSerializer:
     def beam_tick_raw(self, packed: np.ndarray, adv: np.ndarray):
         """packed: int32 [B, W*win+W+2+W]; adv: bool [B].
         -> (raw bytes, idx int32 [n, 3], dev_len int64 [B])."""
-        if self._h is None:
-            raise ValueError("ResponseSerializer used after close()")
+        h = self._live()
         packed = np.ascontiguousarray(packed, np.int32)
         advu = np.ascontiguousarray(adv, np.uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         while True:
             n = self._lib.ser_beam_tick(
-                self._h,
+                h,
                 packed.ctypes.data_as(i32p),
                 packed.shape[1],
                 advu.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -321,8 +327,14 @@ class AudioStaging:
         self._finalize()
         self._h = None
 
+    def _live(self):
+        # see ResponseSerializer._live: never hand C a NULL handle
+        if self._h is None:
+            raise ValueError("AudioStaging used after close()")
+        return self._h
+
     def reset_lane(self, lane: int):
-        self._lib.stg_reset_lane(self._h, lane)
+        self._lib.stg_reset_lane(self._live(), lane)
 
     def push(self, lane: int, samples: np.ndarray):
         x = samples
@@ -331,12 +343,12 @@ class AudioStaging:
         if isinstance(x, np.ndarray) and x.dtype == np.int16:
             if not x.flags.c_contiguous:
                 x = np.ascontiguousarray(x)
-            self._lib.stg_push_i16(self._h, lane, x.ctypes.data, x.size)
+            self._lib.stg_push_i16(self._live(), lane, x.ctypes.data, x.size)
             return
         if not (isinstance(x, np.ndarray) and x.dtype == np.float32
                 and x.flags.c_contiguous):
             x = np.ascontiguousarray(x, np.float32)
-        self._lib.stg_push(self._h, lane, x.ctypes.data, x.size)
+        self._lib.stg_push(self._live(), lane, x.ctypes.data, x.size)
 
     def push_rows(self, block: np.ndarray, lanes=None):
         """Push row i of ``block`` ([m, n] int16 or float32) to lane
@@ -349,25 +361,25 @@ class AudioStaging:
         if block.dtype == np.int16:
             block = np.ascontiguousarray(block)
             self._lib.stg_push_rows_i16(
-                self._h, block.ctypes.data, block.shape[1], lanes_ptr,
+                self._live(), block.ctypes.data, block.shape[1], lanes_ptr,
                 block.shape[0], block.shape[1],
             )
         else:
             block = np.ascontiguousarray(block, np.float32)
             self._lib.stg_push_rows_f32(
-                self._h, block.ctypes.data, block.shape[1], lanes_ptr,
+                self._live(), block.ctypes.data, block.shape[1], lanes_ptr,
                 block.shape[0], block.shape[1],
             )
 
     def buffered(self, lane: int) -> int:
-        return int(self._lib.stg_buffered(self._h, lane))
+        return int(self._lib.stg_buffered(self._live(), lane))
 
     def tick(self, staging: np.ndarray, active: np.ndarray,
              closed: np.ndarray):
         """staging: int16 [B, carry+hop] (filled in place);
         active/closed: uint8 [B]. Returns (adv bool [B], finishing bool [B])."""
         self._lib.stg_tick(
-            self._h, staging.ctypes.data_as(self._i16p), staging.shape[1],
+            self._live(), staging.ctypes.data_as(self._i16p), staging.shape[1],
             np.ascontiguousarray(active, np.uint8).ctypes.data_as(self._u8p),
             np.ascontiguousarray(closed, np.uint8).ctypes.data_as(self._u8p),
             staging.shape[0],

@@ -178,10 +178,10 @@ def simple_lattice_scores(
         am_b = am[..., blank_idx]
         lm_b = lm[..., blank_idx]
     else:
+        from caiman_asr_tpu.parallel.vocab_parallel import shard_relative_ids
+
         k_off = lax.axis_index(vocab_axis) * Kl
-        lab_rel = lab_padded - k_off
-        lab_in = (lab_rel >= 0) & (lab_rel < Kl)
-        lab_c = jnp.clip(lab_rel, 0, Kl - 1)
+        lab_in, lab_c = shard_relative_ids(lab_padded, k_off, Kl)
         am_y = jnp.where(
             lab_in[:, None, :],
             jnp.take_along_axis(
@@ -194,9 +194,7 @@ def simple_lattice_scores(
             jnp.take_along_axis(lm, lab_c[:, :, None], axis=2)[..., 0],
             0.0,
         )
-        blank_rel = blank_idx - k_off
-        blank_in = (blank_rel >= 0) & (blank_rel < Kl)
-        blank_c = jnp.clip(blank_rel, 0, Kl - 1)
+        blank_in, blank_c = shard_relative_ids(blank_idx, k_off, Kl)
         am_b = jnp.where(blank_in, am[..., blank_c], 0.0)
         lm_b = jnp.where(blank_in, lm[..., blank_c], 0.0)
         ssum, am_y, lm_y, am_b, lm_b = _psum_keep_ct(

@@ -40,23 +40,33 @@ from caiman_asr_tpu.ops import pallas_joint as pj
 MODEL_AXIS = "model"
 
 
+def shard_relative_ids(ids, k_off, width):
+    """(in_shard_mask, clipped_relative_ids) for GLOBAL vocab ids against
+    this shard's contiguous column range [k_off, k_off + width).
+
+    The canonical masked shard-local gather idiom: gather with the clipped
+    relative id, then zero/ignore where the mask is False. Shared by the
+    vocab-parallel joint (here) and the pruned loss's sharded simple heads
+    (ops/pruned_loss.simple_lattice_scores) so the offset/masking contract
+    lives in one place."""
+    rel = ids - k_off
+    ok = (rel >= 0) & (rel < width)
+    return ok, jnp.clip(rel, 0, width - 1)
+
+
 def _local_onehot_logits(h, w_local, b_local, labels, blank_idx, k_off):
     """Shard-local contributions of the label/blank logit extractions
     (the O(N*Hj) gathered-column dots of pallas_joint._forward)."""
     Kl = w_local.shape[1]
     b32 = b_local.astype(jnp.float32)
-    lab_rel = labels - k_off
-    lab_in = (lab_rel >= 0) & (lab_rel < Kl)
-    lab_c = jnp.clip(lab_rel, 0, Kl - 1)
+    lab_in, lab_c = shard_relative_ids(labels, k_off, Kl)
     w_lab = w_local.T[lab_c]  # [N, Hj]
     z_lab = (
         jnp.sum(h.astype(jnp.float32) * w_lab.astype(jnp.float32), axis=1)
         + b32[lab_c]
     )
     z_lab = jnp.where(lab_in, z_lab, 0.0)
-    blank_rel = blank_idx - k_off
-    blank_in = (blank_rel >= 0) & (blank_rel < Kl)
-    blank_c = jnp.clip(blank_rel, 0, Kl - 1)
+    blank_in, blank_c = shard_relative_ids(blank_idx, k_off, Kl)
     z_blank = (
         jnp.dot(h, w_local[:, blank_c], preferred_element_type=jnp.float32)
         + b32[blank_c]
@@ -167,11 +177,10 @@ def _vp_vjp_bwd(blank_idx, axis_name, interpret, res, grads):
             hp, w_local, b_local, ks, Kl, dn, csum, tp_a, kt_a, interpret
         )
         smear = s2 if smear is None else smear + s2
-    # local one-hot dh terms (w columns this shard owns)
-    lab_in = (lab_rel >= 0) & (lab_rel < Kl)
-    lab_c = jnp.clip(lab_rel, 0, Kl - 1)
-    blank_in = (blank_rel_t >= 0) & (blank_rel_t < Kl)
-    blank_c = jnp.clip(blank_rel_t, 0, Kl - 1)
+    # local one-hot dh terms (w columns this shard owns); ids here are
+    # ALREADY shard-relative, so offset 0 in the shared helper
+    lab_in, lab_c = shard_relative_ids(lab_rel, 0, Kl)
+    blank_in, blank_c = shard_relative_ids(blank_rel_t, 0, Kl)
     dh_local = (
         smear[:N]
         + jnp.where(blank_in, cb, 0.0)[:, None]

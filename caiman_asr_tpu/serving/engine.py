@@ -329,10 +329,9 @@ class StreamingEngine:
             # The thread must NOT hold a reference to the engine (a bound
             # method would): an engine dropped without close() would stay
             # pinned forever by the blocked queue.get() — params never
-            # freed, and the native _claim_global_state gc fallback could
-            # never reclaim the serializer/staging slots. The loop only
-            # needs the queue; a finalizer posts the shutdown sentinel when
-            # the engine is garbage collected.
+            # freed, and the native serializer/staging finalizers could
+            # never run. The loop only needs the queue; a finalizer posts
+            # the shutdown sentinel when the engine is garbage collected.
             self._fetch_thread = threading.Thread(
                 target=_fetch_loop, args=(self._fetchq,), daemon=True
             )

@@ -35,6 +35,46 @@ import numpy as np
 from caiman_asr_tpu.serving.engine import StreamingEngine
 
 
+class _StreamsView:
+    """Lazy merged view of the per-engine stream dicts under global ids."""
+
+    __slots__ = ("_mc",)
+
+    def __init__(self, mc: "MultiChipEngine"):
+        self._mc = mc
+
+    def __bool__(self):
+        return any(e.streams for e in self._mc.engines)
+
+    def __contains__(self, gid):
+        chip, lane = divmod(int(gid), self._mc.per_chip)
+        if not 0 <= chip < len(self._mc.engines):
+            return False
+        return lane in self._mc.engines[chip].streams
+
+    def __len__(self):
+        return sum(len(e.streams) for e in self._mc.engines)
+
+    def __iter__(self):
+        for i, e in enumerate(self._mc.engines):
+            off = i * self._mc.per_chip
+            for lane in e.streams:
+                yield off + lane
+
+    def __getitem__(self, gid):
+        chip, lane = divmod(int(gid), self._mc.per_chip)
+        return self._mc.engines[chip].streams[lane]
+
+    def items(self):
+        for i, e in enumerate(self._mc.engines):
+            off = i * self._mc.per_chip
+            for lane, st in e.streams.items():
+                yield off + lane, st
+
+    def keys(self):
+        return iter(self)
+
+
 class MultiChipEngine:
     """Drop-in StreamingEngine replacement spanning several devices.
 
@@ -88,14 +128,12 @@ class MultiChipEngine:
         return self.per_chip * len(self.engines)
 
     @property
-    def streams(self) -> Dict[int, object]:
-        """Live streams keyed by GLOBAL id (read-only merge)."""
-        out: Dict[int, object] = {}
-        for i, e in enumerate(self.engines):
-            off = i * self.per_chip
-            for lane, st in e.streams.items():
-                out[off + lane] = st
-        return out
+    def streams(self) -> "_StreamsView":
+        """Live streams keyed by GLOBAL id — a lazy read-only view.
+        Truthiness and ``gid in streams`` delegate to the per-engine dicts
+        without materializing a merge (the server checks both every tick
+        interval); iterate/items() for the full mapping."""
+        return _StreamsView(self)
 
     def _split(self, gid: int):
         chip, lane = divmod(gid, self.per_chip)

@@ -77,18 +77,30 @@ def main():
     )
     pipe = dataclasses.replace(pipe, dataset=ds)
     print(f"host cores: {os.cpu_count()}")
+    # Rotate through distinct utterance windows so no iteration repeats the
+    # previous one's batch. Two caveats this bench accepts, stated plainly:
+    # token results are cached per utterance (steady-state epoch>1 behavior;
+    # first-epoch tokenize costs ~1.2 ms/utt extra, measured separately
+    # below) and file reads hit the OS page cache (as they do in real
+    # training after epoch 1).
     for nw in args.workers:
         ld = AudioDataLoader(utts, _Sampler(args.n, args.B), _Tok(), pipe,
                              num_workers=nw)
-        ld.make_batch(list(range(args.B)))  # warm caches
+        t0 = time.perf_counter()
+        for i in range(args.n):
+            ld._tokens(i)
+        tok_ms = (time.perf_counter() - t0) / args.n * 1e3
+        ld.make_batch(list(range(args.B)))  # warm page cache + jit nothing
         t0 = time.perf_counter()
         tot = 0.0
         for it in range(args.iters):
-            b = ld.make_batch(list(range(args.B)))
+            start = (it * args.B) % max(args.n - args.B, 1)
+            b = ld.make_batch(list(range(start, start + args.B)))
             tot += float(b.audio_lens.sum()) / 16000.0
         dt = time.perf_counter() - t0
         print(f"workers={nw}: {dt / args.iters * 1e3:.1f} ms/batch "
-              f"(B={args.B} x {args.dur:.0f}s, perturb+trim on) "
+              f"(B={args.B} x {args.dur:.0f}s, perturb+trim on, tokens "
+              f"cached; first-epoch tokenize {tok_ms:.2f} ms/utt) "
               f"-> {tot / dt:.0f} audio-s/s")
 
 
