@@ -94,6 +94,7 @@ def _ensure_built() -> ctypes.CDLL:
                                   ctypes.POINTER(ctypes.c_int64), i32p,
                                   ctypes.c_long,
                                   ctypes.POINTER(ctypes.c_long)]
+    lib.ser_set_frame_idx.argtypes = [vp, ctypes.c_int, ctypes.c_int64]
     lib.ser_lane_committed.restype = ctypes.c_int64
     lib.ser_lane_committed.argtypes = [vp, ctypes.c_int]
     lib.ser_lane_frame_idx.restype = ctypes.c_int64
@@ -226,6 +227,9 @@ class ResponseSerializer:
 
     def frame_idx(self, lane: int) -> int:
         return int(self._lib.ser_lane_frame_idx(self._live(), lane))
+
+    def set_frame_idx(self, lane: int, v: int):
+        self._lib.ser_set_frame_idx(self._live(), lane, int(v))
 
     @staticmethod
     def _to_dict(raw: bytes, idx: np.ndarray):

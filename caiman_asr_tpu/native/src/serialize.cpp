@@ -293,6 +293,14 @@ long ser_beam_tick(void* h, const int32_t* packed, long row_stride,
   return off;
 }
 
+// Start a lane's response clock at an absolute frame (the serving
+// state-reset router opens shadow lanes mid-stream; their timestamps must
+// be stream-absolute, not lane-relative).
+void ser_set_frame_idx(void* h, int lane, int64_t v) {
+  SerState& g = *static_cast<SerState*>(h);
+  if (lane >= 0 && lane < (int)g.lanes.size()) g.lanes[lane].frame_idx = v;
+}
+
 int64_t ser_lane_committed(void* h, int lane) {
   SerState& g = *static_cast<SerState*>(h);
   if (lane < 0 || lane >= (int)g.lanes.size()) return -1;

@@ -627,6 +627,26 @@ class StreamingEngine:
                 if self._native_stg is not None:
                     self._closed[lane] = 1
 
+    def lane_frames(self, lane: int) -> int:
+        """Decoder frames (60 ms ticks) this lane has consumed so far —
+        the serving state-reset router keys segment handover on it."""
+        with self._lock:
+            if self._native_ser is not None:
+                return self._native_ser.frame_idx(lane)
+            st = self.streams.get(lane)
+            return st.frame_idx if st is not None else 0
+
+    def set_lane_frame_base(self, lane: int, frames: int):
+        """Start the lane's response clock at an absolute frame index, so a
+        mid-stream shadow lane (serving state resets) emits stream-absolute
+        timestamps instead of lane-relative ones."""
+        with self._lock:
+            if self._native_ser is not None:
+                self._native_ser.set_frame_idx(lane, frames)
+            st = self.streams.get(lane)
+            if st is not None:
+                st.frame_idx = frames
+
     def _reset_lane(self, lane: int):
         """Queue a device-state reset for the lane: applied inside the next
         dispatched tick via the meta reset mask (one fused select for any

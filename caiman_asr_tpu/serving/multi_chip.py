@@ -175,6 +175,14 @@ class MultiChipEngine:
         eng, lane = self._split(gid)
         eng.push_audio(lane, samples)
 
+    def lane_frames(self, gid: int) -> int:
+        eng, lane = self._split(gid)
+        return eng.lane_frames(lane)
+
+    def set_lane_frame_base(self, gid: int, frames: int):
+        eng, lane = self._split(gid)
+        eng.set_lane_frame_base(lane, frames)
+
     def push_audio_block(self, block: np.ndarray, lanes=None):
         """Row i of ``block`` goes to global id ``lanes[i]`` (or global lane
         i when None). Rows are regrouped per chip so each engine still gets

@@ -269,9 +269,23 @@ def main(argv=None):
                    help="in-flight ticks before host consumption; each unit "
                         "hides one tick of device->host latency and adds one "
                         "chunk (60 ms) of response latency")
+    p.add_argument("--sr_segment", type=float, default=0.0,
+                   help="serving state resets: refresh model state every N "
+                        "seconds per stream via shadow-lane handover "
+                        "(reference --sr_segment; 0 = off)")
+    p.add_argument("--sr_overlap", type=float, default=3.0,
+                   help="warmup context seconds for each state reset "
+                        "(reference --sr_overlap)")
     args = p.parse_args(argv)
     engine = build_engine(args)
     engine.warmup()
+    if args.sr_segment > 0:
+        from caiman_asr_tpu.serving.state_resets import StateResetRouter
+
+        engine = StateResetRouter(
+            engine, segment_secs=args.sr_segment,
+            overlap_secs=args.sr_overlap,
+        )
     server = ASRServer(engine)
     chips = getattr(engine, "n_chips", 1)
     print(f"serving on ws://{args.host}:{args.port}/asr/v0.1/stream "
