@@ -17,12 +17,16 @@ audio clock and:
   1. at ``boundary - overlap`` opens a SHADOW lane from zero model state,
      feeding it the same audio (its response clock is pre-set to the
      absolute frame via ``engine.set_lane_frame_base``);
-  2. suppresses every shadow response while it warms through the overlap
-     (the offline analogue: overlap tokens of the second segment are
-     dropped, evaluate/state_resets.py);
-  3. once the primary has CONSUMED up to the boundary (``lane_frames``),
-     closes it (swallowing its EOS) and promotes the shadow — responses
-     continue seamlessly with stream-absolute timestamps.
+  2. drops shadow responses that END inside the overlap (the offline
+     analogue: overlap tokens of the second segment are dropped,
+     evaluate/state_resets.py) and WITHHOLDS post-boundary ones — a
+     backlogged shadow can outrun the primary's drain (burst pushes);
+  3. once the primary has CONSUMED up to the boundary (``lane_frames``,
+     or its EOS after a user hang-up — it only ever holds audio up to the
+     boundary), retires it (EOS swallowed), promotes the shadow, and
+     flushes the withheld responses — the stream continues seamlessly
+     with stream-absolute timestamps. A user close with post-boundary
+     audio in flight still completes the handover so no audio is lost.
 
 Capacity: a stream occupies a second lane only during the overlap window,
 so provision ``ceil(streams * (1 + overlap/segment))`` lanes — the same
@@ -52,6 +56,9 @@ class _SRStream:
     shadow_failed: bool = False   # no free lane this cycle; retry next one
     closed: bool = False
     retiring: List[int] = field(default_factory=list)  # lanes draining EOS
+    # shadow responses past the boundary, withheld until the handover (a
+    # bursty/backlogged shadow can outrun the primary's drain)
+    buf: List[object] = field(default_factory=list)
 
 
 class StateResetRouter:
@@ -67,6 +74,7 @@ class StateResetRouter:
         self.hop = int(round(
             (engine.hop_samples if hasattr(engine, "hop_samples")
              else engine.engines[0].hop_samples)))
+        self.frame_secs = fs
         self.seg_ticks = max(2, int(round(segment_secs / fs)))
         self.ovl_ticks = max(1, min(int(round(overlap_secs / fs)),
                                     self.seg_ticks - 1))
@@ -105,11 +113,17 @@ class StateResetRouter:
         s.closed = True
         self.eng.close_stream(s.primary)
         if s.shadow is not None:
-            # pre-swap: the primary is authoritative up to EOS; the shadow's
-            # partial re-decode of the overlap is dropped entirely
-            self.eng.close_stream(s.shadow)
-            s.retiring.append(s.shadow)
-            s.shadow = None
+            if s.pos >= s.seg_k * self.seg_samples:
+                # the stream crossed the boundary: post-boundary audio lives
+                # ONLY in the shadow, so the handover must still complete —
+                # keep the shadow; tick() closes it after the swap.
+                pass
+            else:
+                # ended mid-overlap: the primary heard everything; the
+                # shadow is a pure re-decode of the tail — drop it
+                self.eng.close_stream(s.shadow)
+                s.retiring.append(s.shadow)
+                s.shadow = None
 
     def push_audio(self, uid: int, samples: np.ndarray):
         s = self.streams[uid]
@@ -165,28 +179,51 @@ class StateResetRouter:
             s.retiring = [
                 ln for ln in s.retiring if not _saw_eos(out.pop(ln, None))
             ]
+            boundary_frames = s.seg_k * self.seg_ticks
+            boundary_secs = boundary_frames * self.frame_secs
             resp = out.pop(s.primary, None)
+            primary_eos = False
             if resp is not None:
-                msgs = resp if isinstance(resp, list) else [resp]
-                fwd = [m for m in msgs if not _is_eos(m)]
-                if fwd:
-                    user_out.setdefault(uid, []).extend(fwd)
-                if any(_is_eos(m) for m in msgs):
-                    if s.closed:
-                        user_out.setdefault(uid, []).append({"eos": True})
-                        done.append(uid)
-                    # (a non-closed primary never EOSes: we only close it
-                    # at swap, below, after re-keying)
+                for m in _msgs(resp):
+                    if _is_eos(m):
+                        primary_eos = True
+                    else:
+                        user_out.setdefault(uid, []).append(m)
             if s.shadow is not None:
-                out.pop(s.shadow, None)  # warmup re-decode: suppressed
-                boundary_frames = s.seg_k * self.seg_ticks
-                if self.eng.lane_frames(s.primary) >= boundary_frames:
-                    # primary consumed through the boundary: hand over
-                    self.eng.close_stream(s.primary)
-                    s.retiring.append(s.primary)
+                # shadow responses: warmup re-decodes of the overlap are
+                # dropped; anything ENDING past the boundary is the true
+                # continuation — withheld until the handover so ordering
+                # is preserved even when a backlogged shadow outruns the
+                # primary's drain
+                sresp = out.pop(s.shadow, None)
+                if sresp is not None:
+                    for m in _msgs(sresp):
+                        if _is_eos(m):
+                            continue
+                        if _end_secs(m) > boundary_secs + 1e-9:
+                            s.buf.append(m)
+                # hand over once the primary has consumed through the
+                # boundary (its EOS implies that: it only ever holds audio
+                # up to the boundary)
+                if primary_eos or (
+                    self.eng.lane_frames(s.primary) >= boundary_frames
+                ):
+                    if not primary_eos:
+                        self.eng.close_stream(s.primary)
+                        s.retiring.append(s.primary)
+                    # (on EOS the engine already released the lane)
                     s.primary = s.shadow
                     s.shadow = None
                     s.seg_k += 1
+                    if s.buf:
+                        user_out.setdefault(uid, []).extend(s.buf)
+                        s.buf = []
+                    if s.closed:
+                        # user already hung up: flush the tail and finish
+                        self.eng.close_stream(s.primary)
+            elif primary_eos and s.closed:
+                user_out.setdefault(uid, []).append({"eos": True})
+                done.append(uid)
         for uid in done:
             self.streams[uid].primary = -1  # drained; only retirees remain
         for uid, s in list(self.streams.items()):
@@ -198,8 +235,23 @@ class StateResetRouter:
         }
 
 
+def _msgs(resp) -> List[object]:
+    return resp if isinstance(resp, list) else [resp]
+
+
 def _is_eos(m) -> bool:
     return isinstance(m, dict) and bool(m.get("eos"))
+
+
+def _end_secs(m) -> float:
+    """Response end time: dict (Python path) or pre-serialized JSON string
+    (native serializer). Parsing only happens for shadow-lane messages
+    inside overlap windows — a tiny slice of total traffic."""
+    if isinstance(m, str):
+        import json
+
+        m = json.loads(m)
+    return float(m.get("end", 0.0))
 
 
 def _saw_eos(resp) -> bool:

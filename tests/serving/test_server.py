@@ -164,3 +164,65 @@ def test_server_native_serializer_path(tmp_path):
         assert not eng.streams
     finally:
         eng.close()
+
+
+def test_server_with_state_reset_router(tmp_path):
+    """ASRServer over StateResetRouter: a stream long enough to cross two
+    reset boundaries transcribes end-to-end; user-visible ids are stable
+    across the lane handovers and all lanes drain on EOS."""
+    from caiman_asr_tpu.serving.state_resets import StateResetRouter
+
+    model = RNNT(
+        RNNTModelConfig(
+            in_feats=240, enc_n_hid=16, enc_pre_rnn_layers=1,
+            enc_post_rnn_layers=1, enc_stack_time_factor=2, pred_n_hid=8,
+            pred_rnn_layers=1, joint_n_hid=16,
+            enc_dropout=0.0, pred_dropout=0.0, joint_dropout=0.0,
+        ),
+        N_CLASSES,
+    )
+    params = model.init(jax.random.PRNGKey(3))
+    eng = StreamingEngine(
+        model, params, BLANK, Tok(), max_streams=3, native_serializer=False
+    )
+    router = StateResetRouter(
+        eng, segment_secs=6 * 0.06, overlap_secs=2 * 0.06
+    )
+    rng = np.random.default_rng(2)
+    audio = (rng.normal(size=960 * 16) * 0.1).astype(np.float32)  # 16 ticks
+    wav = tmp_path / "c.wav"
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((np.clip(audio, -1, 1) * 32767).astype(np.int16).tobytes())
+
+    async def scenario():
+        from caiman_asr_tpu.inference.transcriber import transcribe_file
+
+        server = ASRServer(router, tick_interval=0.005)
+        import websockets.asyncio.server
+
+        ticker = asyncio.create_task(server._ticker())
+        async with websockets.asyncio.server.serve(
+            server.handle, "127.0.0.1", PORT + 2,
+            subprotocols=["stream.asr.api.myrtle.ai"],
+        ):
+            result = await asyncio.wait_for(
+                transcribe_file(
+                    f"ws://127.0.0.1:{PORT + 2}/asr/v0.1/stream", str(wav),
+                    realtime=False,
+                ),
+                timeout=60,
+            )
+        ticker.cancel()
+        return result
+
+    result = asyncio.run(scenario())
+    assert len(result.responses) > 0
+    # timestamps are stream-absolute and monotonically ordered past the
+    # first reset boundary (6 ticks = 0.36 s)
+    starts = [tr.response["start"] for tr in result.responses]
+    assert max(starts) > 6 * 0.06
+    assert starts == sorted(starts)
+    assert not router.streams and not eng.streams
