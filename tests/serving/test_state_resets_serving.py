@@ -175,3 +175,42 @@ def test_capacity_skip_slides_grid(setup):
     assert s.seg_k >= 2  # grid slid past the unservable boundary
     # every sample reached the primary lane (frames == ticks pushed)
     assert eng.lane_frames(s.primary) == 9
+
+
+@pytest.mark.slow
+def test_router_over_beam_engine(setup):
+    """The router is decoder-agnostic: over a beam engine the handover
+    completes, EOS is forwarded once, and every lane drains."""
+    model, params, mel_stats = setup
+    eng = StreamingEngine(
+        model, params, BLANK, Tok(), mel_stats=mel_stats, max_streams=3,
+        decoder="beam", beam_width=2, max_symbols_per_step=4,
+        native_serializer=False,
+    )
+    router = StateResetRouter(eng, segment_secs=6 * FS, overlap_secs=2 * FS)
+    uid = router.open_stream()
+    audio = _audio(10)
+    got, eos_count = [], 0
+    for t in range(10):
+        router.push_audio(uid, audio[t * HOP: (t + 1) * HOP])
+        out = router.tick()
+        for m in _msgs(out.get(uid, [])) if uid in out else []:
+            if m.get("eos"):
+                eos_count += 1
+            else:
+                got.append(m)
+    assert router.streams[uid].seg_k >= 2  # at least one handover happened
+    router.close_stream(uid)
+    for _ in range(5):
+        out = router.tick()
+        for m in _msgs(out.get(uid, [])) if uid in out else []:
+            if m.get("eos"):
+                eos_count += 1
+            else:
+                got.append(m)
+    assert eos_count == 1
+    assert not router.streams and not eng.streams
+    assert any("alternatives" in m for m in got)
+    # stream-absolute timestamps continue past the boundary
+    finals = [m for m in got if "alternatives" in m]
+    assert max(m["end"] for m in finals) > 6 * FS
