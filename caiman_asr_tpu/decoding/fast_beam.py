@@ -422,10 +422,6 @@ def make_streaming_beam_step(
     lm = _lm_tables(ngram_lm, ngram_alpha)
     alpha = float(ngram_alpha)
 
-    def logprobs(params, f, g):
-        logits = _linear(params["joint_fc"], jax.nn.relu(f[:, None, :] + g))
-        return jax.nn.log_softmax(logits.astype(jnp.float32) / temperature, -1)
-
     def pred_advance(params, tokens, h, c):
         Lc, B, Wc, Hpc = h.shape
         embed = params["prediction"]["embed"]
@@ -473,47 +469,90 @@ def make_streaming_beam_step(
         return st
 
     def step(params, f_t, state):
+        """One frame. The [B, W, cap] token/timestamp buffers are NOT
+        threaded through the expansion loop: each trip records only
+        (parent, token, write-pos) backpointers, and the buffers are
+        materialized ONCE after the loop by composing the chains — the
+        repeated full-buffer one-hot gathers were the dominant fixed cost
+        of the tick (1.5 ms/trip at B=1024 vs ~0.1 ms for the trace).
+        Likewise the full log-softmax is replaced by a lazy LSE (the
+        normalizer is subtracted at the two consumption points) and blank
+        is excluded via top-(W+1)+filter instead of a masked [B*W, K]
+        copy. Selection semantics are IDENTICAL to the buffer-carrying
+        form (softmax is monotone; a filtered top-(W+1) equals top-W of
+        the blank-masked array)."""
         B = f_t.shape[0]
         frame = state.pop("frame")
+        init_toks, init_ts = state["toks"], state["ts"]
+        small = {k: v for k, v in state.items() if k not in ("toks", "ts")}
+        EM = max(E - 1, 1)  # loop trip bound (gens 1..EM)
+        bix = lax.broadcasted_iota(jnp.int32, (B, W), 0)
+        wix = lax.broadcasted_iota(jnp.int32, (B, W), 1)
 
-        def fin_update(finished, active, lp):
-            fin_cand = dict(active, scores=active["scores"] + lp[..., blank_idx])
-            pool = concat_w(finished, fin_cand)
+        def z_lse(params, f, g):
+            """Unnormalized scaled logits + per-row LSE (lazy softmax)."""
+            logits = _linear(params["joint_fc"], jax.nn.relu(f[:, None, :] + g))
+            z = logits.astype(jnp.float32) / temperature
+            return z, jax.nn.logsumexp(z, axis=-1)
+
+        def fin_update(fin, fin_gen, fin_row, active, z, lse, gen):
+            cand_scores = active["scores"] + z[..., blank_idx] - lse
+            pool = concat_w(
+                {k: fin[k] for k in fin},
+                dict(active, scores=cand_scores),
+            )
             if merge:
                 pool["scores"] = _merged_scores(
                     pool["scores"], pool["hash"], pool["lens"]
                 )
             top_s, top_i = lax.top_k(pool["scores"], W)
-            finished = gather_w(pool, top_i)
-            finished["scores"] = top_s
-            return finished
-
-        def expand(active, lp):
-            # two-stage selection: cheap per-hypothesis top-W over the
-            # vocab (approx_max_k lowers to the TPU-native approximate
-            # top-k), then exact top-W over the W*W survivors — orders of
-            # magnitude cheaper than one sort over W*K.
-            lp_nb = lp.at[..., blank_idx].set(NEG_INF)
-            cand_s, cand_i = lax.approx_max_k(
-                lp_nb.reshape(B * W, K), W, recall_target=0.99
+            new_fin = gather_w(pool, top_i)
+            new_fin["scores"] = top_s
+            from_fin = top_i < W
+            new_gen = jnp.where(
+                from_fin,
+                jnp.take_along_axis(
+                    jnp.concatenate([fin_gen, jnp.full_like(fin_gen, gen)], 1),
+                    top_i, axis=1,
+                ),
+                gen,
             )
-            cand_s = cand_s.reshape(B, W, W) + active["scores"][:, :, None]
-            cand_i = cand_i.reshape(B, W, W)
+            new_row = jnp.take_along_axis(
+                jnp.concatenate([fin_row, wix], axis=1), top_i, axis=1
+            )
+            return new_fin, new_gen, new_row
+
+        def expand(e, active, z, lse, trace):
+            # two-stage selection: TPU-native approximate top-(W+1) over
+            # the raw scaled logits (softmax and the score shift are
+            # monotone per row, so indices are unchanged), blank filtered
+            # from the W+1 survivors, then exact top-W over W*(W+1).
+            cs, ci = lax.approx_max_k(
+                z.reshape(B * W, K), W + 1, recall_target=0.99
+            )
+            cs = jnp.where(ci == blank_idx, NEG_INF, cs)
+            cand_s = (
+                cs.reshape(B, W, W + 1)
+                - lse[:, :, None]
+                + active["scores"][:, :, None]
+            )
+            cand_i = ci.reshape(B, W, W + 1)
             if lm is not None:
                 cand_s = cand_s + alpha * lm[0][
                     active["lm"][:, :, None], cand_i
                 ]
-            top_es, sel = lax.top_k(cand_s.reshape(B, W * W), W)
-            parent = sel // W
+            top_es, sel = lax.top_k(cand_s.reshape(B, W * (W + 1)), W)
+            parent = sel // (W + 1)
             token = jnp.take_along_axis(
-                cand_i.reshape(B, W * W), sel, axis=1
+                cand_i.reshape(B, W * (W + 1)), sel, axis=1
             ).astype(jnp.int32)
             new = gather_w(active, parent)
             pos = jnp.clip(new["lens"], 0, cap - 1)
-            bix = lax.broadcasted_iota(jnp.int32, (B, W), 0)
-            wix = lax.broadcasted_iota(jnp.int32, (B, W), 1)
-            new["toks"] = new["toks"].at[bix, wix, pos].set(token)
-            new["ts"] = new["ts"].at[bix, wix, pos].set(frame[:, None] * jnp.ones((1, W), jnp.int32))
+            trace = (
+                lax.dynamic_update_index_in_dim(trace[0], parent, e, 0),
+                lax.dynamic_update_index_in_dim(trace[1], token, e, 0),
+                lax.dynamic_update_index_in_dim(trace[2], pos, e, 0),
+            )
             new["lens"] = jnp.minimum(new["lens"] + 1, cap)
             new["scores"] = top_es
             new["hash"] = _hash_step(new["hash"], token)
@@ -522,30 +561,69 @@ def make_streaming_beam_step(
             new["g"], new["h"], new["c"] = pred_advance(
                 params, token, new["h"], new["c"]
             )
-            return new
+            return new, trace
 
         def cond(carry):
-            e, active, finished = carry
-            return (e < E - 1) & _improvable(active, finished, W, merge)
+            e, active, fin, _, _, _ = carry
+            return (e < E - 1) & _improvable(active, fin, W, merge)
 
         def body(carry):
-            e, active, finished = carry
-            lp = logprobs(params, f_t, active["g"])
-            finished = fin_update(finished, active, lp)
-            return e + 1, expand(active, lp), finished
+            e, active, fin, fin_gen, fin_row, trace = carry
+            z, lse = z_lse(params, f_t, active["g"])
+            fin, fin_gen, fin_row = fin_update(
+                fin, fin_gen, fin_row, active, z, lse, e
+            )
+            active, trace = expand(e, active, z, lse, trace)
+            return e + 1, active, fin, fin_gen, fin_row, trace
 
-        # bounded early-exit loop: 60 ms ticks mostly emit 0-1 tokens, so
-        # the expected trip count is ~1-2 rather than the worst-case E —
-        # the dominant device-time win for the streaming beam (see
-        # _improvable for the exactness argument)
-        _, active, finished = lax.while_loop(
+        trace0 = tuple(jnp.zeros((EM, B, W), jnp.int32) for _ in range(3))
+        e_fin, active, fin, fin_gen, fin_row, trace = lax.while_loop(
             cond, body,
-            (jnp.int32(0), state, dict(state, scores=jnp.full((B, W), NEG_INF))),
+            (
+                jnp.int32(0),
+                small,
+                dict(small, scores=jnp.full((B, W), NEG_INF)),
+                jnp.zeros((B, W), jnp.int32),
+                jnp.broadcast_to(wix, (B, W)),
+                trace0,
+            ),
         )
-        lp = logprobs(params, f_t, active["g"])
-        finished = fin_update(finished, active, lp)
-        finished["frame"] = frame + 1
+        z, lse = z_lse(params, f_t, active["g"])
+        fin, fin_gen, fin_row = fin_update(
+            fin, fin_gen, fin_row, active, z, lse, e_fin
+        )
+
+        # ---- materialize toks/ts: walk the backpointer chains (gens
+        # e..1), then ONE buffer gather + <=EM tiny scatters
+        tp, tt, tpos = trace
+        row = fin_row
+        writes = []
+        for gg in range(EM, 0, -1):
+            valid = fin_gen >= gg
+            writes.append((
+                jnp.take_along_axis(tpos[gg - 1], row, axis=1),
+                jnp.take_along_axis(tt[gg - 1], row, axis=1),
+                valid,
+            ))
+            row = jnp.where(
+                valid, jnp.take_along_axis(tp[gg - 1], row, axis=1), row
+            )
+        out_toks = _gather_w({"x": init_toks}, row, L)["x"]
+        out_ts = _gather_w({"x": init_ts}, row, L)["x"]
+        frame_w = jnp.broadcast_to(frame[:, None], (B, W))
+        for pos_w, tok_w, valid in writes:
+            cur_t = out_toks[bix, wix, pos_w]
+            cur_s = out_ts[bix, wix, pos_w]
+            out_toks = out_toks.at[bix, wix, pos_w].set(
+                jnp.where(valid, tok_w, cur_t)
+            )
+            out_ts = out_ts.at[bix, wix, pos_w].set(
+                jnp.where(valid, frame_w, cur_s)
+            )
+        fin["toks"] = out_toks
+        fin["ts"] = out_ts
+        fin["frame"] = frame + 1
         state["frame"] = frame  # restore caller's dict shape
-        return finished
+        return fin
 
     return init_state, step
