@@ -611,7 +611,10 @@ def make_streaming_beam_step(
         out_toks = _gather_w({"x": init_toks}, row, L)["x"]
         out_ts = _gather_w({"x": init_ts}, row, L)["x"]
         frame_w = jnp.broadcast_to(frame[:, None], (B, W))
-        for pos_w, tok_w, valid in writes:
+        # oldest generation first: at cap saturation several generations
+        # clip to pos = cap-1 and the LATEST write must win (matching the
+        # sequential in-loop scatters this replay replaces)
+        for pos_w, tok_w, valid in reversed(writes):
             cur_t = out_toks[bix, wix, pos_w]
             cur_s = out_ts[bix, wix, pos_w]
             out_toks = out_toks.at[bix, wix, pos_w].set(

@@ -34,12 +34,24 @@ lane arithmetic behind the reference's ~25% RTS cost. If no lane is free
 when a shadow is due, that reset cycle is skipped (the stream simply keeps
 its state one more segment) rather than dropping audio.
 
+Boundary semantics per decoder: GREEDY responses carry their emission
+tick, which equals the audio tick, so the overlap filter is exact — no
+loss, no duplication. BEAM finals ship when hypothesis agreement commits,
+typically a few ticks after the audio they cover; a shadow's
+overlap-audio tokens can therefore commit past the boundary and be
+delivered even though the primary also emitted them — at a reset
+boundary a beam stream may REPEAT a word or two of the overlap rather
+than lose text (duplication is the safe side for captions; the offline
+evaluator's lookahead merge, evaluate/state_resets.py, is the exact
+variant when timestamps are available after the fact).
+
 Works over a single StreamingEngine or a MultiChipEngine (any object with
 open/close/push/tick/lane_frames/set_lane_frame_base).
 """
 
 from __future__ import annotations
 
+import threading
 import warnings
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -55,7 +67,10 @@ class _SRStream:
     shadow: Optional[int] = None
     shadow_failed: bool = False   # no free lane this cycle; retry next one
     closed: bool = False
-    retiring: List[int] = field(default_factory=list)  # lanes draining EOS
+    # lanes draining to EOS: (lane, forward) — retired primaries forward
+    # their close-flush tail (beam ships committed-but-unsent tokens there);
+    # dropped mid-overlap shadows are pure re-decodes and stay silent
+    retiring: List[object] = field(default_factory=list)
     # shadow responses past the boundary, withheld until the handover (a
     # bursty/backlogged shadow can outrun the primary's drain)
     buf: List[object] = field(default_factory=list)
@@ -83,11 +98,20 @@ class StateResetRouter:
         self.streams: Dict[int, _SRStream] = {}
         self._next_uid = 0
         self._warned_capacity = False
+        # The wrapped engine locks its own entry points, but the router's
+        # compound handover (promote + re-key + grid advance) must not
+        # interleave with pushes: the server ticks from an executor thread
+        # while handlers push on the event loop.
+        self._lock = threading.RLock()
 
     # ------------------------------------------------------------ passthrough
     @property
     def B(self):
         return self.eng.B
+
+    @property
+    def n_chips(self):
+        return getattr(self.eng, "n_chips", 1)
 
     def warmup(self):
         self.eng.warmup()
@@ -98,15 +122,20 @@ class StateResetRouter:
 
     # ---------------------------------------------------------------- streams
     def open_stream(self) -> Optional[int]:
-        lane = self.eng.open_stream()
-        if lane is None:
-            return None
-        uid = self._next_uid
-        self._next_uid += 1
-        self.streams[uid] = _SRStream(primary=lane)
-        return uid
+        with self._lock:
+            lane = self.eng.open_stream()
+            if lane is None:
+                return None
+            uid = self._next_uid
+            self._next_uid += 1
+            self.streams[uid] = _SRStream(primary=lane)
+            return uid
 
     def close_stream(self, uid: int):
+        with self._lock:
+            self._close_stream_locked(uid)
+
+    def _close_stream_locked(self, uid: int):
         s = self.streams.get(uid)
         if s is None or s.closed:
             return
@@ -122,10 +151,14 @@ class StateResetRouter:
                 # ended mid-overlap: the primary heard everything; the
                 # shadow is a pure re-decode of the tail — drop it
                 self.eng.close_stream(s.shadow)
-                s.retiring.append(s.shadow)
+                s.retiring.append((s.shadow, False))
                 s.shadow = None
 
     def push_audio(self, uid: int, samples: np.ndarray):
+        with self._lock:
+            self._push_audio_locked(uid, samples)
+
+    def _push_audio_locked(self, uid: int, samples: np.ndarray):
         s = self.streams[uid]
         n = len(samples)
         if n == 0 or s.closed:
@@ -149,8 +182,12 @@ class StateResetRouter:
                 s.shadow_failed = True
             else:
                 s.shadow = lane
+                # response clock = the absolute tick of the FIRST sample
+                # this lane will hear: normally boundary - overlap, later
+                # when a burst already passed it (less warmup, but
+                # timestamps and the overlap filter stay aligned)
                 self.eng.set_lane_frame_base(
-                    lane, s.seg_k * self.seg_ticks - self.ovl_ticks
+                    lane, max(start, shadow_from) // self.hop
                 )
         if s.shadow_failed and end > boundary:
             # reset cycle skipped: slide the grid one segment
@@ -172,13 +209,33 @@ class StateResetRouter:
     # ------------------------------------------------------------------- tick
     def tick(self) -> Dict[int, object]:
         out = self.eng.tick()
+        with self._lock:
+            return self._route_locked(out)
+
+    def _route_locked(self, out) -> Dict[int, object]:
         user_out: Dict[int, List[object]] = {}
         done = []
         for uid, s in self.streams.items():
-            # drain retired lanes silently (their EOS frees the lane)
-            s.retiring = [
-                ln for ln in s.retiring if not _saw_eos(out.pop(ln, None))
-            ]
+            # drain retired lanes: a retired PRIMARY's close-flush tail is
+            # real transcript (beam ships committed-but-unsent tokens with
+            # the flush) and is forwarded — it covers audio just before the
+            # boundary, so it lands ahead of this tick's messages; dropped
+            # shadows stay silent; EOS frees the lane either way
+            still = []
+            for lane, forward in s.retiring:
+                resp = out.pop(lane, None)
+                if resp is None:
+                    still.append((lane, forward))
+                    continue
+                eos_seen = False
+                for m in _msgs(resp):
+                    if _is_eos(m):
+                        eos_seen = True
+                    elif forward:
+                        user_out.setdefault(uid, []).append(m)
+                if not eos_seen:
+                    still.append((lane, forward))
+            s.retiring = still
             boundary_frames = s.seg_k * self.seg_ticks
             boundary_secs = boundary_frames * self.frame_secs
             resp = out.pop(s.primary, None)
@@ -210,7 +267,7 @@ class StateResetRouter:
                 ):
                     if not primary_eos:
                         self.eng.close_stream(s.primary)
-                        s.retiring.append(s.primary)
+                        s.retiring.append((s.primary, True))
                     # (on EOS the engine already released the lane)
                     s.primary = s.shadow
                     s.shadow = None
@@ -254,8 +311,3 @@ def _end_secs(m) -> float:
     return float(m.get("end", 0.0))
 
 
-def _saw_eos(resp) -> bool:
-    if resp is None:
-        return False
-    msgs = resp if isinstance(resp, list) else [resp]
-    return any(_is_eos(m) for m in msgs)
