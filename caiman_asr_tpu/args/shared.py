@@ -52,6 +52,17 @@ def add_shared_args(parser: argparse.ArgumentParser):
         help="probability of 8 kHz-resimulating a validation utterance "
              "(reference args/shared.py:35)",
     )
+    parser.add_argument(
+        "--turn_off_initial_padding", action="store_true",
+        help="disable the default (window_size - window_stride) seconds of "
+             "leading silence that matches the asr-server's behaviour "
+             "(reference args/shared.py:21)",
+    )
+    parser.add_argument(
+        "--val_final_padding_secs", type=float, default=0.24,
+        help="pad validation audio with this much trailing silence so the "
+             "streaming decoder flushes (reference args/shared.py:29)",
+    )
     src = parser.add_argument_group("data source")
     src.add_argument("--read_from_tar", action="store_true",
                      help="read webdataset tar shards instead of JSON manifests")
@@ -76,7 +87,12 @@ def add_decoder_args(parser: argparse.ArgumentParser):
     dec.add_argument("--beam_prune_topk_thresh", type=float, default=1.5)
     dec.add_argument("--beam_no_partials", action="store_true")
     dec.add_argument("--beam_final_emission_thresh", type=float, default=float("inf"))
-    dec.add_argument("--ngram_path", type=str, default=None)
+    dec.add_argument("--ngram_path", "--override_ngram_path", type=str, default=None,
+                     help="KenLM-style .arpa (or this framework's compiled "
+                          "cache); overrides the model config's ngram_path")
+    dec.add_argument("--skip_ngram", action="store_true",
+                     help="disable n-gram fusion even if the model config "
+                          "declares one (reference args/decoder.py:130)")
     dec.add_argument("--ngram_scale_factor", type=float, default=None)
     dec.add_argument("--keyword_boost_path", type=str, default=None)
     dec.add_argument("--beam_parallel_procs", type=int, default=1,
@@ -107,6 +123,9 @@ def add_latency_args(parser: argparse.ArgumentParser):
                      help="ground-truth CTM for emission-latency measurement")
     lat.add_argument("--latency_head_offset", type=float, default=0.0)
     lat.add_argument("--latency_tail_offset", type=float, default=0.0)
+    lat.add_argument("--calculate_emission_latency", action="store_true",
+                     help="measure emission latency against --gt_ctm "
+                          "reference CTMs (reference args/shared.py:111)")
 
 
 def add_state_reset_args(parser: argparse.ArgumentParser):

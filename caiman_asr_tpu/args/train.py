@@ -116,12 +116,44 @@ def train_arg_parser() -> argparse.ArgumentParser:
     norm.add_argument("--norm_use_global_stats", action="store_true",
                       help="dataset mel stats from step 0 (no blend ramp; "
                            "reference args/mel_feat_norm.py:13)")
+    norm.add_argument("--norm_starting_ratio", type=float, default=0.0,
+                      help="initial dataset_to_utt blend ratio in [0, 1] "
+                           "before the ramp starts (reference "
+                           "args/mel_feat_norm.py:19)")
 
     parser.add_argument(
         "--num_buckets", type=int, default=6,
         help="duration-bucketing granularity: shuffle window of "
              "batch_size*num_buckets utterances sorted by length "
-             "(reference data/dali/sampler.py:645-713)",
+             "(reference data/dali/sampler.py:645-713); 0 selects the "
+             "fully-random sampler",
+    )
+    parser.add_argument(
+        "--randomize_first_n_epochs", type=int, default=0,
+        help="completely randomize the first n epochs regardless of "
+             "bucketing (reference args/train.py:233)",
+    )
+    parser.add_argument(
+        "--train_dataset_yaml", type=str, default=None,
+        help="YAML dataset spec {datasets: {name: {manifest, weight}}}; "
+             "mutually exclusive with --train_manifests / ratio flags "
+             "(reference args/train.py:247, data/schema.py)",
+    )
+    parser.add_argument(
+        "--skip_val_loss", action="store_true",
+        help="only calculate WER, not loss, on the validation set "
+             "(reference args/train.py:396)",
+    )
+    parser.add_argument(
+        "--dont_save_at_the_end", action="store_true",
+        help="skip the final 'last' checkpoint save "
+             "(reference args/train.py:186)",
+    )
+    parser.add_argument(
+        "--log_verbose_utterance_statistics", action="store_true",
+        help="expensive per-window utterance statistics (duration "
+             "percentiles, token-length stats) in the step logs "
+             "(reference args/train.py:402)",
     )
 
     noise = parser.add_argument_group("noise augmentation")
@@ -137,7 +169,18 @@ def train_arg_parser() -> argparse.ArgumentParser:
              "(reference args/train.py:389, dali/pipeline.py:407)",
     )
     noise.add_argument("--noise_dataset", type=str, default=None,
-                       help="local directory of background-noise audio files")
+                       help="local directory of background-noise audio files "
+                            "(or an HF hub dataset name in connected "
+                            "environments; reference defaults to "
+                            "Myrtle/CAIMAN-ASR-BackgroundNoise)")
+    noise.add_argument("--use_noise_audio_folder", action="store_true",
+                       help="treat --noise_dataset as a local audio folder "
+                            "(reference args/noise_augmentation.py:79; here "
+                            "local directories are auto-detected, so this "
+                            "flag is accepted for script compatibility)")
+    noise.add_argument("--noise_config", type=str, default=None,
+                       help="HF hub config name for a hub-hosted noise "
+                            "dataset (reference args/noise_augmentation.py:72)")
 
     rsp = parser.add_argument_group("random state passing")
     rsp.add_argument("--rsp_delay", type=int, default=None)
@@ -145,3 +188,53 @@ def train_arg_parser() -> argparse.ArgumentParser:
                      help="relative frequency of 1x,2x,3x,... batch concatenation")
 
     return parser
+
+
+def resolve_train_dataset_yaml(args) -> None:
+    """Expand ``--train_dataset_yaml`` into train_manifests +
+    relative_train_manifest_ratios, validating the schema
+    (reference args/train.py:418-445 + data/schema.py:3-15:
+    ``{datasets: {<name>: {manifest: str, weight?: float >= 0}}}``;
+    unknown keys inside a dataset entry are purged, not rejected)."""
+    path = getattr(args, "train_dataset_yaml", None)
+    if not path:
+        return
+    if getattr(args, "train_manifests", None):
+        raise SystemExit(
+            "Cannot provide both --train_dataset_yaml and --train_manifests."
+        )
+    for flag in ("train_manifest_ratios", "relative_train_manifest_ratios",
+                 "canary_manifest_exponent"):
+        if getattr(args, flag, None) is not None:
+            raise SystemExit(
+                f"Cannot provide both --train_dataset_yaml and --{flag}."
+            )
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    if not isinstance(raw, dict) or not isinstance(raw.get("datasets"), dict):
+        raise ValueError(
+            f"Invalid YAML format in {path}: expected a top-level "
+            "'datasets' mapping"
+        )
+    manifests, weights = [], []
+    for name, entry in raw["datasets"].items():
+        if not isinstance(entry, dict) or "manifest" not in entry:
+            raise ValueError(
+                f"Invalid YAML format: dataset {name!r} must be a mapping "
+                "with a 'manifest' key"
+            )
+        if not isinstance(entry["manifest"], str):
+            raise ValueError(f"Invalid YAML format: {name}.manifest must be a string")
+        w = entry.get("weight", 1.0)
+        if not isinstance(w, (int, float)) or w < 0:
+            raise ValueError(
+                f"Invalid YAML format: {name}.weight must be a float >= 0"
+            )
+        manifests.append(entry["manifest"])
+        weights.append(float(w))
+    if not manifests:
+        raise ValueError("No valid datasets found in YAML.")
+    args.train_manifests = manifests
+    args.relative_train_manifest_ratios = weights

@@ -77,6 +77,9 @@ def main(argv=None):
                    help="webdataset tar/zip shards (with --read_from_tar)")
     p.add_argument("--output_path", required=True)
     p.add_argument("--max_utts", type=int, default=None)
+    p.add_argument("--batch_size", "--dump_mel_stats_batch_size", type=int,
+                   default=32, help="featurizer batch size (reference "
+                                    "args/norm_stats_generation.py:13)")
     args = p.parse_args(argv)
 
     bundle = load_config(args.model_config)
@@ -102,7 +105,7 @@ def main(argv=None):
         n_desc = f"{len(utts)} utts"
     else:
         raise SystemExit("pass --manifests or --read_from_tar --tar_files")
-    means, vars_ = compute_mel_stats(frontend, audio_iter)
+    means, vars_ = compute_mel_stats(frontend, audio_iter, args.batch_size)
     np.savez(args.output_path, melmeans=means, melvars=vars_)
     print(f"wrote {args.output_path}: {n_desc}, "
           f"mean[0]={means[0]:.3f} var[0]={vars_[0]:.3f}")

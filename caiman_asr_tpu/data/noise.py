@@ -76,6 +76,45 @@ class NoiseDataset:
             self._cache[i] = read_audio(self.paths[i], self.sr)
         return self._cache[i]
 
+    @classmethod
+    def from_spec(cls, spec: str, sample_rate: int = 16000,
+                  hf_config: Optional[str] = None,
+                  max_clips: Optional[int] = None) -> "NoiseDataset":
+        """Local directory, or an HF hub dataset name in connected
+        environments (the reference defaults to
+        Myrtle/CAIMAN-ASR-BackgroundNoise; args/noise_augmentation.py:62-77)."""
+        if Path(spec).is_dir():
+            return cls(spec, sample_rate, max_clips)
+        try:
+            from datasets import load_dataset  # optional, needs network
+        except ImportError as e:
+            raise FileNotFoundError(
+                f"--noise_dataset {spec!r} is not a local directory and the "
+                "'datasets' package is unavailable to fetch it from the "
+                "Hugging Face Hub"
+            ) from e
+        ds = load_dataset(spec, hf_config, split="train", streaming=True)
+        self = cls.__new__(cls)
+        self.sr = sample_rate
+        self._cache = {}
+        self.paths = []
+        clips = []
+        from caiman_asr_tpu.data.audio import resample
+
+        for i, row in enumerate(ds):
+            a = row["audio"]
+            clip = np.asarray(a["array"], np.float32)
+            if a.get("sampling_rate", sample_rate) != sample_rate:
+                clip = resample(clip, a["sampling_rate"], sample_rate)
+            clips.append(clip)
+            if max_clips and i + 1 >= max_clips:
+                break
+        if not clips:
+            raise FileNotFoundError(f"HF noise dataset {spec!r} is empty")
+        self._cache = dict(enumerate(clips))
+        self.paths = [Path(f"hf://{spec}/{i}") for i in range(len(clips))]
+        return self
+
 
 class NoiseSchedule:
     """Delay-then-ramp SNR schedule (reference noise.py:56-137)."""

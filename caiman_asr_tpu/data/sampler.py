@@ -32,6 +32,7 @@ class Sampler:
         seed: int = 0,
         drop_last: bool = True,
         pessimistic_first_batch: bool = True,
+        randomize_first_n_epochs: int = 0,
     ):
         self.durations = np.asarray(durations, dtype=np.float64)
         self.batch_size = batch_size
@@ -40,13 +41,24 @@ class Sampler:
         self.seed = seed
         self.drop_last = drop_last
         self.pessimistic_first_batch = pessimistic_first_batch
+        # reference args/train.py:233-237: fully randomize the first n
+        # epochs regardless of bucketing (warmup on an unsorted stream)
+        self.randomize_first_n_epochs = randomize_first_n_epochs
 
     def _order(self, epoch: int, rng: np.random.Generator) -> np.ndarray:
         raise NotImplementedError
 
+    def _random_order(self, epoch: int, rng: np.random.Generator) -> np.ndarray:
+        """Fully random epoch order (used for the first
+        ``randomize_first_n_epochs`` epochs regardless of bucketing)."""
+        return rng.permutation(len(self.durations))
+
     def epoch_batches(self, epoch: int, resume_step: int = 0) -> List[np.ndarray]:
         rng = np.random.default_rng((self.seed, epoch))
-        order = self._order(epoch, rng)
+        if epoch < self.randomize_first_n_epochs:
+            order = self._random_order(epoch, rng)
+        else:
+            order = self._order(epoch, rng)
         n = (len(order) // self.global_batch) * self.global_batch
         if n == 0 and (self.drop_last or len(order) == 0):
             return []
@@ -170,11 +182,20 @@ class WeightedBucketingSampler(BucketingSampler):
         else:
             self.weights = np.ones(n_manifests)
 
-    def _order(self, epoch, rng):
+    def _weighted_indices(self, rng) -> np.ndarray:
+        """Epoch index pool with per-manifest over/under-sampling applied."""
         w = self.weights[self.manifest_ids]  # per-utterance weight
         repeats = np.floor(w).astype(np.int64)
         repeats += (rng.random(len(w)) < (w - np.floor(w))).astype(np.int64)
-        idxs = np.repeat(np.arange(len(w)), repeats)
+        return np.repeat(np.arange(len(w)), repeats)
+
+    def _random_order(self, epoch, rng):
+        # keep the manifest weighting even in fully-randomized epochs
+        idxs = self._weighted_indices(rng)
+        return idxs[rng.permutation(len(idxs))]
+
+    def _order(self, epoch, rng):
+        idxs = self._weighted_indices(rng)
         if len(idxs) == 0:
             return np.array([], np.int64)
         perm = idxs[rng.permutation(len(idxs))]

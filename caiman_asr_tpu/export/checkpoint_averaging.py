@@ -21,7 +21,9 @@ from caiman_asr_tpu.export.checkpointer import (
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="Average N checkpoints")
-    p.add_argument("--ckpts", nargs="+", required=True)
+    p.add_argument("--ckpts", "--checkpoints", nargs="+", required=True,
+                   help="checkpoint paths to average (reference "
+                        "export/checkpoint_averaging.py --checkpoints)")
     p.add_argument("--output_path", required=True)
     args = p.parse_args(argv)
 

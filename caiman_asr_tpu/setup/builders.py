@@ -55,6 +55,34 @@ def build_model(cfg: Config, tokenizer: Tokenizer, args=None) -> Tuple[RNNT, int
     return RNNT(rnnt_cfg, n_classes), tokenizer.num_labels
 
 
+def apply_input_overrides(cfg: Config, args) -> Config:
+    """Apply CLI featurizer overrides to the config's input pipelines
+    (reference args/shared.py:15-33: ``--turn_off_initial_padding`` and
+    ``--val_final_padding_secs``, default 0.24 s of trailing silence on
+    validation audio to flush the streaming decoder like the asr-server)."""
+    if args is None:
+        return cfg
+    input_train, input_val = cfg.input_train, cfg.input_val
+    if getattr(args, "turn_off_initial_padding", False):
+        input_train = dataclasses.replace(
+            input_train,
+            logmel=dataclasses.replace(input_train.logmel, initial_padding=False),
+        )
+        input_val = dataclasses.replace(
+            input_val,
+            logmel=dataclasses.replace(input_val.logmel, initial_padding=False),
+        )
+    pad = getattr(args, "val_final_padding_secs", None)
+    if pad is not None:
+        input_val = dataclasses.replace(
+            input_val,
+            logmel=dataclasses.replace(input_val.logmel, final_padding_secs=pad),
+        )
+    if input_train is cfg.input_train and input_val is cfg.input_val:
+        return cfg
+    return dataclasses.replace(cfg, input_train=input_train, input_val=input_val)
+
+
 def normalize_config_from(
     pipe: PipelineConfig, user_tokens: Optional[dict] = None
 ) -> NormalizeConfig:
@@ -99,6 +127,8 @@ def build_train_loader(
         "relative_ratios": getattr(args, "relative_train_manifest_ratios", None),
         "canary_exponent": getattr(args, "canary_manifest_exponent", None),
     }
+    rand_first = getattr(args, "randomize_first_n_epochs", 0) or 0
+    num_buckets = getattr(args, "num_buckets", 6)
     if any(v is not None for v in ratio_modes.values()):
         from caiman_asr_tpu.data.sampler import WeightedBucketingSampler
 
@@ -106,14 +136,25 @@ def build_train_loader(
             [u.duration for u in utts],
             [u.manifest_idx for u in utts],
             batch_size=batch_size, world_size=world_size, seed=seed,
-            num_buckets=getattr(args, "num_buckets", 6),
+            num_buckets=num_buckets,
+            randomize_first_n_epochs=rand_first,
             **{k: v for k, v in ratio_modes.items() if v is not None},
+        )
+    elif num_buckets == 0:
+        # reference args/train.py:225-231: 0 buckets selects the
+        # RandomSampler (no duration grouping at all)
+        from caiman_asr_tpu.data.sampler import RandomSampler
+
+        sampler = RandomSampler(
+            [u.duration for u in utts], batch_size=batch_size,
+            world_size=world_size, seed=seed,
         )
     else:
         sampler = BucketingSampler(
             [u.duration for u in utts], batch_size=batch_size,
             world_size=world_size, seed=seed,
-            num_buckets=getattr(args, "num_buckets", 6),
+            num_buckets=num_buckets,
+            randomize_first_n_epochs=rand_first,
         )
     background, babble = build_noise(args, pipe, seed)
     return AudioDataLoader(
@@ -242,7 +283,10 @@ def build_noise(args, pipe: PipelineConfig, seed: int):
     if getattr(args, "prob_background_noise", 0.0) > 0 and getattr(
         args, "noise_dataset", None
     ):
-        ds = NoiseDataset(args.noise_dataset, pipe.logmel.sample_rate)
+        ds = NoiseDataset.from_spec(
+            args.noise_dataset, pipe.logmel.sample_rate,
+            hf_config=getattr(args, "noise_config", None),
+        )
         background = (
             ds,
             NoiseSampler(
@@ -346,7 +390,15 @@ def build_decoder(
 
     ngram_lm = None
     ngram_path = args.ngram_path or (cfg.ngram.ngram_path if cfg else None)
-    if ngram_path and Path(ngram_path).exists():
+    if ngram_path and not getattr(args, "skip_ngram", False):
+        if not Path(ngram_path).exists():
+            # reference setup/base.py:425-431: a configured n-gram that is
+            # missing on disk is an error, not a silent quality downgrade
+            raise FileNotFoundError(
+                f"N-gram not found at {ngram_path}. Ensure you have a valid "
+                "n-gram, or pass the `--skip_ngram` argument to disable "
+                "n-grams during validation."
+            )
         from caiman_asr_tpu.lm.ngram import NGramLM
 
         ngram_lm = NGramLM.load(ngram_path)

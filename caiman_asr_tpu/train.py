@@ -27,6 +27,7 @@ from caiman_asr_tpu.log import init_log
 from caiman_asr_tpu.models.config import load_config
 from caiman_asr_tpu.parallel import make_mesh, replicated, shard_batch
 from caiman_asr_tpu.setup.builders import (
+    apply_input_overrides,
     build_data_source_loader,
     build_decoder,
     build_feature_pipelines,
@@ -111,8 +112,11 @@ def main(args=None):
         json.dumps(vars(args), default=str, indent=1)
     )
 
+    from caiman_asr_tpu.args.train import resolve_train_dataset_yaml
+
+    resolve_train_dataset_yaml(args)
     bundle = load_config(args.model_config, args.max_duration)
-    cfg = bundle.cfg
+    cfg = apply_input_overrides(bundle.cfg, args)
     tokenizer = build_tokenizer(cfg, args.tokenizer_model)
     model, blank_idx = build_model(cfg, tokenizer, args)
 
@@ -323,6 +327,7 @@ def main(args=None):
                 args.norm_ramp_end_step
                 if args.norm_ramp_end_step is not None
                 else args.warmup_steps + args.hold_steps,
+                start_ratio=getattr(args, "norm_starting_ratio", 0.0),
             )
 
     # -------------------------------------------------------------- loop
@@ -517,6 +522,16 @@ def main(args=None):
                         seq_len_mean_s=float(d.mean()),
                         seq_len_max_s=float(d.max()),
                     )
+                    if getattr(args, "log_verbose_utterance_statistics", False):
+                        # reference args/train.py:402: expensive percentile
+                        # stats over the window's utterance durations
+                        tput.update(
+                            seq_len_min_s=float(d.min()),
+                            seq_len_p50_s=float(np.percentile(d, 50)),
+                            seq_len_p90_s=float(np.percentile(d, 90)),
+                            seq_len_p99_s=float(np.percentile(d, 99)),
+                            seq_len_std_s=float(d.std()),
+                        )
                 logger.accumulate(tput)
                 logger.flush_accumulated((epoch, step))
                 if "layer_stats" in metrics:
@@ -547,7 +562,7 @@ def main(args=None):
                     val_loader,
                     val_fp,
                     tokenizer,
-                    val_loss_fn=val_loss_step,
+                    val_loss_fn=None if args.skip_val_loss else val_loss_step,
                     standardize_wer=cfg.input_val.dataset.standardize_wer,
                     normalize_config=normalize_config_from(cfg.input_val),
                     charset=list(cfg.tokenizer.labels),
@@ -579,10 +594,12 @@ def main(args=None):
                 break
         epoch += 1
 
-    ckptr.save(
-        state.params, state.ema_params, state.opt_state,
-        epoch, step, best_wer, is_last=True, meta=_ckpt_meta(cfg, mel_ramp, step),
-    )
+    if not getattr(args, "dont_save_at_the_end", False):
+        ckptr.save(
+            state.params, state.ema_params, state.opt_state,
+            epoch, step, best_wer, is_last=True,
+            meta=_ckpt_meta(cfg, mel_ramp, step),
+        )
     profiler.stop()
     resources.stop()
     timers.dump(step)

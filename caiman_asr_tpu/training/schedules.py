@@ -106,19 +106,25 @@ class GradNoiseSchedule:
 
 @dataclass
 class MelNormRamp:
-    """Linear utterance->dataset stats blend ratio over a step window."""
+    """Linear utterance->dataset stats blend ratio over a step window.
+
+    ``start_ratio`` is the pre-ramp dataset_to_utt_ratio (reference
+    ``--norm_starting_ratio``, args/mel_feat_norm.py:19-26): the blend
+    ramps linearly from start_ratio to 1.0 across the window."""
 
     ramp_start_step: int
     ramp_end_step: int
+    start_ratio: float = 0.0
 
     def ratio(self, step: int) -> float:
         if step <= self.ramp_start_step:
-            return 0.0
+            return self.start_ratio
         if step >= self.ramp_end_step:
             return 1.0
-        return (step - self.ramp_start_step) / (
+        frac = (step - self.ramp_start_step) / (
             self.ramp_end_step - self.ramp_start_step
         )
+        return self.start_ratio + (1.0 - self.start_ratio) * frac
 
     def complete(self, step: int) -> bool:
         return step >= self.ramp_end_step

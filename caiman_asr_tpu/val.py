@@ -48,12 +48,32 @@ def val_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--use_ema", action="store_true", default=True)
     parser.add_argument("--no_ema", dest="use_ema", action="store_false")
     parser.add_argument("--calc_loss", "--calculate_loss", action="store_true")
+    parser.add_argument("--nth_batch_only", type=int, default=None,
+                        help="only evaluate the nth batch (0-based), useful "
+                             "for debugging (reference args/val.py:119)")
     parser.add_argument(
         "--norm_over_utterance", action="store_true",
         help="normalize mel features with full-utterance stats instead of "
              "dataset stats — NOT streaming compatible; for evaluating "
              "legacy models (reference args/mel_feat_norm.py:43)")
     return parser
+
+
+class _NthBatchLoader:
+    """Evaluate only the nth batch (reference --nth_batch_only,
+    args/val.py:119) — debugging aid for isolating a bad batch."""
+
+    def __init__(self, loader, n: int):
+        self._loader = loader
+        self._n = n
+
+    def epoch(self, i: int):
+        import itertools
+
+        return itertools.islice(self._loader.epoch(i), self._n, self._n + 1)
+
+    def __getattr__(self, name):
+        return getattr(self._loader, name)
 
 
 def validate(args=None):
@@ -67,8 +87,21 @@ def validate(args=None):
     out_dir = Path(args.output_dir)
     logger = init_log(out_dir, enable_tensorboard=False)
 
+    if getattr(args, "calculate_emission_latency", False):
+        if not args.gt_ctm:
+            raise SystemExit(
+                "--calculate_emission_latency requires --gt_ctm reference "
+                "CTMs (generate them with latency/generate_gt_ctm.py)"
+            )
+        if args.decoder == "beam" and args.beam_no_partials:
+            raise SystemExit(
+                "Cannot calculate emission latency for beam search if "
+                "--beam_no_partials is set"
+            )
     bundle = load_config(args.model_config, None)
-    cfg = bundle.cfg
+    from caiman_asr_tpu.setup.builders import apply_input_overrides
+
+    cfg = apply_input_overrides(bundle.cfg, args)
     tokenizer = build_tokenizer(cfg, args.tokenizer_model)
     model, blank_idx = build_model(cfg, tokenizer)
 
@@ -85,6 +118,8 @@ def validate(args=None):
     loader = build_data_source_loader(
         args, cfg, tokenizer, args.val_batch_size, train=False
     )
+    if args.nth_batch_only is not None:
+        loader = _NthBatchLoader(loader, args.nth_batch_only)
     from caiman_asr_tpu.utils.user_tokens import get_user_token
 
     try:

@@ -23,6 +23,13 @@ jax.config.update("jax_platforms", "cpu")
 # Kernel parity tests compare against float64/torch references; keep f32
 # matmuls exact on the test platform.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache: the suite is compile-dominated on this 1-core
+# host; warm reruns skip most of it. Safe across processes (XLA locks).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("CAIMAN_TEST_JAX_CACHE", "/tmp/caiman_test_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -98,6 +98,7 @@ def test_train_step_updates_running_stats():
         assert not np.allclose(s0, s1)
 
 
+@pytest.mark.slow
 def test_bn_model_decodes_greedy_and_streams():
     from caiman_asr_tpu.decoding.greedy import init_decode_state, make_streaming_step
     from caiman_asr_tpu.models.state import EncoderState

@@ -127,6 +127,7 @@ def test_dropout_zero_is_identity_and_train_dropout_changes():
     assert not np.allclose(np.asarray(o1), np.asarray(o3))
 
 
+@pytest.mark.slow
 def test_rw_dropout_changes_output_only_in_train():
     import jax
     import jax.numpy as jnp

@@ -31,14 +31,24 @@ from caiman_asr_tpu.ops.transducer_loss import (
     transducer_loss_from_fg,
 )
 
+# First entry (no modifiers) stays in the fast tier; the penalty variants
+# each compile a distinct loss (~7-8 s on a 1-core host) and run as `slow`.
 MODS = [
     LossModifiers(),
-    LossModifiers(delay_penalty=0.1),
-    LossModifiers(eos_penalty=0.3, eos_idx=2, delay_penalty=0.05),
-    LossModifiers(star_penalty=-0.7, star_idx=3),
-    LossModifiers(
-        delay_penalty=0.1, eos_penalty=0.2, eos_idx=2,
-        star_penalty=-0.5, star_idx=3,
+    pytest.param(LossModifiers(delay_penalty=0.1), marks=pytest.mark.slow),
+    pytest.param(
+        LossModifiers(eos_penalty=0.3, eos_idx=2, delay_penalty=0.05),
+        marks=pytest.mark.slow,
+    ),
+    pytest.param(
+        LossModifiers(star_penalty=-0.7, star_idx=3), marks=pytest.mark.slow
+    ),
+    pytest.param(
+        LossModifiers(
+            delay_penalty=0.1, eos_penalty=0.2, eos_idx=2,
+            star_penalty=-0.5, star_idx=3,
+        ),
+        marks=pytest.mark.slow,
     ),
 ]
 
@@ -153,6 +163,7 @@ def test_prune_ranges_feasible():
         assert (r[b, last:] == smax).all()
 
 
+@pytest.mark.slow
 def test_narrow_band_upper_bounds_exact_nll():
     rng = np.random.default_rng(4)
     B, T, U, S = 3, 10, 6, 2
@@ -240,6 +251,7 @@ def test_full_range_pruned_equals_dense_from_fg(mods):
         )
 
 
+@pytest.mark.slow
 def test_pruned_objective_trains_simple_heads():
     """simple_scale > 0 sends gradient into the simple projections."""
     rng = np.random.default_rng(6)
@@ -266,6 +278,7 @@ def test_pruned_objective_trains_simple_heads():
     assert max(norms) > 0.0
 
 
+@pytest.mark.slow
 def test_pruned_train_step_smoke():
     """make_train_step(pruned_range>0) runs end-to-end and improves the
     objective on a tiny overfit batch."""

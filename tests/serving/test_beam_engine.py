@@ -451,6 +451,7 @@ def test_cap_saturation_force_commit_preserves_stream():
     assert text2 == "b" * 60, text2[:80]
 
 
+@pytest.mark.slow
 def test_beam_engine_with_lm_fusion(tmp_path):
     """The streaming beam engine accepts the device LM automaton and ticks
     (server --ngram_path path); fusion state rides the beam state."""
