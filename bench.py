@@ -287,7 +287,7 @@ def main():
         ladder, tunnel_b, compute_b = [8], 8, 8
     else:
         # small -> large: secure a verified rung early, then try to raise it
-        ladder, tunnel_b, compute_b = [4096, 8192, 16384], 2048, 16384
+        ladder, tunnel_b, compute_b = [4096, 8192, 12288, 16384], 2048, 16384
 
     engine_results = _partial["engine"]  # (B, mean, p99)
     for B in ladder:
