@@ -20,6 +20,16 @@ def add_shared_args(parser: argparse.ArgumentParser):
     io.add_argument("--tokenizer_model", type=str, default=None,
                     help="Override config sentpiece_model path (.model or .json)")
     io.add_argument("--tensorboard", action="store_true")
+    io.add_argument("--log_file", type=str, default=None,
+                    help="Path for the JSONL metrics logfile "
+                         "(default: <output_dir>/log_<timestamp>.jsonl)")
+    io.add_argument("--timestamp", type=str, default=None,
+                    help="Timestamp string to use in log/args filenames "
+                         "(default: current time)")
+    io.add_argument("--skip_init", action="store_true",
+                    help="Do not re-initialise once-only state (reference "
+                         "flag for relaunched processes; accepted for "
+                         "launch-script parity)")
     io.add_argument("--dump_preds", action="store_true")
     io.add_argument("--val_batch_size", type=int, default=16)
     io.add_argument("--mel_stats_path", type=str, default=None,
@@ -95,8 +105,14 @@ def add_decoder_args(parser: argparse.ArgumentParser):
                           "declares one (reference args/decoder.py:130)")
     dec.add_argument("--ngram_scale_factor", type=float, default=None)
     dec.add_argument("--keyword_boost_path", type=str, default=None)
-    dec.add_argument("--beam_parallel_procs", type=int, default=1,
-                     help="decode the beam over N worker processes (CPU eval)")
+    dec.add_argument("--beam_parallel_procs", "--beam_decoder_procs_per_gpu",
+                     dest="beam_parallel_procs", type=int, default=1,
+                     help="decode the beam over N worker processes (CPU "
+                          "eval); -1 = all cores up to 8 (reference "
+                          "args/decoder.py semantics)")
+    dec.add_argument("--beam_min_decode_batch_size_per_proc", type=int,
+                     default=128,
+                     help="Minimum utterances per parallel-decode chunk")
 
     eos = parser.add_argument_group("eos decoding")
     eos.add_argument("--eos_decoding", type=str, default="none",

@@ -48,15 +48,29 @@ def _load_texts(args) -> list:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="train sentencepiece vocab")
-    p.add_argument("--manifests", nargs="+", default=[])
+    p.add_argument("--manifests", "--train_manifests", dest="manifests",
+                   nargs="+", default=[])
     p.add_argument("--read_from_tar", action="store_true")
     p.add_argument("--tar_files", nargs="+", default=[],
                    help="webdataset tar/zip shards (with --read_from_tar)")
-    p.add_argument("--dataset_dir", default=".")
-    p.add_argument("--vocab_size", type=int, default=8703)
-    p.add_argument("--output_prefix", required=True)
+    p.add_argument("--dataset_dir", "--data_dir", dest="dataset_dir",
+                   default=".")
+    p.add_argument("--vocab_size", "--spm_size", dest="vocab_size",
+                   type=int, default=8703)
+    p.add_argument("--output_prefix", default=None)
+    p.add_argument("--spm_name", default=None,
+                   help="Tokenizer name; combined with --output_dir it "
+                        "forms the output prefix (reference spm_from_json)")
+    p.add_argument("--output_dir", default=None,
+                   help="Where to save the spm (with --spm_name)")
     p.add_argument("--max_corpus", type=int, default=None)
     args = p.parse_args(argv)
+
+    if args.output_prefix is None:
+        if args.spm_name is None:
+            raise SystemExit("pass --output_prefix or --spm_name")
+        out_dir = args.output_dir or "."
+        args.output_prefix = f"{out_dir}/{args.spm_name}"
 
     texts = _load_texts(args)
     corpus = [

@@ -64,11 +64,15 @@ class ParallelDecoder:
         ckpt_path: Optional[str],
         decoder_kwargs: Optional[dict] = None,
         nprocs: Optional[int] = None,
+        min_batch_per_proc: int = 1,
     ):
         import multiprocessing
 
         self.model = model
-        self.nprocs = nprocs or min(os.cpu_count() or 1, 8)
+        if nprocs is None or nprocs < 0:
+            nprocs = min(os.cpu_count() or 1, 8)
+        self.nprocs = max(1, nprocs)
+        self.min_batch_per_proc = max(1, min_batch_per_proc)
         # spawn (not fork): forking a process with a live JAX runtime
         # deadlocks; fresh interpreters also let JAX_PLATFORMS=cpu take hold
         self._pool = ProcessPoolExecutor(
@@ -84,8 +88,9 @@ class ParallelDecoder:
 
     def decode_encs(self, params, encs, enc_lens) -> List[Dict]:
         B = encs.shape[0]
-        # 2x over-chunking for load balance (reference parallel_decoder.py)
-        n_chunks = min(B, 2 * self.nprocs)
+        # 2x over-chunking for load balance (reference parallel_decoder.py),
+        # but never split below the per-chunk minimum batch size
+        n_chunks = min(B, 2 * self.nprocs, max(1, B // self.min_batch_per_proc))
         sizes = [(B + n_chunks - 1 - i) // n_chunks for i in range(n_chunks)]
         chunks, start = [], 0
         for s in sizes:

@@ -86,30 +86,165 @@ def _by_file(ctm: List[CTMTimestamp]) -> Dict[str, List[CTMTimestamp]]:
     return files
 
 
+_BASIC_CHARS = frozenset(" abcdefghijklmnopqrstuvwxyz'")
+
+
+def _norm_word(word: str) -> str:
+    """Lowercase and strip to the basic character set used for alignment
+    (reference measure_latency.py:20,225-226)."""
+    return "".join(c for c in word.lower() if c in _BASIC_CHARS)
+
+
+@dataclass
+class _Delta:
+    """Head/tail offsets of one matched (ground-truth, predicted) word pair."""
+
+    gt_end: float
+    head_lat: float
+    tail_lat: float
+    time_gt: float
+    time_pr: float
+
+
+@dataclass
+class AlignedLatencies:
+    """Everything the CTM-vs-CTM alignment produces
+    (reference measure_latency.py:163-295 return tuple, named)."""
+
+    latencies: List[float]  # tail latency per matched word (emission latency)
+    end_times: List[float]  # ground-truth end time per matched word
+    sil_latency: List[float]  # endpoint latency, SIL-terminated utterances
+    eos_latency: List[float]  # endpoint latency, EOS-terminated utterances
+    token_usage_rate: float  # matched words / ground-truth words
+    terminal_token_usage_rate: float  # utts whose final word matched / utts
+    timestamp_stats: Dict[str, float]
+
+
+def _timestamp_stats(
+    deltas: List[_Delta], head_offset: float, tail_offset: float
+) -> Dict[str, float]:
+    """Average-absolute-shift (AAS) timestamp accuracy: raw, after the given
+    fixed offsets, and after per-run optimal (median) offsets
+    (reference measure_latency.py:120-160)."""
+    if not deltas:
+        return {}
+
+    def mean_abs_off(vals: List[float], off: float) -> float:
+        return mean(abs(v - off) for v in vals)
+
+    heads = [d.head_lat for d in deltas]
+    tails = [d.tail_lat for d in deltas]
+    opt_head = median(heads)
+    opt_tail = median(tails)
+    return {
+        "mean_word_time_gt": mean(d.time_gt for d in deltas),
+        "mean_word_time_pr": mean(d.time_pr for d in deltas),
+        "optimal_head_offset": opt_head,
+        "optimal_tail_offset": opt_tail,
+        "raw_AAS": (mean_abs_off(heads, 0.0) + mean_abs_off(tails, 0.0)) / 2,
+        "fixed_AAS": (
+            mean_abs_off(heads, head_offset) + mean_abs_off(tails, tail_offset)
+        )
+        / 2,
+        "corrected_AAS": (
+            mean_abs_off(heads, opt_head) + mean_abs_off(tails, opt_tail)
+        )
+        / 2,
+    }
+
+
+def align_transcripts(
+    gt_ctm: List[CTMTimestamp],
+    model_ctm: List[CTMTimestamp],
+    last_emit_time: Optional[Dict[str, Termination]] = None,
+    include_subs: bool = False,
+    head_offset: float = 0.0,
+    tail_offset: float = 0.0,
+) -> AlignedLatencies:
+    """Difflib-align normalized word sequences per file and derive emission
+    latencies, endpoint (SIL/EOS) latencies, and timestamp accuracy
+    (reference measure_latency.py:163-295). Substituted spans count only
+    when ``include_subs`` and both spans have equal length; tag words
+    (``<eos>`` etc.) are excluded before alignment."""
+    from caiman_asr_tpu.utils.user_tokens import is_tag
+
+    gt_files = _by_file(gt_ctm)
+    pr_files = _by_file(model_ctm)
+
+    deltas: List[_Delta] = []
+    sil_latency: List[float] = []
+    eos_latency: List[float] = []
+    accepted = 0
+    all_gt_words = 0
+    end_acc = 0
+    end_tot = 0
+
+    def span_ok(op: str, len_gt: int, len_pr: int) -> bool:
+        if op == "equal":
+            return True
+        return op == "replace" and include_subs and len_gt == len_pr
+
+    for fname, gts_raw in gt_files.items():
+        prs_raw = pr_files.get(fname)
+        if prs_raw is None:
+            continue
+        gts = [t for t in gts_raw if not is_tag(t.word)]
+        prs = [t for t in prs_raw if not is_tag(t.word)]
+        gt_words = [_norm_word(t.word) for t in gts]
+        pr_words = [_norm_word(t.word) for t in prs]
+
+        sm = difflib.SequenceMatcher(a=gt_words, b=pr_words, autojunk=False)
+        for op, a0, a1, b0, b1 in sm.get_opcodes():
+            if not span_ok(op, a1 - a0, b1 - b0):
+                continue
+            for i, j in zip(range(a0, a1), range(b0, b1)):
+                deltas.append(
+                    _Delta(
+                        gt_end=gts[i].end_time,
+                        head_lat=prs[j].beg_time - gts[i].beg_time,
+                        tail_lat=prs[j].end_time - gts[i].end_time,
+                        time_gt=gts[i].end_time - gts[i].beg_time,
+                        time_pr=prs[j].end_time - prs[j].beg_time,
+                    )
+                )
+            accepted += b1 - b0
+
+        if last_emit_time is not None:
+            if fname not in last_emit_time:
+                raise KeyError(f"missing termination time for {fname}")
+            last_gt = gt_words[-1] if gt_words else ""
+            last_pr = pr_words[-1] if pr_words else ""
+            if last_gt == last_pr:
+                # empty ground truth => worst-case endpoint latency base 0.0
+                gt_final = gts[-1].end_time if gts else 0.0
+                end_acc += 1
+                term = last_emit_time[fname]
+                if isinstance(term, EOS):
+                    eos_latency.append(term.final_time - gt_final)
+                elif isinstance(term, Silence):
+                    sil_latency.append(term.final_time - gt_final)
+
+        end_tot += 1
+        all_gt_words += len(gt_words)
+
+    return AlignedLatencies(
+        latencies=[d.tail_lat for d in deltas],
+        end_times=[d.gt_end for d in deltas],
+        sil_latency=sil_latency,
+        eos_latency=eos_latency,
+        token_usage_rate=accepted / all_gt_words if all_gt_words else 0.0,
+        terminal_token_usage_rate=end_acc / end_tot if end_tot else 0.0,
+        timestamp_stats=_timestamp_stats(deltas, head_offset, tail_offset),
+    )
+
+
 def align_ctm_files(
     gt_ctm: List[CTMTimestamp],
     model_ctm: List[CTMTimestamp],
     include_subs: bool = False,
 ) -> List[float]:
     """Per matched word: model emission time − ground-truth word end time."""
-    gt_files = _by_file(gt_ctm)
-    pr_files = _by_file(model_ctm)
-    latencies: List[float] = []
-    for fname, gts in gt_files.items():
-        prs = pr_files.get(fname)
-        if not prs:
-            continue
-        gt_words = [t.word for t in gts]
-        pr_words = [t.word for t in prs]
-        sm = difflib.SequenceMatcher(a=gt_words, b=pr_words, autojunk=False)
-        for op, a0, a1, b0, b1 in sm.get_opcodes():
-            if op == "equal":
-                for i, j in zip(range(a0, a1), range(b0, b1)):
-                    latencies.append(prs[j].end_time - gts[i].end_time)
-            elif op == "replace" and include_subs:
-                for i, j in zip(range(a0, a1), range(b0, b1)):
-                    latencies.append(prs[j].end_time - gts[i].end_time)
-    return latencies
+    return align_transcripts(gt_ctm, model_ctm, include_subs=include_subs).latencies
 
 
 def latency_stats(

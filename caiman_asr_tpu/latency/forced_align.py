@@ -75,6 +75,23 @@ def viterbi_alignment(
         params, feats, feat_lens, jnp.asarray(tokens), jnp.asarray(token_lens),
         train=False,
     )
+    return viterbi_alignment_from_enc(
+        model, params, f, f_lens, g, tokens, token_lens, blank_idx
+    )
+
+
+def viterbi_alignment_from_enc(
+    model,
+    params,
+    f,
+    f_lens,
+    g,
+    tokens: np.ndarray,
+    token_lens: np.ndarray,
+    blank_idx: int,
+) -> List[np.ndarray]:
+    """Alignment from precomputed encoder output f [B, T', Hj] and
+    prediction output g [B, U+1, Hj] (segment-wise encoding feeds this)."""
     logits = model.joint(params, f, g)  # [B, T, U+1, K]
     null, emit = joint_lattice_scores(
         logits, jnp.asarray(tokens), f_lens, jnp.asarray(token_lens), blank_idx

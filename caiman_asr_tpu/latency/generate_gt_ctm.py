@@ -21,6 +21,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _segmented_alignment(
+    model, params, feats, feat_lens, batch, blank_idx, seg_frames
+):
+    """Encode one long utterance (B=1) in segments carrying the LSTM
+    streaming state — exact, unlike the reference's stateless CTC chunks
+    (forced_align.py:288-321) — then align on the concatenated encoder
+    output."""
+    from caiman_asr_tpu.latency.forced_align import viterbi_alignment_from_enc
+
+    T = int(np.asarray(feat_lens)[0])
+    state = None
+    fs = []
+    for s in range(0, T, seg_frames):
+        seg = feats[s : min(s + seg_frames, T)]
+        f, fl, state = model.encode(
+            params, seg, jnp.asarray([seg.shape[0]]), enc_state=state,
+            train=False,
+        )
+        fs.append(np.asarray(f[:, : int(fl[0])]))
+    f = jnp.asarray(np.concatenate(fs, axis=1))
+    f_lens = jnp.asarray([f.shape[1]])
+    g, _, _ = model.predict(
+        params, jnp.asarray(batch.tokens), batch_size=1, train=False
+    )
+    return viterbi_alignment_from_enc(
+        model, params, f, f_lens, g, batch.tokens, batch.token_lens, blank_idx
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="forced-alignment ground-truth CTM")
     p.add_argument("--model_config", required=True)
@@ -32,6 +61,13 @@ def main(argv=None):
     p.add_argument("--mel_stats_path", default=None)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_utts", type=int, default=None)
+    p.add_argument(
+        "--segment_len", type=int, default=0,
+        help="Minutes per encoder segment for long audio (reference "
+             "forced_align.py:288-321). 0 = encode whole utterances. Unlike "
+             "the reference's stateless CTC chunks, segments here carry the "
+             "LSTM streaming state, so segmented encoding is EXACT; "
+             "utterances are processed one at a time in this mode.")
     args = p.parse_args(argv)
 
     from caiman_asr_tpu.export.checkpointer import apply_params, load_checkpoint
@@ -64,6 +100,16 @@ def main(argv=None):
     utts = load_utterances(args.manifests, args.dataset_dir, cfg.input_val)
     if args.max_utts:
         utts = utts[: args.max_utts]
+    seg_frames = 0
+    if args.segment_len:
+        feat_secs = (
+            cfg.input_val.logmel.window_stride
+            * cfg.input_val.splicing.frame_subsampling
+        )
+        seg_frames = int(round(args.segment_len * 60.0 / feat_secs))
+        stf = cfg.rnnt.enc_stack_time_factor
+        seg_frames -= seg_frames % stf  # keep StackTime groups intact
+        args.batch_size = 1  # exact per-utterance state carry
     loader = build_val_loader(utts, tokenizer, cfg.input_val, args.batch_size)
 
     frame_width = (
@@ -78,10 +124,15 @@ def main(argv=None):
         feats, feat_lens = val_fp(
             batch.audio, batch.audio_lens, dataset_to_utt_ratio=1.0
         )
-        frames = viterbi_alignment(
-            model, params, feats, jnp.asarray(feat_lens),
-            batch.tokens, batch.token_lens, blank_idx,
-        )
+        if seg_frames and feats.shape[0] > seg_frames:
+            frames = _segmented_alignment(
+                model, params, feats, feat_lens, batch, blank_idx, seg_frames
+            )
+        else:
+            frames = viterbi_alignment(
+                model, params, feats, jnp.asarray(feat_lens),
+                batch.tokens, batch.token_lens, blank_idx,
+            )
         for b, fr in enumerate(frames):
             toks = [int(t) for t in batch.tokens[b, : batch.token_lens[b]]]
             rows = alignment_to_ctm_entries(fr, toks, tokenizer, frame_width)

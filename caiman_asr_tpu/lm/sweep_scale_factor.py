@@ -16,7 +16,8 @@ from caiman_asr_tpu.val import val_arg_parser, validate
 
 def main(argv=None):
     parser = val_arg_parser()
-    parser.add_argument("--scales", type=float, nargs="+",
+    parser.add_argument("--scales", "--scale_factors", dest="scales",
+                        type=float, nargs="+",
                         default=[0.0, 0.025, 0.05, 0.1, 0.2])
     args = parser.parse_args(argv)
     args.decoder = "beam"

@@ -25,13 +25,19 @@ class MetricLogger:
         output_dir: Optional[str | Path] = None,
         enable_tensorboard: bool = False,
         stdout: bool = True,
+        log_file: Optional[str | Path] = None,
+        timestamp: Optional[str] = None,
     ):
         self.stdout = stdout
         self.jsonl = None
-        if output_dir is not None:
+        if log_file is not None:
+            Path(log_file).parent.mkdir(parents=True, exist_ok=True)
+            self.jsonl = open(log_file, "a")
+        elif output_dir is not None:
             out = Path(output_dir)
             out.mkdir(parents=True, exist_ok=True)
-            self.jsonl = open(out / f"log_{int(time.time())}.jsonl", "a")
+            ts = timestamp or str(int(time.time()))
+            self.jsonl = open(out / f"log_{ts}.jsonl", "a")
         self._tb = {}
         self._tb_dir = Path(output_dir) / "tb" if output_dir else None
         self._tb_enabled = enable_tensorboard and output_dir is not None
@@ -104,7 +110,11 @@ class MetricLogger:
 _global_logger: Optional[MetricLogger] = None
 
 
-def init_log(output_dir=None, enable_tensorboard=False) -> MetricLogger:
+def init_log(
+    output_dir=None, enable_tensorboard=False, log_file=None, timestamp=None
+) -> MetricLogger:
     global _global_logger
-    _global_logger = MetricLogger(output_dir, enable_tensorboard)
+    _global_logger = MetricLogger(
+        output_dir, enable_tensorboard, log_file=log_file, timestamp=timestamp
+    )
     return _global_logger

@@ -107,8 +107,14 @@ def main(args=None):
         print(f"multihost: process {pid}/{pcount}")
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    logger = init_log(out_dir, enable_tensorboard=args.tensorboard)
-    (out_dir / f"training_args_{int(time.time())}.json").write_text(
+    run_ts = getattr(args, "timestamp", None) or str(int(time.time()))
+    logger = init_log(
+        out_dir,
+        enable_tensorboard=args.tensorboard,
+        log_file=getattr(args, "log_file", None),
+        timestamp=run_ts,
+    )
+    (out_dir / f"training_args_{run_ts}.json").write_text(
         json.dumps(vars(args), default=str, indent=1)
     )
 

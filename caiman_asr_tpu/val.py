@@ -85,7 +85,12 @@ def validate(args=None):
         except Exception as e:  # backend already initialised
             print(f"WARNING: --cpu ignored (backend already initialised: {e})")
     out_dir = Path(args.output_dir)
-    logger = init_log(out_dir, enable_tensorboard=False)
+    logger = init_log(
+        out_dir,
+        enable_tensorboard=False,
+        log_file=getattr(args, "log_file", None),
+        timestamp=getattr(args, "timestamp", None),
+    )
 
     if getattr(args, "calculate_emission_latency", False):
         if not args.gt_ctm:
@@ -127,7 +132,9 @@ def validate(args=None):
     except ValueError as e:
         print(f"WARNING: eos token disabled: {e}")
         eos_idx = None
-    if args.decoder == "beam" and args.beam_parallel_procs > 1:
+    if args.decoder == "beam" and (
+        args.beam_parallel_procs > 1 or args.beam_parallel_procs == -1
+    ):
         from caiman_asr_tpu.decoding.parallel import ParallelDecoder
 
         decoder = ParallelDecoder(
@@ -142,6 +149,7 @@ def validate(args=None):
                 beam_prune_topk_thresh=args.beam_prune_topk_thresh,
             ),
             nprocs=args.beam_parallel_procs,
+            min_batch_per_proc=args.beam_min_decode_batch_size_per_proc,
         )
     else:
         decoder = build_decoder(model, blank_idx, tokenizer, args, cfg, eos_idx=eos_idx)

@@ -32,7 +32,8 @@ def add_val_multiple_args(parser):
         help="validate every checkpoint matching this glob",
     )
     g.add_argument(
-        "--all_dataset_dirs", nargs="+", default=None,
+        "--all_dataset_dirs", "--all_data_dirs", dest="all_dataset_dirs",
+        nargs="+", default=None,
         help="dataset dir per validation set (pairs with --all_val_manifests; "
              "--dataset_dir is ignored in this mode)",
     )

@@ -148,15 +148,77 @@ def test_spm_train_cli(tmp_path):
     assert t_json.detokenize(ids) == "hello world"
 
 
-def test_eos_add_cli(tmp_path):
+def test_eos_add_cli_append_only(tmp_path):
     from caiman_asr_tpu.data.eos_add import main as eos_main
 
     entries = [{"transcript": "hi there", "files": [], "original_duration": 1.0}]
     (tmp_path / "in.json").write_text(json.dumps(entries))
     eos_main(["--manifest", str(tmp_path / "in.json"),
-              "--output", str(tmp_path / "out.json")])
+              "--output", str(tmp_path / "out.json"), "--append_only"])
     out = json.loads((tmp_path / "out.json").read_text())
     assert out[0]["transcript"] == "hi there <EOS>"
+
+
+def test_eos_add_cli_segmenting(tmp_path):
+    from caiman_asr_tpu.data.eos_add import main as eos_main
+
+    entries = [
+        {"transcript": "i like cake. do you like cake?", "files": []},
+        {"transcript": "cut off in the middle of a", "files": []},
+        {"transcript": "   ", "files": []},
+    ]
+    (tmp_path / "in.json").write_text(json.dumps(entries))
+    eos_main(["--data_dir", str(tmp_path), "--manifests", "in.json",
+              "--output_dir", str(tmp_path), "--eos_token", "<EOS>"])
+    out = json.loads((tmp_path / "in.eos.json").read_text())
+    by_text = {e["transcript"]: e for e in out}
+    # two complete sentences -> EOS after each
+    assert "i like cake. <EOS> do you like cake? <EOS>" in by_text
+    assert by_text["i like cake. <EOS> do you like cake? <EOS>"]["eos_count"] == 2
+    # incomplete final sentence -> no EOS at end of string
+    assert by_text["cut off in the middle of a"]["eos_count"] == 0
+    # whitespace-only passes through untouched
+    assert "   " in by_text
+    # default output name exists; rerun without --overwrite skips
+    eos_main(["--data_dir", str(tmp_path), "--manifests", "in.json",
+              "--output_dir", str(tmp_path)])
+
+
+def test_segment_manifest_agreement_logic():
+    from caiman_asr_tpu.data.segment_manifest import (
+        add_eos_to_manifest,
+        merge_split_words,
+        rule_based_segment,
+    )
+
+    assert merge_split_words(["hello ", "wor", "ld"]) == ["hello ", "world"]
+    # segmentation preserves every character
+    text = "one. two! three"
+    assert "".join(rule_based_segment(text)) == text
+    # the repeat-agreement trick: trailing complete sentence gets an EOS,
+    # trailing incomplete sentence does not
+    m = add_eos_to_manifest(
+        [{"transcript": "it works! but this one does not"}], "<EOS>"
+    )
+    assert m[0]["transcript"] == "it works! <EOS> but this one does not"
+    assert m[0]["eos_count"] == 1
+    m2 = add_eos_to_manifest([{"transcript": "all done here."}], "<EOS>")
+    assert m2[0]["transcript"] == "all done here. <EOS>"
+    assert m2[0]["eos_count"] == 1
+
+
+def test_mean_json_duration(tmp_path, capsys):
+    from caiman_asr_tpu.data.mean_json_duration import get_parser, main
+
+    (tmp_path / "a.json").write_text(json.dumps(
+        [{"original_duration": 2.0}, {"original_duration": 4.0},
+         {"original_duration": 99.0}]  # filtered by max_duration
+    ))
+    args = get_parser().parse_args(
+        ["--jsons", "a.json", "--data_dir", str(tmp_path)]
+    )
+    assert main(args) == pytest.approx(3.0)
+    assert "Mean duration: 3.0" in capsys.readouterr().out
 
 
 def test_hf_reader_iteration(monkeypatch):

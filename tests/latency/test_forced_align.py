@@ -53,3 +53,35 @@ def test_model_alignment_shapes():
     for b, frames in enumerate(out):
         assert all(0 <= f < enc_frames[b] for f in frames)
         assert all(frames[i] <= frames[i + 1] for i in range(len(frames) - 1))
+
+
+def test_segmented_encode_alignment_matches_full():
+    """Segment-wise stateful encoding is exact: alignment from concatenated
+    segment encoder outputs == alignment from one full-sequence encode
+    (the --segment_len path in generate_gt_ctm)."""
+    from types import SimpleNamespace
+
+    from caiman_asr_tpu.latency.generate_gt_ctm import _segmented_alignment
+
+    model = RNNT(
+        RNNTModelConfig(
+            in_feats=8, enc_n_hid=12, enc_pre_rnn_layers=1, enc_post_rnn_layers=1,
+            enc_stack_time_factor=2, pred_n_hid=8, pred_rnn_layers=1, joint_n_hid=12,
+            enc_dropout=0.0, pred_dropout=0.0, joint_dropout=0.0,
+        ),
+        10,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    T = 24
+    feats = jnp.asarray(rng.normal(size=(T, 1, 8)), jnp.float32)
+    lens = jnp.asarray([T], jnp.int32)
+    tokens = np.array([[1, 2, 3, 4]], np.int32)
+    tok_lens = np.array([4], np.int32)
+
+    full = viterbi_alignment(model, params, feats, lens, tokens, tok_lens, 9)
+    batch = SimpleNamespace(tokens=tokens, token_lens=tok_lens)
+    seg = _segmented_alignment(
+        model, params, feats, np.asarray(lens), batch, 9, seg_frames=8
+    )
+    np.testing.assert_array_equal(full[0], seg[0])
