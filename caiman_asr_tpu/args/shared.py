@@ -69,9 +69,10 @@ def add_shared_args(parser: argparse.ArgumentParser):
              "(reference args/shared.py:21)",
     )
     parser.add_argument(
-        "--val_final_padding_secs", type=float, default=0.24,
+        "--val_final_padding_secs", type=float, default=None,
         help="pad validation audio with this much trailing silence so the "
-             "streaming decoder flushes (reference args/shared.py:29)",
+             "streaming decoder flushes (reference args/shared.py:29; "
+             "default: the config's input_val value, else 0.24 s)",
     )
     src = parser.add_argument_group("data source")
     src.add_argument("--read_from_tar", action="store_true",

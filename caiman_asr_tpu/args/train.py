@@ -181,6 +181,10 @@ def train_arg_parser() -> argparse.ArgumentParser:
     noise.add_argument("--noise_config", type=str, default=None,
                        help="HF hub config name for a hub-hosted noise "
                             "dataset (reference args/noise_augmentation.py:72)")
+    noise.add_argument("--noise_max_clips", type=int, default=2048,
+                       help="cap on hub-hosted noise clips decoded into host "
+                            "RAM (the streaming HF path materializes clips; "
+                            "local directories decode lazily); 0 = unlimited")
 
     rsp = parser.add_argument_group("random state passing")
     rsp.add_argument("--rsp_delay", type=int, default=None)

@@ -54,9 +54,13 @@ def main(argv=None):
                    help="Accepted for reference-CLI parity (the streaming "
                         "reader is sequential here)")
     p.add_argument("--fallback_input_audio_extension", default=None,
-                   help="Extension to assume when the HF audio feature "
-                        "carries no path metadata")
+                   help="Accepted for reference-CLI parity (audio is "
+                        "re-encoded to wav here, so no input-extension "
+                        "fallback is ever needed)")
     p.add_argument("--use_relative_path", action="store_true", default=True)
+    p.add_argument("--use_absolute_path", dest="use_relative_path",
+                   action="store_false",
+                   help="write absolute audio paths into the manifests")
     p.add_argument("--sample_rate", type=int, default=16000)
     args = p.parse_args(argv)
 

@@ -105,6 +105,10 @@ class BucketingSampler(Sampler):
         self.num_buckets = num_buckets
 
     def _order(self, epoch, rng):
+        if self.num_buckets <= 0:
+            # reference args/train.py:225-231: 0 buckets means no duration
+            # grouping at all (RandomSampler semantics)
+            return self._random_order(epoch, rng)
         n = len(self.durations)
         perm = rng.permutation(n)
         # Stable sort of the shuffled order by duration.
@@ -195,6 +199,8 @@ class WeightedBucketingSampler(BucketingSampler):
         return idxs[rng.permutation(len(idxs))]
 
     def _order(self, epoch, rng):
+        if self.num_buckets <= 0:
+            return self._random_order(epoch, rng)
         idxs = self._weighted_indices(rng)
         if len(idxs) == 0:
             return np.array([], np.int64)

@@ -105,7 +105,10 @@ def _make_segmenter(use_accel: bool) -> Callable[[List[str]], List[List[str]]]:
 
         sat = SaT("sat-12l-sm")
         if use_accel:
-            sat.half().to("cuda")
+            import torch
+
+            if torch.cuda.is_available():
+                sat.half().to("cuda")
         return lambda texts: list(sat.split(texts))
     except ImportError:
         return lambda texts: [rule_based_segment(t) for t in texts]
@@ -142,7 +145,8 @@ def add_eos_to_manifest_avoid_empty(
     manifest: List[Dict], eos_token: str, use_accel: bool = False
 ) -> List[Dict]:
     """Whitespace-only transcripts pass through unmodified (the segmenter
-    rejects empty input)."""
+    rejects empty input). Manifest order is preserved: entries are segmented
+    in place, not moved to the end."""
     has_text = [u for u in manifest if u["transcript"].strip() != ""]
-    empty = [u for u in manifest if u["transcript"].strip() == ""]
-    return add_eos_to_manifest(has_text, eos_token, use_accel) + empty
+    add_eos_to_manifest(has_text, eos_token, use_accel)  # mutates in place
+    return manifest

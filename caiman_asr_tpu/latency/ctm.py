@@ -185,11 +185,14 @@ def align_transcripts(
         return op == "replace" and include_subs and len_gt == len_pr
 
     for fname, gts_raw in gt_files.items():
-        prs_raw = pr_files.get(fname)
-        if prs_raw is None:
-            continue
-        gts = [t for t in gts_raw if not is_tag(t.word)]
-        prs = [t for t in prs_raw if not is_tag(t.word)]
+        # a file the model produced no output for still counts in the
+        # usage-rate denominators (it is a whole-file deletion, the exact
+        # failure these rates exist to expose)
+        prs_raw = pr_files.get(fname) or []
+        # drop tag words and words that normalize to empty (digits /
+        # punctuation-only): two empty strings would otherwise "match"
+        gts = [t for t in gts_raw if not is_tag(t.word) and _norm_word(t.word)]
+        prs = [t for t in prs_raw if not is_tag(t.word) and _norm_word(t.word)]
         gt_words = [_norm_word(t.word) for t in gts]
         pr_words = [_norm_word(t.word) for t in prs]
 
@@ -211,10 +214,13 @@ def align_transcripts(
 
         if last_emit_time is not None:
             if fname not in last_emit_time:
-                raise KeyError(f"missing termination time for {fname}")
+                if prs_raw:
+                    raise KeyError(f"missing termination time for {fname}")
+                # no model output and no termination record: the file simply
+                # never terminated; it still counts in end_tot below
             last_gt = gt_words[-1] if gt_words else ""
             last_pr = pr_words[-1] if pr_words else ""
-            if last_gt == last_pr:
+            if last_gt == last_pr and fname in last_emit_time:
                 # empty ground truth => worst-case endpoint latency base 0.0
                 gt_final = gts[-1].end_time if gts else 0.0
                 end_acc += 1

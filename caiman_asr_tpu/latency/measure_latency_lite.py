@@ -8,6 +8,7 @@ framework.
 
 from __future__ import annotations
 
+import math
 from statistics import mean, median, pstdev
 from typing import Dict, List, Optional, Sequence
 
@@ -50,7 +51,8 @@ def compute_latency_metrics(
 
     ordered = sorted(latencies)
     for perc in percentiles:
-        metrics[f"p{perc}-emission-latency"] = ordered[
-            min(n - 1, int(n * perc / 100))
-        ]
+        # nearest-rank percentile: ceil(n*p/100) - 1, not int(n*p/100)
+        # (the latter reads one rank high; p90 of 10 values would be the max)
+        k = max(0, math.ceil(n * perc / 100) - 1)
+        metrics[f"p{perc}-emission-latency"] = ordered[min(n - 1, k)]
     return metrics

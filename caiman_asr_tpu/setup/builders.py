@@ -72,12 +72,17 @@ def apply_input_overrides(cfg: Config, args) -> Config:
             input_val,
             logmel=dataclasses.replace(input_val.logmel, initial_padding=False),
         )
-    pad = getattr(args, "val_final_padding_secs", None)
-    if pad is not None:
-        input_val = dataclasses.replace(
-            input_val,
-            logmel=dataclasses.replace(input_val.logmel, final_padding_secs=pad),
-        )
+    if hasattr(args, "val_final_padding_secs"):
+        pad = args.val_final_padding_secs
+        if pad is None and input_val.logmel.final_padding_secs == 0.0:
+            # the reference applies 0.24 s by default (args/shared.py:29-33);
+            # a non-zero config value wins when the flag is not passed
+            pad = 0.24
+        if pad is not None and pad != input_val.logmel.final_padding_secs:
+            input_val = dataclasses.replace(
+                input_val,
+                logmel=dataclasses.replace(input_val.logmel, final_padding_secs=pad),
+            )
     if input_train is cfg.input_train and input_val is cfg.input_val:
         return cfg
     return dataclasses.replace(cfg, input_train=input_train, input_val=input_val)
@@ -286,6 +291,7 @@ def build_noise(args, pipe: PipelineConfig, seed: int):
         ds = NoiseDataset.from_spec(
             args.noise_dataset, pipe.logmel.sample_rate,
             hf_config=getattr(args, "noise_config", None),
+            max_clips=getattr(args, "noise_max_clips", 2048) or None,
         )
         background = (
             ds,

@@ -207,6 +207,22 @@ def test_segment_manifest_agreement_logic():
     assert m2[0]["eos_count"] == 1
 
 
+def test_segment_manifest_avoid_empty_preserves_order():
+    from caiman_asr_tpu.data.segment_manifest import (
+        add_eos_to_manifest_avoid_empty,
+    )
+
+    m = [
+        {"transcript": "first done."},
+        {"transcript": "   "},  # whitespace-only passes through in place
+        {"transcript": "third done."},
+    ]
+    out = add_eos_to_manifest_avoid_empty(m, "<EOS>")
+    assert [u["transcript"] for u in out] == [
+        "first done. <EOS>", "   ", "third done. <EOS>"
+    ]
+
+
 def test_mean_json_duration(tmp_path, capsys):
     from caiman_asr_tpu.data.mean_json_duration import get_parser, main
 

@@ -85,6 +85,37 @@ def test_align_transcripts_tags_excluded_and_norm():
     assert out.token_usage_rate == 1.0
 
 
+def test_align_transcripts_whole_file_deletion_counts():
+    """A gt file with no model output at all must still count in both
+    usage-rate denominators (it is the exact failure these rates expose)."""
+    gt = _ctm("a", [("one", 0.0, 0.2), ("two", 0.3, 0.5)]) + _ctm(
+        "b", [("three", 0.0, 0.2), ("four", 0.3, 0.5)]
+    )
+    pr = _ctm("a", [("one", 0.1, 0.3), ("two", 0.4, 0.6)])  # nothing for b
+    out = align_transcripts(gt, pr, last_emit_time={"a": EOS(final_time=0.9)})
+    assert out.token_usage_rate == pytest.approx(0.5)  # 2 of 4 gt words
+    assert out.terminal_token_usage_rate == pytest.approx(0.5)  # 1 of 2 utts
+
+
+def test_align_transcripts_empty_normalized_words_dropped():
+    """Digit/punctuation-only words normalize to '' and must not 'match'
+    each other or count as ground-truth words."""
+    gt = _ctm("a", [("1984", 0.0, 0.2), ("hello", 0.3, 0.5)])
+    pr = _ctm("a", [("7", 0.0, 0.1), ("hello", 0.4, 0.6)])
+    out = align_transcripts(gt, pr)
+    # only the real word pair aligns; '1984' vs '7' is not a bogus match
+    assert out.latencies == pytest.approx([0.1])
+    assert out.token_usage_rate == 1.0  # 1 matched / 1 countable gt word
+
+
+def test_percentile_nearest_rank():
+    vals = [x / 10 for x in range(1, 11)]  # 0.1 .. 1.0
+    m = compute_latency_metrics(vals, [], [], frame_width=None)
+    # nearest-rank p90 of 10 values is the 9th value, not the max
+    assert m["p90-emission-latency"] == pytest.approx(0.9)
+    assert m["p99-emission-latency"] == pytest.approx(1.0)
+
+
 def test_align_transcripts_replace_needs_equal_span():
     gt = _ctm("a", [("aa", 0.0, 0.1), ("bb", 0.2, 0.3), ("cc", 0.4, 0.5)])
     pr = _ctm("a", [("aa", 0.0, 0.2), ("xx", 0.3, 0.4), ("yy", 0.45, 0.5),

@@ -35,10 +35,35 @@ def test_input_override_flags_change_featurizer_config():
 
 def test_val_final_padding_defaults_to_reference_value():
     args = train_arg_parser().parse_args([])
-    assert args.val_final_padding_secs == 0.24
+    # unset flag -> the 0.24 s reference default is applied
+    assert args.val_final_padding_secs is None
     out = apply_input_overrides(Config(), args)
+    assert out.input_val.logmel.final_padding_secs == 0.24
     n_pad = int(0.24 * out.input_val.logmel.sample_rate)
     assert n_pad == 3840
+
+
+def test_val_final_padding_config_value_wins_when_flag_unset():
+    import dataclasses
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        input_val=dataclasses.replace(
+            cfg.input_val,
+            logmel=dataclasses.replace(
+                cfg.input_val.logmel, final_padding_secs=0.5
+            ),
+        ),
+    )
+    # flag unset -> config's 0.5 survives
+    args = train_arg_parser().parse_args([])
+    out = apply_input_overrides(cfg, args)
+    assert out.input_val.logmel.final_padding_secs == 0.5
+    # flag set -> CLI wins
+    args = train_arg_parser().parse_args(["--val_final_padding_secs", "0.1"])
+    out = apply_input_overrides(cfg, args)
+    assert out.input_val.logmel.final_padding_secs == pytest.approx(0.1)
 
 
 def test_norm_ramp_start_ratio():
@@ -99,6 +124,26 @@ def test_num_buckets_zero_selects_random_sampler():
     args = Namespace(num_buckets=0, seed=1)
     loader = build_train_loader(utts, None, PipelineConfig(), 2, 0, args)
     assert isinstance(loader.sampler, RandomSampler)
+
+
+def test_num_buckets_zero_with_manifest_weighting():
+    """num_buckets 0 + any ratio mode must fall back to weighted random
+    order, not crash on a zero bucket size (the reference's num_buckets=0
+    semantics compose with manifest ratios)."""
+    durs = np.ones(40)
+    mids = np.array([0] * 20 + [1] * 20)
+    s = WeightedBucketingSampler(
+        durs, mids, batch_size=4, seed=0, num_buckets=0,
+        relative_ratios=[1.0, 2.0], pessimistic_first_batch=False,
+    )
+    order = np.concatenate(s.epoch_batches(0))
+    n0 = int((mids[order] == 0).sum())
+    n1 = int((mids[order] == 1).sum())
+    assert n1 == 2 * n0  # weighting still applies in random order
+    # plain bucketing sampler with 0 buckets is also random, not a crash
+    b = BucketingSampler(durs, batch_size=4, seed=0, num_buckets=0,
+                         pessimistic_first_batch=False)
+    assert len(np.concatenate(b.epoch_batches(0))) == 40
 
 
 def test_train_dataset_yaml_resolution(tmp_path):
