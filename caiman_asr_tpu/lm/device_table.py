@@ -60,6 +60,10 @@ def build_device_tables(
     user/meta tokens — reference beam.py:494-497 skips fusion for them):
     score 0, state unchanged.
     """
+    if not hasattr(lm, "probs"):
+        # a kenlm binary scorer holds hashed keys only; materialize the
+        # explicit n-gram dicts first (raises with guidance if too large)
+        lm = lm.to_ngram_lm()
     K = len(pieces)
     order = lm.order
 

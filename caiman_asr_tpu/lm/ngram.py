@@ -43,22 +43,21 @@ class NGramLM:
     _KENLM_MAGIC = b"mmap lm http://kheafield.com/code"
 
     @classmethod
-    def load(cls, path: str | Path) -> "NGramLM":
-        """Load .arpa text, our .npz cache (any suffix), or reject a true
-        kenlm .binary with an actionable error. Format is sniffed from
-        magic bytes, not the suffix — a reference deployment's
-        'ngram.binary' is kenlm wire format, while this package's
-        save_binary() writes an npz under the same conventional name."""
+    def load(cls, path: str | Path):
+        """Load .arpa text, our .npz cache (any suffix), or a kenlm
+        PROBING ``.binary`` (reference lm/kenlm_ngram.py:10-48). Format is
+        sniffed from magic bytes, not the suffix — a reference
+        deployment's 'ngram.binary' is kenlm wire format, while this
+        package's save_binary() writes an npz under the same conventional
+        name. kenlm binaries return a :class:`KenLMBinaryLM` exposing the
+        same ``score``/``initial_state`` interface."""
         path = Path(path)
         with open(path, "rb") as fh:
             head = fh.read(len(cls._KENLM_MAGIC))
         if head.startswith(cls._KENLM_MAGIC):
-            raise ValueError(
-                f"{path} is a kenlm-format binary LM, which this package "
-                "does not parse. Re-export the model as ARPA text (kenlm: "
-                "`query -v` or keep the original .arpa) and load that; "
-                "NGramLM.save_binary() can then write a fast npz cache."
-            )
+            from caiman_asr_tpu.lm.kenlm_binary import parse_kenlm_binary
+
+            return parse_kenlm_binary(path)
         if head.startswith(b"PK"):  # zip container = numpy savez
             return cls._load_npz(path)
         return cls._load_arpa(path)
