@@ -29,9 +29,14 @@ SUBPROTOCOL = "stream.asr.api.myrtle.ai"
 
 
 class ASRServer:
-    def __init__(self, engine, tick_interval: float = 0.02):
+    def __init__(self, engine, tick_interval: float = 0.02,
+                 max_buffer_secs: float = 30.0):
+        """max_buffer_secs: a client may run at most this far ahead of
+        real-time; beyond it the connection is closed (1008) instead of
+        buffering unbounded audio in host RAM."""
         self.engine = engine
         self.tick_interval = tick_interval
+        self.max_buffer_secs = max_buffer_secs
         self.queues: Dict[int, asyncio.Queue] = {}
         self._ticker_task = None
 
@@ -103,19 +108,52 @@ class ASRServer:
                 )
 
         send_task = asyncio.create_task(sender())
+        pushed = 0
+
+        def consumed_samples():
+            # engine wrappers (state-reset router) may not track per-lane
+            # frame counts; the flood guard degrades to off there
+            try:
+                return self.engine.lane_frames(lane) * self.engine.hop_samples
+            except Exception:
+                return None
+
+        frame_base = consumed_samples() or 0
+        max_ahead = int(self.max_buffer_secs * 16000)
+        clean_eos = False
         try:
             async for message in websocket:
                 if isinstance(message, str):
                     continue  # text frames ignored on input
                 if len(message) == 0:
                     self.engine.close_stream(lane)
+                    clean_eos = True
+                    break
+                if len(message) % 2:
+                    # S16LE frames must be even-sized; a truncated final
+                    # byte would otherwise kill the connection uncleanly
+                    await websocket.close(code=1003, reason="odd-length frame")
                     break
                 # wire format is pcm16 and the engine stages int16: pass the
                 # bytes straight through (no per-message float conversion)
-                self.engine.push_audio(lane, np.frombuffer(message, dtype="<i2"))
+                arr = np.frombuffer(message, dtype="<i2")
+                pushed += len(arr)
+                consumed = consumed_samples()
+                if consumed is not None and (
+                        pushed - (consumed - frame_base)) > max_ahead:
+                    await websocket.close(
+                        code=1008,
+                        reason=f"client more than {self.max_buffer_secs:g}s "
+                               "ahead of real-time",
+                    )
+                    break
+                self.engine.push_audio(lane, arr)
             else:
                 self.engine.close_stream(lane)
-            await send_task
+                clean_eos = True
+            if clean_eos:
+                # drain the EOS flush; error paths skip straight to cleanup
+                await send_task
         finally:
             send_task.cancel()
             self.queues.pop(lane, None)
@@ -276,6 +314,10 @@ def main(argv=None):
     p.add_argument("--sr_overlap", type=float, default=3.0,
                    help="warmup context seconds for each state reset "
                         "(reference --sr_overlap)")
+    p.add_argument("--max_buffer_secs", type=float, default=30.0,
+                   help="close (1008) clients that push audio more than "
+                        "this many seconds ahead of real-time instead of "
+                        "buffering it in host RAM")
     args = p.parse_args(argv)
     engine = build_engine(args)
     engine.warmup()
@@ -286,7 +328,7 @@ def main(argv=None):
             engine, segment_secs=args.sr_segment,
             overlap_secs=args.sr_overlap,
         )
-    server = ASRServer(engine)
+    server = ASRServer(engine, max_buffer_secs=args.max_buffer_secs)
     chips = getattr(engine, "n_chips", 1)
     print(f"serving on ws://{args.host}:{args.port}/asr/v0.1/stream "
           f"({engine.B} lanes over {chips} chip{'s' if chips > 1 else ''})",

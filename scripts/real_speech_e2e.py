@@ -1,0 +1,233 @@
+"""Real-speech end-to-end learning proof.
+
+Trains a small model on real recorded speech (the reference's only
+genuinely-transcribed test clip — 8.9 s of courtroom audio from
+People's Speech, tests/test_data/peoples-speech-short.json) until the
+greedy decode reproduces the transcript, then checks the streaming
+serving engine emits the same text. Complements scripts/synthetic_e2e.py
+(tone-coded synthetic task) with evidence that the fused log-mel
+frontend + transducer loss + LAMB learn *real* audio end to end.
+
+Usage:
+    python scripts/real_speech_e2e.py [--steps 400] [--cpu]
+
+Writes nothing outside --workdir (a temp dir by default).
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+REF_DATA = Path("/root/reference/training/tests/test_data")
+
+CONFIG = """
+tokenizer:
+  sentpiece_model: {tok}
+  labels: [" ", "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+           "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z", "'"]
+  sampling: 0.0
+input_val:
+  audio_dataset: &val_dataset
+    sample_rate: 16000
+    trim_silence: false
+    normalize_transcripts: lowercase
+    standardize_wer: true
+    error_rate: word
+  filterbank_features: &val_features
+    sample_rate: 16000
+    window_size: 0.025
+    window_stride: 0.01
+    n_fft: 512
+    n_filt: 80
+    dither: 0.0
+  frame_splicing: &val_splicing
+    frame_stacking: 3
+    frame_subsampling: 3
+input_train:
+  audio_dataset:
+    !!merge <<: *val_dataset
+    max_duration: 20.0
+  filterbank_features: *val_features
+  frame_splicing: *val_splicing
+  spec_augment:
+    freq_masks: 0
+    min_freq: 0
+    max_freq: 0
+    time_masks: 0
+    min_time: 0
+    max_time: 0.0
+rnnt:
+  in_feats: 240
+  enc_n_hid: 160
+  enc_pre_rnn_layers: 1
+  enc_post_rnn_layers: 2
+  enc_stack_time_factor: 2
+  enc_dropout: 0.0
+  pred_n_hid: 128
+  pred_rnn_layers: 1
+  pred_dropout: 0.0
+  joint_n_hid: 128
+  joint_dropout: 0.0
+  forget_gate_bias: 1.0
+grad_noise_scheduler:
+  noise_level: 0.0
+"""
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--workdir", type=str, default=None)
+    p.add_argument("--manifest", type=str,
+                   default=str(REF_DATA / "peoples-speech-short.json"))
+    p.add_argument("--dataset_dir", type=str, default=str(REF_DATA))
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+            " --xla_force_host_platform_device_count=1"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    work = Path(args.workdir or tempfile.mkdtemp(prefix="real_e2e_"))
+    work.mkdir(parents=True, exist_ok=True)
+
+    manifest = json.load(open(args.manifest))
+    # keep only genuinely-transcribed clips (the reference's duplicate
+    # clip carries a placeholder transcript for other tests)
+    utts = [u for u in manifest if "repeated" not in u["transcript"]]
+    for u in utts:  # absolute audio paths: the manifest lives in workdir
+        u["files"][0]["fname"] = str(
+            Path(args.dataset_dir) / u["files"][0]["fname"]
+        )
+    texts = [u["transcript"].lower() for u in utts]
+    print(f"{len(utts)} real utterance(s): {[t[:50] for t in texts]}")
+    (work / "manifest.json").write_text(json.dumps(utts))
+
+    from caiman_asr_tpu.data.tokenizer import save_tokenizer_json, train_tokenizer
+
+    tok = work / "tok.json"
+    save_tokenizer_json(tok, train_tokenizer(texts * 8, vocab_size=64))
+    cfg = work / "model.yaml"
+    cfg.write_text(CONFIG.format(tok=tok))
+
+    # dataset mel stats over the clip so train/val/serving all normalize
+    # identically (streaming cannot use per-utterance stats)
+    from caiman_asr_tpu.data.generate_mel_stats import main as gen_stats
+
+    stats_path = work / "mel_stats.npz"
+    gen_stats([
+        "--model_config", str(cfg), "--dataset_dir", args.dataset_dir,
+        "--manifests", str(work / "manifest.json"),
+        "--output_path", str(stats_path),
+    ])
+
+    from caiman_asr_tpu.args.train import train_arg_parser
+
+    targs = train_arg_parser().parse_args([])
+    targs.mel_stats_path = str(stats_path)
+    targs.norm_starting_ratio = 1.0  # dataset-stats norm from step 0
+    targs.model_config = str(cfg)
+    targs.output_dir = str(work / "out")
+    targs.dataset_dir = args.dataset_dir
+    targs.train_manifests = [str(work / "manifest.json")]
+    targs.val_manifests = [str(work / "manifest.json")]
+    targs.global_batch_size = max(1, len(utts))
+    targs.grad_accumulation_batches = 1
+    targs.training_steps = args.steps
+    targs.val_frequency = args.steps
+    targs.save_frequency = args.steps
+    targs.log_frequency = 50
+    targs.prediction_frequency = args.steps
+    targs.val_batch_size = max(1, len(utts))
+    targs.warmup_steps = 32
+    targs.hold_steps = max(1, args.steps // 3)
+    targs.half_life_steps = max(1, args.steps // 8)
+    targs.lr = 4e-3
+    targs.weights_init_scale = 0.5
+    targs.num_buckets = 1
+    # overfit proof: EMA lags the raw weights by design and would hide
+    # convergence at these step counts
+    targs.ema = 0.0
+
+    from caiman_asr_tpu import train as train_mod
+
+    state, best_wer = train_mod.main(targs)
+    print(f"final dev WER after {args.steps} steps: {best_wer:.3%}")
+
+    # offline hypothesis through the val CLI (same ckpt + stats)
+    from caiman_asr_tpu.val import val_arg_parser, validate
+
+    vargs = val_arg_parser().parse_args([
+        "--model_config", str(cfg), "--dataset_dir", str(work),
+        "--val_manifests", str(work / "manifest.json"),
+        "--ckpt", str(work / "out" / "ckpts" / "last.npz"),
+        "--output_dir", str(work / "valout"), "--val_batch_size", "1",
+        "--mel_stats_path", str(stats_path),
+    ])
+    offline = validate(vargs).hyps[0].strip()
+
+    # streaming engine must reproduce the offline transcript
+    from caiman_asr_tpu.serving.engine import StreamingEngine
+    from caiman_asr_tpu.export.checkpointer import load_checkpoint, apply_params
+    from caiman_asr_tpu.models.config import load_config
+    from caiman_asr_tpu.setup.builders import build_model, build_tokenizer
+    from caiman_asr_tpu.data.audio import read_audio
+    import numpy as np
+    import jax
+
+    bundle = load_config(str(cfg))
+    tokenizer = build_tokenizer(bundle.cfg, str(tok))
+    model, blank_idx = build_model(bundle.cfg, tokenizer)
+    params = model.init(jax.random.PRNGKey(0))
+    loaded, _, _, _ = load_checkpoint(work / "out" / "ckpts" / "last.npz")
+    params = apply_params(params, loaded)
+
+    from caiman_asr_tpu.setup.builders import load_mel_stats
+
+    eng = StreamingEngine(
+        model, params, blank_idx, tokenizer,
+        mel_stats=load_mel_stats(str(stats_path)),
+        logmel=bundle.cfg.input_val.logmel,
+        max_streams=1, native_serializer=False,
+    )
+    lane = eng.open_stream()
+    audio = read_audio(
+        str(Path(args.dataset_dir) / utts[0]["files"][0]["fname"]), 16000
+    )
+    hop = eng.hop_samples
+    text = []
+    for i in range(0, len(audio), hop):
+        chunk = audio[i : i + hop]
+        if len(chunk) < hop:
+            chunk = np.pad(chunk, (0, hop - len(chunk)))
+        eng.push_audio(lane, chunk)
+        out = eng.tick()
+        if lane in out and "alternatives" in out[lane]:
+            text.append(out[lane]["alternatives"][0]["transcript"])
+    eng.close_stream(lane)
+    for _ in range(8):
+        out = eng.tick()
+        if lane in out and "alternatives" in out[lane]:
+            text.append(out[lane]["alternatives"][0]["transcript"])
+        if out.get(lane, {}).get("eos"):
+            break
+    streamed = "".join(text).strip()
+    print("offline   decode:", offline)
+    print("streaming decode:", streamed)
+    ok = best_wer < 0.05
+    print("REAL-SPEECH E2E:", "PASS" if ok else "FAIL",
+          f"(wer={best_wer:.3%}, streaming == offline: "
+          f"{streamed.split() == offline.split()})")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

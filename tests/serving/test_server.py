@@ -226,3 +226,58 @@ def test_server_with_state_reset_router(tmp_path):
     assert max(starts) > 6 * 0.06
     assert starts == sorted(starts)
     assert not router.streams and not eng.streams
+
+
+def test_server_rejects_odd_frames_and_floods(engine):
+    """Robustness: an odd-length S16LE frame closes 1003 (not a handler
+    crash), and a client pushing far ahead of real-time closes 1008
+    instead of buffering unbounded audio; both release their lanes."""
+
+    async def scenario():
+        import websockets.asyncio.client
+        import websockets.asyncio.server
+        from websockets.exceptions import ConnectionClosed
+
+        server = ASRServer(engine, tick_interval=0.005, max_buffer_secs=0.5)
+        ticker = asyncio.create_task(server._ticker())
+        url = (f"ws://127.0.0.1:{PORT + 1}/asr/v0.1/stream?content_type="
+               "audio/x-raw;format=S16LE;channels=1;rate=16000")
+        codes = {}
+        async with websockets.asyncio.server.serve(
+            server.handle, "127.0.0.1", PORT + 1,
+            subprotocols=["stream.asr.api.myrtle.ai"],
+        ):
+            async with websockets.asyncio.client.connect(
+                url, subprotocols=["stream.asr.api.myrtle.ai"]
+            ) as ws:
+                await ws.send(b"\x00\x00\x00")  # 3 bytes: not S16LE
+                try:
+                    while True:
+                        await asyncio.wait_for(ws.recv(), timeout=5)
+                except ConnectionClosed as e:
+                    codes["odd"] = e.rcvd.code if e.rcvd else None
+            async with websockets.asyncio.client.connect(
+                url, subprotocols=["stream.asr.api.myrtle.ai"]
+            ) as ws:
+                try:
+                    # 4s of audio against a 0.5s buffer cap, no pacing
+                    for _ in range(64):
+                        await ws.send(b"\x00" * 2000)
+                        await asyncio.sleep(0.001)
+                    while True:
+                        await asyncio.wait_for(ws.recv(), timeout=5)
+                except ConnectionClosed as e:
+                    codes["flood"] = e.rcvd.code if e.rcvd else None
+        # error-path lanes are close_stream()ed in the handler's cleanup;
+        # the EOS flush completes over the next few ticks
+        for _ in range(200):
+            if not engine.streams:
+                break
+            await asyncio.sleep(0.01)
+        ticker.cancel()
+        return codes
+
+    codes = asyncio.run(scenario())
+    assert codes["odd"] == 1003
+    assert codes["flood"] == 1008
+    assert not engine.streams  # lanes released
