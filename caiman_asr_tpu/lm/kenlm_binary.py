@@ -40,13 +40,15 @@ fusion unchanged.
 from __future__ import annotations
 
 import math
+import os
 import struct
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
-LN10 = math.log(10.0)
+from caiman_asr_tpu.lm.ngram import LN10, NgramScorerMixin
+
 MAGIC = b"mmap lm http://kheafield.com/code format version 5\n"
 _M64 = (1 << 64) - 1
 _A = 8978948897894561157
@@ -90,13 +92,12 @@ def _align8(n: int) -> int:
     return (n + 7) & ~7
 
 
-class KenLMBinaryLM:
+class KenLMBinaryLM(NgramScorerMixin):
     """Scorer over a parsed kenlm PROBING binary.
 
-    Same interface as :class:`NGramLM`: ``score(word, state)`` returns
-    natural-log P(word|state) and the new state (a tuple of the last
-    order-1 word strings); ``initial_state()`` is ``("<s>",)``.
-    """
+    Same interface as :class:`NGramLM` (via :class:`NgramScorerMixin`):
+    ``score(word, state)`` returns natural-log P(word|state) and the new
+    state (a tuple of the last order-1 word strings)."""
 
     def __init__(self, vocab: Dict[str, int], words: List[str],
                  uni_prob: np.ndarray, uni_backoff: np.ndarray,
@@ -113,9 +114,6 @@ class KenLMBinaryLM:
         self.counts = counts
 
     # ------------------------------------------------------------- scoring
-    def initial_state(self) -> Tuple[str, ...]:
-        return ("<s>",)
-
     def _ids(self, toks: Tuple[str, ...]) -> Tuple[int, ...]:
         v = self.vocab
         return tuple(v.get(t, 0) for t in toks)
@@ -142,17 +140,8 @@ class KenLMBinaryLM:
             return e[0]
         return self._backoff(ids[:-1]) + self._logprob(ids[1:])
 
-    def score(
-        self, word: str, state: Optional[Tuple[str, ...]]
-    ) -> Tuple[float, Tuple[str, ...]]:
-        """ln P(word | state); returns (score, new_state)."""
-        state = state or ()
-        ngram = (state + (word,))[-self.order:]
-        lp = self._logprob(self._ids(ngram))
-        new_state = (state + (word,))[-(self.order - 1):] if self.order > 1 else ()
-        return lp, new_state
-
-    score_ngram = score
+    def _logprob_pieces(self, ngram: Tuple[str, ...]) -> float:
+        return self._logprob(self._ids(ngram))
 
     # -------------------------------------------------------- conversion
     def to_ngram_lm(self, max_candidates: int = 200_000_000):
@@ -185,7 +174,8 @@ class KenLMBinaryLM:
                     "ARPA file for this model instead"
                 )
             table = self.tables[n - 2]
-            key_arr = np.fromiter(table.keys(), np.uint64, len(table))
+            # sorted once per order: np.isin would re-sort per prefix
+            key_arr = np.sort(np.fromiter(table.keys(), np.uint64, len(table)))
             found: List[Tuple[int, ...]] = []
             for pre in prefixes:
                 # key(pre + (w,)) chains from w backward through pre;
@@ -196,7 +186,10 @@ class KenLMBinaryLM:
                         h = (h * np.uint64(_A)) ^ (
                             (np.uint64(1 + c) * np.uint64(_B)) & np.uint64(_M64)
                         )
-                for w in np.nonzero(np.isin(h, key_arr))[0]:
+                pos = np.searchsorted(key_arr, h)
+                pos = np.minimum(pos, len(key_arr) - 1)
+                hit = key_arr[pos] == h
+                for w in np.nonzero(hit)[0]:
                     e = table.get(int(h[w]))
                     if e is None:
                         continue
@@ -250,6 +243,17 @@ def parse_kenlm_binary(path: str | Path) -> KenLMBinaryLM:
             f"{path} was built without vocabulary strings "
             "(build_binary without the words section); the word ids are "
             "unrecoverable — rebuild with vocabulary or use the ARPA"
+        )
+    total_ngrams = int(sum(counts))
+    max_ngrams = int(os.environ.get("CAIMAN_KENLM_MAX_NGRAMS", 20_000_000))
+    if total_ngrams > max_ngrams:
+        # the Python-dict representation costs ~100 B/entry; fail fast with
+        # guidance instead of stalling/OOMing the server or val CLI at load
+        raise ValueError(
+            f"{path} holds {total_ngrams:,} n-grams — too large for the "
+            f"in-memory scorer (cap {max_ngrams:,}; ~100 B/entry). Use the "
+            "ARPA + NGramLM.save_binary() npz cache, or raise "
+            "CAIMAN_KENLM_MAX_NGRAMS if the host has the RAM."
         )
 
     off = _align8(88 + 20 + 8 * order)
@@ -326,9 +330,6 @@ def write_kenlm_binary(lm, path: str | Path, multiplier: float = 1.5):
     for ng, p in lm.probs.items():
         by_order[len(ng) - 1].append((ng, p))
     counts = [len(x) for x in by_order]
-    if counts[0] != V - (0 if ("<unk>",) in lm.probs else 1):
-        # ensure every word incl. <unk> has a unigram entry
-        pass
 
     out = bytearray()
     out += MAGIC

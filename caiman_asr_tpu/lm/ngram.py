@@ -24,7 +24,30 @@ UNK = "<unk>"
 BOS = "<s>"
 
 
-class NGramLM:
+class NgramScorerMixin:
+    """Shared shallow-fusion scoring interface: ``score(word, state)`` over
+    a tuple-of-pieces state. Implementors provide ``self.order`` and
+    ``_logprob_pieces(ngram: tuple[str, ...]) -> float`` (natural log)."""
+
+    def initial_state(self) -> Tuple[str, ...]:
+        """Begin-sentence state (kenlm BeginSentenceWrite)."""
+        return (BOS,)
+
+    def score(
+        self, word: str, state: Optional[Tuple[str, ...]]
+    ) -> Tuple[float, Tuple[str, ...]]:
+        """ln P(word | state); returns (score, new_state)."""
+        state = state or ()
+        ngram = (state + (word,))[-self.order:]
+        lp = self._logprob_pieces(ngram)
+        new_state = (state + (word,))[-(self.order - 1):] if self.order > 1 else ()
+        return lp, new_state
+
+    # reference-API alias (kenlm_ngram.py:23-31)
+    score_ngram = score
+
+
+class NGramLM(NgramScorerMixin):
     def __init__(
         self,
         probs: Dict[Tuple[str, ...], float],
@@ -131,10 +154,6 @@ class NGramLM:
             )
 
     # ------------------------------------------------------------- scoring
-    def initial_state(self) -> Tuple[str, ...]:
-        """Begin-sentence state (kenlm BeginSentenceWrite)."""
-        return (BOS,)
-
     def _logprob(self, ngram: Tuple[str, ...]) -> float:
         if ngram in self.probs:
             return self.probs[ngram]
@@ -142,18 +161,7 @@ class NGramLM:
             return self._unk
         return self.backoffs.get(ngram[:-1], 0.0) + self._logprob(ngram[1:])
 
-    def score(
-        self, word: str, state: Optional[Tuple[str, ...]]
-    ) -> Tuple[float, Tuple[str, ...]]:
-        """ln P(word | state); returns (score, new_state)."""
-        state = state or ()
-        ngram = (state + (word,))[-self.order:]
-        lp = self._logprob(ngram)
-        new_state = (state + (word,))[-(self.order - 1):] if self.order > 1 else ()
-        return lp, new_state
-
-    # reference-API alias (kenlm_ngram.py:23-31)
-    score_ngram = score
+    _logprob_pieces = _logprob
 
 
 def find_ngram_path(base_path: str) -> Optional[str]:

@@ -31,9 +31,12 @@ SUBPROTOCOL = "stream.asr.api.myrtle.ai"
 class ASRServer:
     def __init__(self, engine, tick_interval: float = 0.02,
                  max_buffer_secs: float = 30.0):
-        """max_buffer_secs: a client may run at most this far ahead of
-        real-time; beyond it the connection is closed (1008) instead of
-        buffering unbounded audio in host RAM."""
+        """max_buffer_secs: when a client has pushed more than this much
+        audio beyond what the engine has consumed, the server stops
+        reading its socket until the lane drains (TCP backpressure), so a
+        flooding client costs bounded host RAM while legitimate
+        faster-than-real-time file clients are merely flow-controlled,
+        not disconnected."""
         self.engine = engine
         self.tick_interval = tick_interval
         self.max_buffer_secs = max_buffer_secs
@@ -120,6 +123,8 @@ class ASRServer:
 
         frame_base = consumed_samples() or 0
         max_ahead = int(self.max_buffer_secs * 16000)
+        check_quantum = 16000  # amortize the engine-lock touch to ~1/s of audio
+        next_check = check_quantum
         clean_eos = False
         try:
             async for message in websocket:
@@ -138,16 +143,18 @@ class ASRServer:
                 # bytes straight through (no per-message float conversion)
                 arr = np.frombuffer(message, dtype="<i2")
                 pushed += len(arr)
-                consumed = consumed_samples()
-                if consumed is not None and (
-                        pushed - (consumed - frame_base)) > max_ahead:
-                    await websocket.close(
-                        code=1008,
-                        reason=f"client more than {self.max_buffer_secs:g}s "
-                               "ahead of real-time",
-                    )
-                    break
                 self.engine.push_audio(lane, arr)
+                if pushed >= next_check:
+                    next_check = pushed + check_quantum
+                    # backpressure: stop reading until the lane drains to
+                    # within the buffer cap (flooding costs bounded RAM;
+                    # fast file clients are flow-controlled, not dropped)
+                    while True:
+                        consumed = consumed_samples()
+                        if consumed is None or (
+                                pushed - (consumed - frame_base)) <= max_ahead:
+                            break
+                        await asyncio.sleep(self.tick_interval)
             else:
                 self.engine.close_stream(lane)
                 clean_eos = True
@@ -315,9 +322,9 @@ def main(argv=None):
                    help="warmup context seconds for each state reset "
                         "(reference --sr_overlap)")
     p.add_argument("--max_buffer_secs", type=float, default=30.0,
-                   help="close (1008) clients that push audio more than "
-                        "this many seconds ahead of real-time instead of "
-                        "buffering it in host RAM")
+                   help="stop reading a client's socket (TCP backpressure) "
+                        "while it is more than this many seconds of audio "
+                        "ahead of the engine, bounding host RAM per stream")
     args = p.parse_args(argv)
     engine = build_engine(args)
     engine.warmup()

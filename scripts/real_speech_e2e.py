@@ -204,28 +204,35 @@ def main(argv=None):
     )
     hop = eng.hop_samples
     text = []
+
+    def consume(out):
+        # tick() returns a dict per lane OR a list of them (final flush
+        # merges the drained response with the eos marker)
+        got_eos = False
+        for r in ([out[lane]] if isinstance(out.get(lane), dict)
+                  else out.get(lane, [])):
+            if "alternatives" in r:
+                text.append(r["alternatives"][0]["transcript"])
+            got_eos = got_eos or r.get("eos", False)
+        return got_eos
+
     for i in range(0, len(audio), hop):
         chunk = audio[i : i + hop]
         if len(chunk) < hop:
             chunk = np.pad(chunk, (0, hop - len(chunk)))
         eng.push_audio(lane, chunk)
-        out = eng.tick()
-        if lane in out and "alternatives" in out[lane]:
-            text.append(out[lane]["alternatives"][0]["transcript"])
+        consume(eng.tick())
     eng.close_stream(lane)
-    for _ in range(8):
-        out = eng.tick()
-        if lane in out and "alternatives" in out[lane]:
-            text.append(out[lane]["alternatives"][0]["transcript"])
-        if out.get(lane, {}).get("eos"):
+    for _ in range(16):
+        if consume(eng.tick()):
             break
     streamed = "".join(text).strip()
     print("offline   decode:", offline)
     print("streaming decode:", streamed)
-    ok = best_wer < 0.05
+    stream_matches = streamed.split() == offline.split()
+    ok = best_wer < 0.05 and stream_matches
     print("REAL-SPEECH E2E:", "PASS" if ok else "FAIL",
-          f"(wer={best_wer:.3%}, streaming == offline: "
-          f"{streamed.split() == offline.split()})")
+          f"(wer={best_wer:.3%}, streaming == offline: {stream_matches})")
     return 0 if ok else 1
 
 

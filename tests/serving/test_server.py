@@ -228,10 +228,12 @@ def test_server_with_state_reset_router(tmp_path):
     assert not router.streams and not eng.streams
 
 
-def test_server_rejects_odd_frames_and_floods(engine):
+def test_server_rejects_odd_frames_and_backpressures_floods(engine):
     """Robustness: an odd-length S16LE frame closes 1003 (not a handler
-    crash), and a client pushing far ahead of real-time closes 1008
-    instead of buffering unbounded audio; both release their lanes."""
+    crash), and a client pushing far ahead of real-time is flow-controlled
+    (the server stops reading until the lane drains) rather than
+    disconnected or buffered unboundedly — a fast file client still gets
+    its full transcription."""
 
     async def scenario():
         import websockets.asyncio.client
@@ -256,20 +258,35 @@ def test_server_rejects_odd_frames_and_floods(engine):
                         await asyncio.wait_for(ws.recv(), timeout=5)
                 except ConnectionClosed as e:
                     codes["odd"] = e.rcvd.code if e.rcvd else None
+
+            # 8 s of audio, unpaced, against a 0.5 s buffer cap: every
+            # frame is eventually consumed, the lane's resident buffer
+            # stays bounded, and the connection survives to a clean EOS
             async with websockets.asyncio.client.connect(
                 url, subprotocols=["stream.asr.api.myrtle.ai"]
             ) as ws:
+                max_buffered = 0
+                for _ in range(200):  # handler opens the lane asynchronously
+                    if engine.streams:
+                        break
+                    await asyncio.sleep(0.005)
+                lane = next(iter(engine.streams))
+                for _ in range(134):  # 134 x 960 samples = 8 s
+                    await ws.send(b"\x00" * 1920)
+                    st = engine.streams.get(lane)
+                    if st is not None:
+                        max_buffered = max(max_buffered, st.buf_len)
+                await ws.send(b"")  # EOS
+                got_eos = False
                 try:
-                    # 4s of audio against a 0.5s buffer cap, no pacing
-                    for _ in range(64):
-                        await ws.send(b"\x00" * 2000)
-                        await asyncio.sleep(0.001)
                     while True:
-                        await asyncio.wait_for(ws.recv(), timeout=5)
+                        await asyncio.wait_for(ws.recv(), timeout=30)
                 except ConnectionClosed as e:
-                    codes["flood"] = e.rcvd.code if e.rcvd else None
-        # error-path lanes are close_stream()ed in the handler's cleanup;
-        # the EOS flush completes over the next few ticks
+                    got_eos = e.rcvd is None or e.rcvd.code in (1000, 1001)
+                codes["flood_survived"] = got_eos
+                # cap 0.5 s = 8000 samples (+ one message + check quantum
+                # of slack before the guard engages)
+                codes["max_buffered"] = max_buffered
         for _ in range(200):
             if not engine.streams:
                 break
@@ -279,5 +296,6 @@ def test_server_rejects_odd_frames_and_floods(engine):
 
     codes = asyncio.run(scenario())
     assert codes["odd"] == 1003
-    assert codes["flood"] == 1008
+    assert codes["flood_survived"]
+    assert codes["max_buffered"] <= 8000 + 16000 + 960
     assert not engine.streams  # lanes released
