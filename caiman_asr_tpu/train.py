@@ -371,7 +371,27 @@ def main(args=None):
 
     skip_hist: deque = deque(maxlen=100)
     skip_warned = False
-    while step < args.training_steps:
+    # Preemption-safe shutdown: cloud TPU VMs get SIGTERM with ~30 s
+    # notice; finish the in-flight step, fall through to the normal
+    # epilogue (which saves the `last` checkpoint), and `--resume` picks
+    # up mid-epoch from the saved step. SIGINT gets the same grace.
+    preempted = {"flag": False}
+    import signal as _signal
+
+    def _on_term(signum, frame):
+        if preempted["flag"]:  # second signal: give up immediately
+            raise KeyboardInterrupt
+        preempted["flag"] = True
+        print(f"signal {signum}: finishing the current step, then saving "
+              "the last checkpoint and exiting (resume with --resume)")
+
+    prev_handlers = {}
+    for sig in (_signal.SIGTERM, _signal.SIGINT):
+        try:
+            prev_handlers[sig] = _signal.signal(sig, _on_term)
+        except ValueError:  # non-main thread (tests drive main() directly)
+            pass
+    while step < args.training_steps and not preempted["flag"]:
         micro_group = []
         micro_nvalid = []
         batch_iter = iter(train_loader.epoch(epoch, resume_step=resume_batches))
@@ -596,10 +616,14 @@ def main(args=None):
                     epoch, step, best_wer,
                     meta=_ckpt_meta(cfg, mel_ramp, step),
                 )
-            if step >= args.training_steps:
+            if step >= args.training_steps or preempted["flag"]:
                 break
         epoch += 1
 
+    for sig, h in prev_handlers.items():
+        _signal.signal(sig, h)
+    if preempted["flag"]:
+        print(f"preempted at step {step}; saving last checkpoint")
     if not getattr(args, "dont_save_at_the_end", False):
         ckptr.save(
             state.params, state.ema_params, state.opt_state,

@@ -2,6 +2,7 @@
 scripts/test_mini_train_and_cleanup.sh runs 4-step trainings + validation)."""
 
 import json
+import os
 import wave
 from argparse import Namespace
 from pathlib import Path
@@ -277,3 +278,73 @@ def test_resource_recorder(tmp_path):
     assert len(lines) >= 2
     t, cpu, rss, host = map(float, lines[1].split(","))
     assert rss > 10 and host > 10 and cpu >= 0
+
+
+def test_preemption_sigterm_saves_and_resumes(workspace, tmp_path):
+    """SIGTERM mid-train (cloud-TPU preemption notice) finishes the
+    in-flight step, saves the `last` checkpoint via the normal epilogue,
+    and exits cleanly; --resume continues from the saved step."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    root, cfg_path = workspace
+    out = tmp_path / "out"
+    prog = f"""
+import sys
+sys.path.insert(0, {str(Path(__file__).parent.parent)!r})
+import tests.test_end_to_end as e2e
+from pathlib import Path
+args = e2e.make_train_args(Path({str(root)!r}), {str(cfg_path)!r},
+                           {str(out)!r}, training_steps=500,
+                           val_frequency=1000, save_frequency=1000,
+                           log_frequency=1)
+from caiman_asr_tpu import train as train_mod
+train_mod.main(args)
+"""
+    env = dict(
+        os.environ, JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR=os.environ.get(
+            "CAIMAN_TEST_JAX_CACHE", "/tmp/caiman_test_jax_cache"
+        ),
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
+        JAX_DEFAULT_MATMUL_PRECISION="highest",
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-c", prog], stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, env=env,
+    )
+    # wait for a couple of optimizer steps, then deliver the notice
+    saw_step = False
+    deadline = _time.time() + 300
+    lines = []
+    while _time.time() < deadline:
+        line = proc.stdout.readline()
+        if not line:
+            break
+        lines.append(line)
+        if "[train] step" in line:
+            saw_step = True
+            proc.send_signal(signal.SIGTERM)
+            break
+    assert saw_step, "".join(lines[-20:])
+    tail, _ = proc.communicate(timeout=300)
+    assert proc.returncode == 0, tail[-2000:]
+    assert "saving last checkpoint" in tail
+    assert (out / "ckpts" / "last.npz").exists()
+
+    from caiman_asr_tpu import train as train_mod
+    from caiman_asr_tpu.export.checkpointer import load_checkpoint
+
+    _, _, _, meta = load_checkpoint(out / "ckpts" / "last.npz")
+    stopped_at = int(meta["step"])
+    assert 0 < stopped_at < 500
+
+    # resume for a few more steps in-process
+    args = make_train_args(root, cfg_path, out,
+                           training_steps=stopped_at + 2,
+                           val_frequency=1000, save_frequency=1000)
+    args.resume = True
+    state, _ = train_mod.main(args)
+    assert int(state.step) == stopped_at + 2
