@@ -109,3 +109,77 @@ def test_native_piece_boundaries_and_escaping():
     assert msg["alternatives"][0]["transcript"] == ' hello"\\\n'
     assert msg["is_provisional"] is False
     assert msg["start"] == 0.0 and msg["end"] == 0.06
+
+
+@pytest.mark.slow
+def test_native_fuzz_parity():
+    """Property test: across randomized schedules (lane churn, ragged chunk
+    sizes, mid-stream closes, interleaved ticks) the native serializer's
+    response stream equals the Python path's, both decoders."""
+    model, params = _model()
+
+    def drive_schedule(engine, trial_seed):
+        rng = np.random.default_rng(trial_seed)
+        n_lanes = int(rng.integers(1, 4))
+        lanes = {}
+        plans = {}
+        for _ in range(n_lanes):
+            lane = engine.open_stream()
+            lanes[lane] = []
+            n = int(rng.integers(1, 8)) * 960
+            plans[lane] = (rng.normal(size=n) * 0.1).astype(np.float32)
+        offs = {k: 0 for k in plans}
+        closed = set()
+        for _ in range(64):
+            for lane, audio in plans.items():
+                if lane in closed:
+                    continue
+                step = int(rng.integers(0, 2000))
+                chunk = audio[offs[lane]: offs[lane] + step]
+                if len(chunk):
+                    engine.push_audio(lane, chunk)
+                    offs[lane] += len(chunk)
+                if offs[lane] >= len(audio):
+                    engine.close_stream(lane)
+                    closed.add(lane)
+            out = engine.tick()
+            for lane, msgs in out.items():
+                for m in msgs if isinstance(msgs, list) else [msgs]:
+                    if isinstance(m, str):
+                        m = json.loads(m)
+                    if m.get("eos"):
+                        continue
+                    lanes[lane].append(
+                        (bool(m["is_provisional"]),
+                         m["alternatives"][0]["transcript"],
+                         float(m["start"])))
+            if len(closed) == len(plans) and not engine.streams:
+                break
+        # drain any EOS flush stragglers
+        for _ in range(32):
+            if not engine.streams:
+                break
+            for lane, msgs in engine.tick().items():
+                for m in msgs if isinstance(msgs, list) else [msgs]:
+                    if isinstance(m, str):
+                        m = json.loads(m)
+                    if not m.get("eos"):
+                        lanes[lane].append(
+                            (bool(m["is_provisional"]),
+                             m["alternatives"][0]["transcript"],
+                             float(m["start"])))
+        assert not engine.streams
+        return lanes
+
+    for decoder in ["greedy", "beam"]:
+        kw = dict(max_streams=4, decoder=decoder, beam_width=3,
+                  max_symbols_per_step=4)
+        py = StreamingEngine(model, params, BLANK, Tok(),
+                             native_serializer=False, **kw)
+        nat = StreamingEngine(model, params, BLANK, Tok(),
+                              native_serializer=True, **kw)
+        for trial in range(8):
+            seed = 1000 * (decoder == "beam") + trial
+            got_py = drive_schedule(py, seed)
+            got_nat = drive_schedule(nat, seed)
+            assert got_py == got_nat, (decoder, trial)
