@@ -121,6 +121,7 @@ class RNNTBeamDecoder:
         out, h2, c2 = lstm_step(
             params["prediction"]["dec_rnn"], emb, h, c,
             hard=self.model.cfg.hard_activations,
+            quantize=self.model.cfg.quantize,
         )
         g = _linear(params["joint_pred"], out)
         logits = self.model.joint_step(params, f, g)

@@ -187,6 +187,7 @@ class FastBeamDecoder:
             h.reshape(L, B * W, Hp),
             c.reshape(L, B * W, Hp),
             hard=self.model.cfg.hard_activations,
+            quantize=self.model.cfg.quantize,
         )
         g = _linear(params["joint_pred"], out).reshape(B, W, -1)
         return g, h2.reshape(L, B, W, Hp), c2.reshape(L, B, W, Hp)
@@ -203,6 +204,7 @@ class FastBeamDecoder:
             params["prediction"]["dec_rnn"],
             jnp.zeros((B * W, self.model.cfg.pred_n_hid), encs.dtype),
             h0, c0, hard=self.model.cfg.hard_activations,
+            quantize=self.model.cfg.quantize,
         )
         g0 = _linear(params["joint_pred"], out0).reshape(B, W, Hj)
         lane = lax.broadcasted_iota(jnp.int32, (B, W), 1)
@@ -430,6 +432,7 @@ def make_streaming_beam_step(
             params["prediction"]["dec_rnn"], emb,
             h.reshape(Lc, B * Wc, Hpc), c.reshape(Lc, B * Wc, Hpc),
             hard=model.cfg.hard_activations,
+            quantize=model.cfg.quantize,
         )
         g = _linear(params["joint_pred"], out).reshape(B, Wc, -1)
         return g, h2.reshape(Lc, B, Wc, Hpc), c2.reshape(Lc, B, Wc, Hpc)
@@ -450,6 +453,7 @@ def make_streaming_beam_step(
             params["prediction"]["dec_rnn"],
             jnp.zeros((B * W, Hp), dtype), h0, c0,
             hard=model.cfg.hard_activations,
+            quantize=model.cfg.quantize,
         )
         g0 = _linear(params["joint_pred"], out0).reshape(B, W, -1)
         lane = lax.broadcasted_iota(jnp.int32, (B, W), 1)

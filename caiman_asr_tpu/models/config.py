@@ -131,7 +131,6 @@ _RNNT_IGNORED = {
     "joint_apex_transducer",
     "joint_apex_relu_dropout",
     "custom_lstm",
-    "quantize",
     "gpu_unavailable",
 }
 

@@ -170,6 +170,7 @@ class RNNT:
             x,
             enc_state.pre_rnn if enc_state is not None else None,
             hard=cfg.hard_activations,
+            quantize=cfg.quantize and not train,
             dropout=cfg.enc_dropout,
             rw_dropout=cfg.enc_rw_dropout,
             rng=rngs[0],
@@ -183,6 +184,7 @@ class RNNT:
             out,
             enc_state.post_rnn if enc_state is not None else None,
             hard=cfg.hard_activations,
+            quantize=cfg.quantize and not train,
             dropout=cfg.enc_dropout,
             rw_dropout=cfg.enc_rw_dropout,
             rng=rngs[1],
@@ -249,6 +251,7 @@ class RNNT:
             seq,
             pred_state,
             hard=cfg.hard_activations,
+            quantize=cfg.quantize and not train,
             dropout=cfg.pred_dropout,
             rw_dropout=cfg.pred_rw_dropout,
             rng=rng,
@@ -279,7 +282,8 @@ class RNNT:
         else:
             emb = embed[jnp.clip(token, 0, embed.shape[0] - 1)]
         y, h_new, c_new = lstm_step(
-            params["prediction"]["dec_rnn"], emb, h, c, hard=self.cfg.hard_activations
+            params["prediction"]["dec_rnn"], emb, h, c,
+            hard=self.cfg.hard_activations, quantize=self.cfg.quantize
         )
         g = _linear(params["joint_pred"], y)
         return g, (h_new, c_new)

@@ -119,8 +119,18 @@ def init_lstm(
     return params
 
 
-def _gate_math(gates: jax.Array, c: jax.Array, hard: bool) -> Tuple[jax.Array, jax.Array]:
-    """Fused LSTM gate computation. gates: [..., 4H] fp32; c: [..., H] fp32."""
+def _gate_math(
+    gates: jax.Array, c: jax.Array, hard: bool, quantize: bool = False
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused LSTM gate computation. gates: [..., 4H] fp32; c: [..., H] fp32.
+
+    quantize=True emulates the FPGA's brainfloat arithmetic at the
+    reference's exact points (legacy.py:259-293: gates bf16 after the sum,
+    each gate bf16 after its activation, cell and hidden bf16)."""
+    if quantize:
+        from caiman_asr_tpu.ops.quantize import brain_float_quantize as bf16q
+
+        gates = bf16q(gates)
     H = c.shape[-1]
     i = gates[..., 0 * H : 1 * H]
     f = gates[..., 1 * H : 2 * H]
@@ -128,9 +138,31 @@ def _gate_math(gates: jax.Array, c: jax.Array, hard: bool) -> Tuple[jax.Array, j
     o = gates[..., 3 * H : 4 * H]
     sig = hard_sigmoid if hard else jax.nn.sigmoid
     tnh = hard_tanh if hard else jnp.tanh
+    if quantize:
+        i, f, g, o = bf16q(sig(i)), bf16q(sig(f)), bf16q(tnh(g)), bf16q(sig(o))
+        c_new = bf16q(f * c + i * g)
+        h_new = bf16q(o * tnh(c_new))
+        return h_new, c_new
     c_new = sig(f) * c + sig(i) * tnh(g)
     h_new = sig(o) * tnh(c_new)
     return h_new, c_new
+
+
+def _bfp_weights(w_t: jax.Array) -> jax.Array:
+    """FPGA weight quantization: brainfloat then block-floating-point with
+    a shared exponent per 8 consecutive elements of the contraction dim
+    (reference legacy.py:251-252 + quantize.py BfpQuantizer(dim=0, 8))."""
+    from caiman_asr_tpu.ops.quantize import bfp_quantize, brain_float_quantize
+
+    return bfp_quantize(brain_float_quantize(w_t), man_bits=8, axis=0, block=8)
+
+
+def _bfp_acts(x: jax.Array) -> jax.Array:
+    """FPGA activation quantization along the feature axis
+    (reference legacy.py:264-265 + BfpQuantizer(dim=1, 8))."""
+    from caiman_asr_tpu.ops.quantize import bfp_quantize, brain_float_quantize
+
+    return bfp_quantize(brain_float_quantize(x), man_bits=8, axis=-1, block=8)
 
 
 import os
@@ -165,19 +197,22 @@ def run_lstm_layer(
     c0: jax.Array,
     *,
     hard: bool = False,
+    quantize: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run one LSTM layer over a time-major sequence.
 
     Args:
       x: [T, B, I] input sequence.
       h0, c0: [B, H] initial states.
+      quantize: emulate the FPGA's brainfloat/BFP arithmetic (reference
+        `quantize: true` -> legacy.py quantization points); eval-only.
 
     Returns:
       (ys, cs): all hidden and cell states, each [T, B, H], in x.dtype.
     """
     T, B, _ = x.shape
     H = params["w_hh"].shape[1]
-    if _pallas_ok(T, B, H, x.dtype):
+    if not quantize and _pallas_ok(T, B, H, x.dtype):
         from caiman_asr_tpu.ops.pallas_lstm import run_lstm_layer_pallas
 
         return run_lstm_layer_pallas(
@@ -186,7 +221,18 @@ def run_lstm_layer(
     dtype = x.dtype
     w_ih_t = params["w_ih"].astype(dtype).T  # [I, 4H]
     w_hh_t = params["w_hh"].astype(dtype).T  # [H, 4H]
-    bias = (params["b_ih"] + params["b_hh"]).astype(jnp.float32)
+    if quantize:
+        from caiman_asr_tpu.ops.quantize import brain_float_quantize
+
+        dtype = jnp.float32  # quantization defines the precision itself
+        w_ih_t = _bfp_weights(w_ih_t.astype(dtype))
+        w_hh_t = _bfp_weights(w_hh_t.astype(dtype))
+        x = _bfp_acts(x.astype(dtype))
+        bias = brain_float_quantize(
+            params["b_ih"].astype(jnp.float32)
+        ) + brain_float_quantize(params["b_hh"].astype(jnp.float32))
+    else:
+        bias = (params["b_ih"] + params["b_hh"]).astype(jnp.float32)
 
     # One big MXU matmul for the input projection across all timesteps.
     gates_x = (
@@ -197,15 +243,17 @@ def run_lstm_layer(
 
     def step(carry, gx):
         h, c = carry  # h: [B, H] dtype, c: [B, H] fp32
+        if quantize:
+            h = _bfp_acts(h)
         gates = gx + jnp.dot(h, w_hh_t, preferred_element_type=jnp.float32)
-        h_new, c_new = _gate_math(gates, c, hard)
+        h_new, c_new = _gate_math(gates, c, hard, quantize)
         h_out = h_new.astype(dtype)
         return (h_out, c_new), (h_out, c_new.astype(dtype))
 
     (_, _), (ys, cs) = lax.scan(
         step, (h0.astype(dtype), c0.astype(jnp.float32)), gates_x
     )
-    return ys, cs
+    return ys.astype(x.dtype), cs.astype(x.dtype)
 
 
 BN_EPS = 1e-5
@@ -246,6 +294,7 @@ def run_lstm(
     state: Optional[Tuple[jax.Array, jax.Array]] = None,
     *,
     hard: bool = False,
+    quantize: bool = False,
     dropout: float = 0.0,
     rw_dropout: float = 0.0,
     rng: Optional[jax.Array] = None,
@@ -300,7 +349,10 @@ def run_lstm(
                     w_hh.dtype
                 ),
             )
-        ys, cs = run_lstm_layer(layer_params, out, h0, c0, hard=hard)
+        ys, cs = run_lstm_layer(
+            layer_params, out, h0, c0, hard=hard,
+            quantize=quantize and not train,
+        )
         all_h.append(ys)
         all_c.append(cs)
         out = ys
@@ -319,7 +371,7 @@ def run_lstm(
     return out, (h_n, c_n), (jnp.stack(all_h, 0), jnp.stack(all_c, 0))
 
 
-@partial(jax.jit, static_argnames=("hard",))
+@partial(jax.jit, static_argnames=("hard", "quantize"))
 def lstm_step(
     params: Params,
     x: jax.Array,
@@ -327,6 +379,7 @@ def lstm_step(
     c: jax.Array,
     *,
     hard: bool = False,
+    quantize: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Single-frame streaming step through the full stack.
 
@@ -344,12 +397,27 @@ def lstm_step(
     for i in range(num_layers):
         p = params[f"layer_{i}"]
         dtype = out.dtype
+        w_ih_t = p["w_ih"].astype(dtype).T
+        w_hh_t = p["w_hh"].astype(dtype).T
+        hi = h[i]
+        if quantize:
+            from caiman_asr_tpu.ops.quantize import brain_float_quantize
+
+            w_ih_t = _bfp_weights(w_ih_t.astype(jnp.float32))
+            w_hh_t = _bfp_weights(w_hh_t.astype(jnp.float32))
+            out = _bfp_acts(out.astype(jnp.float32))
+            hi = _bfp_acts(hi.astype(jnp.float32))
+            bias = brain_float_quantize(
+                p["b_ih"].astype(jnp.float32)
+            ) + brain_float_quantize(p["b_hh"].astype(jnp.float32))
+        else:
+            bias = (p["b_ih"] + p["b_hh"]).astype(jnp.float32)
         gates = (
-            jnp.dot(out, p["w_ih"].astype(dtype).T, preferred_element_type=jnp.float32)
-            + jnp.dot(h[i], p["w_hh"].astype(dtype).T, preferred_element_type=jnp.float32)
-            + (p["b_ih"] + p["b_hh"]).astype(jnp.float32)
+            jnp.dot(out, w_ih_t, preferred_element_type=jnp.float32)
+            + jnp.dot(hi, w_hh_t, preferred_element_type=jnp.float32)
+            + bias
         )
-        h_new, c_new = _gate_math(gates, c[i].astype(jnp.float32), hard)
+        h_new, c_new = _gate_math(gates, c[i].astype(jnp.float32), hard, quantize)
         out = h_new.astype(dtype)
         hs.append(out)
         cs.append(c_new.astype(dtype))

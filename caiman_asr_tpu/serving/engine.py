@@ -464,7 +464,7 @@ class StreamingEngine:
         emb = jnp.zeros((self.B, c.pred_n_hid), self.dtype)
         y, h, cc = lstm_step(
             self.params["prediction"]["dec_rnn"], emb, h, cc,
-            hard=c.hard_activations,
+            hard=c.hard_activations, quantize=c.quantize,
         )
         g = _linear(self.params["joint_pred"], y)
         return (g, h, cc)
