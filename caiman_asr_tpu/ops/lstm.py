@@ -228,11 +228,31 @@ def run_lstm_layer(
         w_ih_t = _bfp_weights(w_ih_t.astype(dtype))
         w_hh_t = _bfp_weights(w_hh_t.astype(dtype))
         x = _bfp_acts(x.astype(dtype))
-        bias = brain_float_quantize(
-            params["b_ih"].astype(jnp.float32)
-        ) + brain_float_quantize(params["b_hh"].astype(jnp.float32))
-    else:
-        bias = (params["b_ih"] + params["b_hh"]).astype(jnp.float32)
+        # the reference sums ((xU + hV) + bih) + bhh in that order
+        # (legacy.py:272-275); keep it so bf16 rounding is bit-identical
+        bi = brain_float_quantize(params["b_ih"].astype(jnp.float32))
+        bh = brain_float_quantize(params["b_hh"].astype(jnp.float32))
+
+        gates_x = jnp.dot(
+            x.reshape(T * B, -1), w_ih_t, preferred_element_type=jnp.float32
+        ).reshape(T, B, -1)
+
+        def qstep(carry, gx):
+            h, c = carry
+            h = _bfp_acts(h)
+            gates = (
+                gx + jnp.dot(h, w_hh_t, preferred_element_type=jnp.float32)
+                + bi + bh
+            )
+            h_new, c_new = _gate_math(gates, c, hard, True)
+            return (h_new, c_new), (h_new, c_new)
+
+        (_, _), (ys, cs) = lax.scan(
+            qstep, (h0.astype(dtype), c0.astype(dtype)), gates_x
+        )
+        return ys, cs
+
+    bias = (params["b_ih"] + params["b_hh"]).astype(jnp.float32)
 
     # One big MXU matmul for the input projection across all timesteps.
     gates_x = (
@@ -243,17 +263,15 @@ def run_lstm_layer(
 
     def step(carry, gx):
         h, c = carry  # h: [B, H] dtype, c: [B, H] fp32
-        if quantize:
-            h = _bfp_acts(h)
         gates = gx + jnp.dot(h, w_hh_t, preferred_element_type=jnp.float32)
-        h_new, c_new = _gate_math(gates, c, hard, quantize)
+        h_new, c_new = _gate_math(gates, c, hard)
         h_out = h_new.astype(dtype)
         return (h_out, c_new), (h_out, c_new.astype(dtype))
 
     (_, _), (ys, cs) = lax.scan(
         step, (h0.astype(dtype), c0.astype(jnp.float32)), gates_x
     )
-    return ys.astype(x.dtype), cs.astype(x.dtype)
+    return ys, cs
 
 
 BN_EPS = 1e-5
@@ -407,16 +425,20 @@ def lstm_step(
             w_hh_t = _bfp_weights(w_hh_t.astype(jnp.float32))
             out = _bfp_acts(out.astype(jnp.float32))
             hi = _bfp_acts(hi.astype(jnp.float32))
-            bias = brain_float_quantize(
-                p["b_ih"].astype(jnp.float32)
-            ) + brain_float_quantize(p["b_hh"].astype(jnp.float32))
+            # reference addition order (legacy.py:272-275): bih and bhh
+            # added separately after the two matmul terms
+            gates = (
+                jnp.dot(out, w_ih_t, preferred_element_type=jnp.float32)
+                + jnp.dot(hi, w_hh_t, preferred_element_type=jnp.float32)
+                + brain_float_quantize(p["b_ih"].astype(jnp.float32))
+                + brain_float_quantize(p["b_hh"].astype(jnp.float32))
+            )
         else:
-            bias = (p["b_ih"] + p["b_hh"]).astype(jnp.float32)
-        gates = (
-            jnp.dot(out, w_ih_t, preferred_element_type=jnp.float32)
-            + jnp.dot(hi, w_hh_t, preferred_element_type=jnp.float32)
-            + bias
-        )
+            gates = (
+                jnp.dot(out, w_ih_t, preferred_element_type=jnp.float32)
+                + jnp.dot(hi, w_hh_t, preferred_element_type=jnp.float32)
+                + (p["b_ih"] + p["b_hh"]).astype(jnp.float32)
+            )
         h_new, c_new = _gate_math(gates, c[i].astype(jnp.float32), hard, quantize)
         out = h_new.astype(dtype)
         hs.append(out)

