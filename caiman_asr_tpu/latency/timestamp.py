@@ -15,6 +15,35 @@ from typing import List, Union
 
 
 @dataclass
+class FullStamp:
+    """Two clocks for one token (reference
+    evaluate/state_resets/timestamp.py:8-25): ``model`` is the decoder frame
+    the token was emitted at; ``user_perceived`` is the frame from which the
+    token was continuously visible to the user (a partial that later gets
+    overwritten does not count — see fuse_partials)."""
+
+    model: int
+    user_perceived: int
+
+
+Timestamp = Union[FullStamp, int]
+
+
+def model_time(t: Timestamp) -> int:
+    return t.model if isinstance(t, FullStamp) else t
+
+
+def user_perceived_time(t: Timestamp) -> int:
+    return t.user_perceived if isinstance(t, FullStamp) else t
+
+
+def add_frames(t: Timestamp, n: int) -> Timestamp:
+    if isinstance(t, FullStamp):
+        return FullStamp(t.model + n, t.user_perceived + n)
+    return t + n
+
+
+@dataclass
 class Silence:
     """Utterance terminated by VAD silence."""
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import threading
+import time
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, List, Optional, Tuple
@@ -87,6 +88,8 @@ def _upload_loop(q, eng_ref):
         if eng is None:
             return
         err = None
+        prb = eng._probe
+        t0 = time.perf_counter() if prb is not None else 0.0
         try:
             if eng._bench_reuse_upload and eng._upload_cache is not None:
                 samples_dev = eng._upload_cache
@@ -97,6 +100,9 @@ def _upload_loop(q, eng_ref):
         except Exception as e:  # pragma: no cover - transport failure
             err = e
         eng._slot_pool.put(slot)
+        if prb is not None:
+            prb["up_samples"].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
         ev = threading.Event()
         if err is None:
             try:
@@ -114,6 +120,8 @@ def _upload_loop(q, eng_ref):
                     pass
             except Exception as e:
                 err = e
+        if prb is not None:
+            prb["up_disp"].append(time.perf_counter() - t0)
         if err is not None:
             ev.set()
             eng._pending.append([err, adv, ev])
@@ -151,6 +159,40 @@ def _fetch_loop(q):
         entry[2].set()
 
 
+@dataclass
+class WireTick:
+    """One tick's responses in wire form (``wire_responses=True``).
+
+    ``segments``: list of (raw, idx) pairs, one per drained in-flight tick —
+    ``raw`` is a contiguous bytes arena of UTF-8 JSON response payloads and
+    ``idx`` an int32 [n, 3] array of (lane, payload_offset, payload_len);
+    ``raw[off:off+len]`` is exactly the text frame to write to that lane's
+    socket. ``specials``: the engine's own dict responses (EOS markers and
+    final beam flushes on stream close — rare, Python dicts as in the
+    default mode). Wire form exists because materialising one Python string
+    per response costs more than deriving the responses themselves at scale
+    (measured ~13 ms C arena vs 40-150 ms ``_to_dict`` at B=12288 — the
+    round-2 p99 tail was this churn plus the cyclic-GC sweeps it induced,
+    not device or transport time)."""
+
+    segments: List[Tuple[bytes, np.ndarray]]
+    specials: Dict[int, list]
+
+    def to_dict(self) -> Dict[int, list]:
+        """Flatten back to the default-mode {lane: [json_str|dict]} form
+        (tests and low-rate callers; defeats the zero-materialisation
+        point at scale)."""
+        out: Dict[int, list] = {}
+        for raw, idx in self.segments:
+            for lane, off, ln in idx.tolist():
+                out.setdefault(lane, []).append(
+                    raw[off : off + ln].decode("utf-8")
+                )
+        for lane, msgs in self.specials.items():
+            out.setdefault(lane, []).extend(msgs)
+        return out
+
+
 class StreamingEngine:
     def __init__(
         self,
@@ -175,6 +217,7 @@ class StreamingEngine:
         ngram_alpha: float = 0.0,
         beam_merge: bool = True,
         device=None,
+        wire_responses: bool = False,
     ):
         """pipeline_depth: number of in-flight ticks before results are
         consumed on the host. 0 = synchronous (each tick() returns its own
@@ -303,6 +346,16 @@ class StreamingEngine:
                     f"native audio staging unavailable ({e}); "
                     "using the Python staging path"
                 )
+        # Wire-response mode: tick() returns a WireTick (JSON bytes arena +
+        # (lane, off, len) index) instead of {lane: str} — skips the
+        # one-Python-string-per-response materialisation, which dominates
+        # host tick time past ~4k lanes (see WireTick docstring).
+        self._wire = bool(wire_responses)
+        if self._wire and self._native_ser is None:
+            raise ValueError(
+                "wire_responses=True requires the native serializer "
+                "(a tokenizer with id_to_piece, or tokenizer=None)"
+            )
         # args: (params, samples_new[B,hop] i16, carry[B,carry] i16,
         #        enc_state, dec_state, init_dec, meta[3B+1])
         self._jit_tick = jax.jit(self._tick_impl, donate_argnums=(2, 3, 4))
@@ -375,6 +428,11 @@ class StreamingEngine:
         # elided. Never set in serving paths.
         self._bench_reuse_upload = False
         self._upload_cache = None
+        # Benchmark-only per-tick phase recorder (scripts/probe_tail_phases):
+        # when set to a dict of lists, tick()/uploader record wall time per
+        # phase so tail (p99) ticks can be attributed. None in serving paths
+        # (a single `is not None` check per phase otherwise).
+        self._probe = None
         if pipeline_depth > 0:
             import queue as _queue
 
@@ -725,7 +783,12 @@ class StreamingEngine:
 
     def _tick_locked(self) -> Dict[int, dict]:
         if not self.streams:
-            return {}
+            return WireTick([], {}) if self._wire else {}
+        prb = self._probe
+        if prb is not None:
+            t_start = time.perf_counter()
+            for k in ("slot", "stage", "wait", "consume", "total"):
+                prb[k].append(0.0)
         if self._slot_pool is not None:
             # blocks when both slots are in the uploader — the backpressure
             # that makes steady-state tick time max(upload, device, host)
@@ -736,6 +799,10 @@ class StreamingEngine:
                 # data, harmless — the jitted tick gates state on `adv`
                 self._staging = np.zeros((self.B, self.hop_samples), np.int16)
             samples = self._staging
+        if prb is not None:
+            t_now = time.perf_counter()
+            prb["slot"][-1] = t_now - t_start
+            t_stage0 = t_now
         if self._native_stg is not None:
             adv, fin = self._native_stg.tick(samples, self._active, self._closed)
             finishing = [int(l) for l in np.flatnonzero(fin)]
@@ -776,7 +843,12 @@ class StreamingEngine:
                         rebase[lane] = committed
                         st.rebase_pending = True
 
+        if prb is not None:
+            prb["stage"][-1] = time.perf_counter() - t_stage0
         out: Dict[int, List[dict]] = {}
+        wire: Optional[List[Tuple[bytes, np.ndarray]]] = (
+            [] if self._wire else None
+        )
         if adv.any():
             self._tick_count += 1
             meta = np.empty(3 * self.B + 1, np.int32)
@@ -794,9 +866,9 @@ class StreamingEngine:
                 # drain whatever the fetcher already finished, oldest first
                 # (keeps latency at fetch-time rather than a fixed depth)
                 while self._pending and self._pending[0][2].is_set():
-                    self._consume(self._pending.popleft(), out)
+                    self._consume(self._pending.popleft(), out, wire)
                 while len(self._pending) > self.pipeline_depth:
-                    self._consume(self._pending.popleft(), out)
+                    self._consume(self._pending.popleft(), out, wire)
             else:
                 with self._state_lock:
                     packed, self._carry, self.enc_state, self.dec_state = (
@@ -816,7 +888,7 @@ class StreamingEngine:
                     pass  # backend without async copies: the fetch blocks
                 self._pending.append([packed, adv, None])
                 while len(self._pending) > self.pipeline_depth:
-                    self._consume(self._pending.popleft(), out)
+                    self._consume(self._pending.popleft(), out, wire)
         elif self._slot_pool is not None:
             self._slot_pool.put(samples)  # nothing advanced: return the slot
 
@@ -827,7 +899,7 @@ class StreamingEngine:
             if self._upq is not None:
                 self._upq.join()
             while self._pending:
-                self._consume(self._pending.popleft(), out)
+                self._consume(self._pending.popleft(), out, wire)
         for lane in finishing:
             msgs = out.get(lane, [])
             if self.decoder == "beam":
@@ -850,20 +922,32 @@ class StreamingEngine:
             out[lane] = msgs
             self._reset_lane(lane)
             self._release(lane)
+        if prb is not None:
+            prb["total"][-1] = time.perf_counter() - t_start
+        if wire is not None:
+            return WireTick(wire, out)
         return {
             lane: (msgs if len(msgs) > 1 else msgs[0]) for lane, msgs in out.items()
         }
 
-    def _consume(self, entry, out: Dict[int, List[dict]]):
+    def _consume(self, entry, out: Dict[int, List[dict]], wire=None):
         """Fetch one in-flight tick's packed outputs and append the derived
         responses to `out` (a lane can accumulate responses from several
-        drained ticks)."""
+        drained ticks). In wire mode (`wire` is a list), native-serializer
+        responses stay as one (bytes arena, index) segment appended to
+        `wire` instead of being split into per-lane Python strings."""
         packed, adv, ev = entry
+        prb = self._probe
+        t0 = time.perf_counter() if prb is not None else 0.0
         if ev is not None:
             ev.wait()
             packed = entry[0]
             if isinstance(packed, Exception):
                 raise packed
+        if prb is not None:
+            t_now = time.perf_counter()
+            prb["wait"][-1] += t_now - t0
+            t0 = t_now
         packed = np.asarray(packed)
         if self.decoder == "beam":
             # reverse the wire compaction: int32 lanes -> int16 token pairs
@@ -876,7 +960,12 @@ class StreamingEngine:
             )
         if self._native_ser is not None:
             if self.decoder == "beam":
-                recs, dev_len = self._native_ser.beam_tick(packed, adv)
+                if wire is not None:
+                    raw, idx, dev_len = self._native_ser.beam_tick_raw(
+                        packed, adv
+                    )
+                else:
+                    recs, dev_len = self._native_ser.beam_tick(packed, adv)
                 self._dev_len = dev_len
                 W, win = self.beam_width, self._beam_win
                 echo = packed[:, W * win + W + 1]
@@ -884,11 +973,20 @@ class StreamingEngine:
                     st = self.streams.get(int(lane))
                     if st is not None:
                         st.rebase_pending = False
+            elif wire is not None:
+                raw, idx = self._native_ser.greedy_tick_raw(packed, adv)
             else:
                 recs = self._native_ser.greedy_tick(packed, adv)
-            for lane, msgs in recs.items():
-                if lane in self.streams:
-                    out.setdefault(lane, []).extend(msgs)
+            if wire is not None:
+                if len(idx):
+                    # idx views a buffer the next raw call overwrites — copy
+                    wire.append((raw, idx.copy()))
+            else:
+                for lane, msgs in recs.items():
+                    if lane in self.streams:
+                        out.setdefault(lane, []).extend(msgs)
+            if prb is not None:
+                prb["consume"][-1] += time.perf_counter() - t0
             return
         if self.decoder == "beam":
             W, win = self.beam_width, self._beam_win
@@ -939,6 +1037,8 @@ class StreamingEngine:
                         self._response(st, emitted, final=True)
                     )
                 st.frame_idx += 1
+        if prb is not None:
+            prb["consume"][-1] += time.perf_counter() - t0
 
     def _beam_responses(
         self, st: StreamState, win_toks, lens, scores, base,

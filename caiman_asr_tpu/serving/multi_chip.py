@@ -205,6 +205,21 @@ class MultiChipEngine:
             results = list(self._pool.map(lambda e: e.tick(), self.engines))
         else:
             results = [self.engines[0].tick()]
+        from caiman_asr_tpu.serving.engine import WireTick
+
+        if results and isinstance(results[0], WireTick):
+            # wire mode: globalize the lane column of each chip's index
+            # in place (idx is already a per-tick copy) and concatenate
+            segments, specials = [], {}
+            for i, r in enumerate(results):
+                off = i * self.per_chip
+                for raw, idx in r.segments:
+                    if off:
+                        idx[:, 0] += off
+                    segments.append((raw, idx))
+                for lane, msgs in r.specials.items():
+                    specials[off + lane] = msgs
+            return WireTick(segments, specials)
         out: Dict[int, object] = {}
         for i, r in enumerate(results):
             off = i * self.per_chip

@@ -47,11 +47,25 @@ class ASRServer:
     async def _ticker(self):
         import traceback
 
+        from caiman_asr_tpu.serving.engine import WireTick
+
         loop = asyncio.get_event_loop()
         while True:
             try:
                 if self.engine.streams:
                     out = await loop.run_in_executor(None, self.engine.tick)
+                    if isinstance(out, WireTick):
+                        # wire mode: slice each lane's JSON payload straight
+                        # out of the C serializer's arena (no dict/str
+                        # materialisation on the tick path — the sender
+                        # decodes at write time, off the hot loop)
+                        for raw, idx in out.segments:
+                            mv = memoryview(raw)
+                            for lane, off, ln in idx.tolist():
+                                q = self.queues.get(lane)
+                                if q is not None:
+                                    q.put_nowait(bytes(mv[off:off + ln]))
+                        out = out.specials
                     for lane, resp in out.items():
                         q = self.queues.get(lane)
                         if q is not None:
@@ -102,13 +116,17 @@ class ASRServer:
         async def sender():
             while True:
                 resp = await q.get()
-                # native-serializer responses are pre-serialized JSON strings;
-                # only the engine's own dict responses can carry the eos flag
+                # native-serializer responses are pre-serialized JSON strings
+                # (bytes in wire mode, decoded here so the client still sees
+                # text frames); only the engine's own dict responses can
+                # carry the eos flag
                 if isinstance(resp, dict) and resp.get("eos"):
                     return
-                await websocket.send(
-                    resp if isinstance(resp, str) else json.dumps(resp)
-                )
+                if isinstance(resp, bytes):
+                    resp = resp.decode("utf-8")
+                elif not isinstance(resp, str):
+                    resp = json.dumps(resp)
+                await websocket.send(resp)
 
         send_task = asyncio.create_task(sender())
         pushed = 0
@@ -266,6 +284,7 @@ def build_engine(args):
         pipeline_depth=getattr(args, "pipeline_depth", 1),
         ngram_lm=tables,
         ngram_alpha=alpha if tables is not None else 0.0,
+        wire_responses=getattr(args, "wire_responses", False),
     )
     num_chips = getattr(args, "num_chips", 1) or 1
     if num_chips > 1:
@@ -321,6 +340,11 @@ def main(argv=None):
     p.add_argument("--sr_overlap", type=float, default=3.0,
                    help="warmup context seconds for each state reset "
                         "(reference --sr_overlap)")
+    p.add_argument("--wire_responses", action="store_true",
+                   help="keep native-serializer responses as one JSON bytes "
+                        "arena per tick instead of per-lane Python strings "
+                        "(the per-response string materialisation dominates "
+                        "host tick time past ~4k lanes)")
     p.add_argument("--max_buffer_secs", type=float, default=30.0,
                    help="stop reading a client's socket (TCP backpressure) "
                         "while it is more than this many seconds of audio "

@@ -83,6 +83,13 @@ class StateResetRouter:
                  overlap_secs: float = 3.0):
         if not 0.0 < overlap_secs < segment_secs:
             raise ValueError("need 0 < overlap < segment")
+        base = engine.engines[0] if hasattr(engine, "engines") else engine
+        if getattr(base, "_wire", False):
+            # the router re-keys and merges per-lane responses across the
+            # shadow handover — it needs the dict form, not the wire arena
+            raise ValueError(
+                "state-reset routing is incompatible with wire_responses"
+            )
         self.eng = engine
         fs = engine.frame_seconds if hasattr(engine, "frame_seconds") else \
             engine.engines[0].frame_seconds

@@ -183,3 +183,61 @@ def test_native_fuzz_parity():
             got_py = drive_schedule(py, seed)
             got_nat = drive_schedule(nat, seed)
             assert got_py == got_nat, (decoder, trial)
+
+
+@pytest.mark.parametrize("decoder", ["greedy", "beam"])
+@pytest.mark.parametrize("pipeline_depth", [0, 2])
+def test_wire_mode_matches_dict_mode(decoder, pipeline_depth):
+    """wire_responses=True returns the same response stream as the default
+    dict mode — flattened via WireTick.to_dict, byte-for-byte JSON — across
+    lane churn, pipelining and the EOS flush."""
+    model, params = _model()
+    rng = np.random.default_rng(7)
+    audio = [
+        (rng.normal(size=960 * 4) * 0.1).astype(np.float32),
+        (rng.normal(size=960 * 6) * 0.1).astype(np.float32),
+        (rng.normal(size=960 * 2) * 0.1).astype(np.float32),
+    ]
+    kw = dict(max_streams=3, decoder=decoder, beam_width=3,
+              max_symbols_per_step=4, pipeline_depth=pipeline_depth)
+    base = StreamingEngine(model, params, BLANK, Tok(), **kw)
+    wired = StreamingEngine(
+        model, params, BLANK, Tok(), wire_responses=True, **kw
+    )
+    assert wired._wire and wired._native_ser is not None
+
+    from caiman_asr_tpu.serving.engine import WireTick
+
+    class _Unwrap:
+        """Adapter so _drive can consume WireTicks like dicts."""
+
+        def __init__(self, eng):
+            self.eng = eng
+
+        def __getattr__(self, k):
+            return getattr(self.eng, k)
+
+        def tick(self):
+            out = self.eng.tick()
+            assert isinstance(out, WireTick)
+            return out.to_dict()
+
+    got = _drive(base, audio)
+    got_wire = _drive(_Unwrap(wired), audio)
+    assert got_wire == got
+    base.close()
+    wired.close()
+
+
+def test_wire_mode_requires_native_serializer():
+    model, params = _model()
+
+    class NoPieces:
+        def detokenize(self, ids):
+            return ""
+
+    with pytest.raises(ValueError, match="wire_responses"):
+        StreamingEngine(
+            model, params, BLANK, NoPieces(), wire_responses=True,
+            max_streams=1,
+        )
