@@ -22,13 +22,16 @@ from caiman_asr_tpu.data.text.normalize import NormalizeConfig, normalize_transc
 from caiman_asr_tpu.decoding.response import (
     frame_responses_timesteps,
     frame_responses_to_tokens,
+    fuse_partials,
 )
+from caiman_asr_tpu.latency.timestamp import FullStamp
 from caiman_asr_tpu.evaluate.state_resets import (
     StateResetsConfig,
     group_segment_lanes,
     merge_segments,
     segment_batch,
 )
+from caiman_asr_tpu.evaluate.trim import EOSTrimConfig, trim_predictions
 from caiman_asr_tpu.evaluate.wer import ErrorRateKind, WERResult, word_error_rate
 
 
@@ -44,6 +47,9 @@ class EvalResult:
     timestamps: List[List[int]] = field(default_factory=list)
     word_timestamps: Optional[list] = None  # List[SequenceTimestamp]
     latency_metrics: Optional[dict] = None
+    # per-utterance Silence/EOS/Never (trim.py) — how a live endpointer
+    # would have terminated each utterance
+    terminations: Optional[list] = None
 
 
 def evaluate(
@@ -68,18 +74,31 @@ def evaluate(
     gt_ctm_path: Optional[str] = None,
     frame_width: float = 0.06,
     norm_ratio: float = 1.0,
+    eos_vad_threshold: float = float("inf"),
+    eos_trim: Optional[EOSTrimConfig] = None,
+    pre_enc_width: Optional[float] = None,
 ) -> EvalResult:
     """Run one full evaluation over ``loader``. ``decoder`` must expose
-    ``decode(params, feats, feat_lens) -> List[Dict[int, FrameResponses]]``."""
+    ``decode(params, feats, feat_lens) -> List[Dict[int, FrameResponses]]``.
+
+    eos_vad_threshold / eos_trim: offline endpointing (evaluate/trim.py) —
+    every decode is trimmed where a live system would have terminated, and
+    the per-utterance Silence/EOS/Never termination is recorded (feeds the
+    user-perceived word timestamps and the SIL/EOS endpoint latencies).
+    pre_enc_width: stacked input-feature frame seconds (``feat_lens`` unit);
+    defaults to frame_width / 2 (stack_time_factor 2)."""
     t0 = time.time()
     norm_cfg = normalize_config or NormalizeConfig()
     charset = charset if charset is not None else list(" abcdefghijklmnopqrstuvwxyz'")
+    if pre_enc_width is None:
+        pre_enc_width = frame_width / 2.0
 
     hyps: List[str] = []
     refs: List[str] = []
     fnames: List[str] = []
     tss: List[List[int]] = []
     pieces_list: List[List[str]] = []
+    terminations: list = []
     loss_sum, loss_count = 0.0, 0.0
 
     for batch in loader.epoch(0):
@@ -101,6 +120,19 @@ def evaluate(
             loss_sum += float(ls)
             loss_count += float(n)
 
+        def two_clock_ts(resp):
+            """[FullStamp(model, user_perceived)] per token — the user clock
+            rewinds finals to the frame their characters became continuously
+            visible as partials (reference core.py:222-231 + fuse_partials).
+            Decoders without partials stamp both clocks at the final's
+            frame, so this degrades to plain ints there."""
+            model_t = frame_responses_timesteps(resp)
+            emit_t = frame_responses_timesteps(fuse_partials(resp))
+            return [
+                FullStamp(m, u) if m != u else m
+                for m, u in zip(model_t, emit_t)
+            ]
+
         if state_resets is not None:
             # segment long utterances into extra lanes, decode, then merge
             # per-utterance token streams (state_resets.py)
@@ -113,7 +145,7 @@ def evaluate(
             per_utt = []
             for lo, hi in group_segment_lanes(counts):
                 seg_toks = [frame_responses_to_tokens(responses[i]) for i in range(lo, hi)]
-                seg_ts = [frame_responses_timesteps(responses[i]) for i in range(lo, hi)]
+                seg_ts = [two_clock_ts(responses[i]) for i in range(lo, hi)]
                 toks, ts, _ = merge_segments(seg_toks, seg_ts, None, state_resets)
                 per_utt.append((toks, ts))
         else:
@@ -121,16 +153,32 @@ def evaluate(
             per_utt = []
             for resp in responses:
                 per_utt.append(
-                    (frame_responses_to_tokens(resp), frame_responses_timesteps(resp))
+                    (frame_responses_to_tokens(resp), two_clock_ts(resp))
                 )
 
-        for b, (toks, ts) in enumerate(per_utt):
+        # offline endpointing: trim each decode where a live system would
+        # have terminated (VAD silence / EOS), before detokenization
+        # (reference evaluate/core.py:243-268)
+        batch_toks = [toks for toks, _ in per_utt]
+        batch_ts = [ts for _, ts in per_utt]
+        batch_toks, batch_ts, _, batch_term = trim_predictions(
+            batch_toks,
+            batch_ts,
+            None,
+            pre_enc_width,
+            frame_width,
+            np.asarray(feat_lens).tolist(),
+            eos_vad_threshold=eos_vad_threshold,
+            eos_info=eos_trim,
+        )
+        for b, (toks, ts) in enumerate(zip(batch_toks, batch_ts)):
             hyps.append(tokenizer.detokenize(toks))
             refs.append(
                 normalize_transcript(batch.transcripts[b], charset, norm_cfg)
             )
             fnames.append(batch.fnames[b])
             tss.append(ts)
+            terminations.append(batch_term[b])
             pieces_list.append(
                 [tokenizer.id_to_piece(t).replace("▁", " ") for t in toks]
             )
@@ -149,15 +197,19 @@ def evaluate(
         refs=refs,
         fnames=fnames,
         timestamps=tss,
+        terminations=terminations,
     )
 
     # word-level timestamps + CTM export + emission latency vs ground truth
     # (reference evaluate/core.py:342-374, latency/ctm.py)
     from caiman_asr_tpu.latency.ctm import dump_ctm, measure_emission_latency
-    from caiman_asr_tpu.latency.timestamp import Never, group_timestamps
+    from caiman_asr_tpu.latency.timestamp import group_timestamps, user_perceived_time
 
     result.word_timestamps = group_timestamps(
-        pieces_list, tss, hyps, [Never() for _ in hyps]
+        pieces_list,
+        [[user_perceived_time(t) for t in ts] for ts in tss],
+        hyps,
+        terminations,
     )
     if jax.process_count() > 1:
         # Per-process shards -> the global result on EVERY process
@@ -170,10 +222,13 @@ def evaluate(
         if jax.process_index() != 0:
             logger, dump_preds_dir, ctm_path = None, None, None
     if ctm_path is not None:
-        dump_ctm(fnames, result.word_timestamps, ctm_path, frame_width)
+        last_emit = dump_ctm(fnames, result.word_timestamps, ctm_path, frame_width)
         if gt_ctm_path is not None:
+            # real terminations feed the SIL/EOS endpoint latencies
+            # (reference latency/ctm.py:116-140)
             result.latency_metrics = measure_emission_latency(
-                gt_ctm_path, ctm_path, frame_width=frame_width
+                gt_ctm_path, ctm_path, frame_width=frame_width,
+                last_emit_time=last_emit,
             )
             if logger is not None and result.latency_metrics["n"]:
                 logger.log(
@@ -184,6 +239,21 @@ def evaluate(
                 )
     if logger is not None:
         metrics = {"wer": result.wer * 100.0, "took": time.time() - t0}
+        if result.terminations and (
+            eos_vad_threshold != float("inf") or eos_trim is not None
+        ):
+            # termination-kind mix (reference core.py:330-341)
+            from caiman_asr_tpu.latency.timestamp import EOS as _EOS
+            from caiman_asr_tpu.latency.timestamp import Silence as _Sil
+
+            n = len(result.terminations)
+            metrics["eos_frac"] = (
+                sum(isinstance(t, _EOS) for t in result.terminations) / n
+            )
+            metrics["sil_frac"] = (
+                sum(isinstance(t, _Sil) for t in result.terminations) / n
+            )
+            metrics["rem_frac"] = 1 - metrics["eos_frac"] - metrics["sil_frac"]
         if result.loss is not None:
             # result.loss, not the local `loss`: after aggregation it is the
             # count-weighted GLOBAL loss (the local shard's loss would

@@ -82,6 +82,7 @@ def aggregate_eval_results(result, loss_count: float = 0.0):
         "fnames": result.fnames,
         "timestamps": result.timestamps,
         "word_timestamps": result.word_timestamps,
+        "terminations": result.terminations,
     }
     gathered = gather_objects(small)
 
@@ -103,4 +104,7 @@ def aggregate_eval_results(result, loss_count: float = 0.0):
         fnames=[f for g in gathered for f in g["fnames"]],
         timestamps=[t for g in gathered for t in g["timestamps"]],
         word_timestamps=merged_wts,
+        terminations=[
+            t for g in gathered for t in (g["terminations"] or [])
+        ] or None,
     )

@@ -27,6 +27,8 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from caiman_asr_tpu.latency.timestamp import add_frames, user_perceived_time
+
 
 @dataclass(frozen=True)
 class StateResetsConfig:
@@ -115,7 +117,7 @@ def merge_segments(
             # 1. drop tokens inside the overlap region
             omit = 0
             for time in t:
-                if time < overlap_dur:
+                if user_perceived_time(time) < overlap_dur:
                     omit += 1
                 else:
                     break
@@ -138,7 +140,7 @@ def merge_segments(
         # 3. shift timestamps onto the continuous timeline
         shift = s * step_dur
         toks.extend(p)
-        ts.extend(time + shift for time in t)
+        ts.extend(add_frames(time, shift) for time in t)
         if pr is not None:
             probs.extend(pr)
     return toks, ts, probs

@@ -281,8 +281,26 @@ def measure_emission_latency(
     model_ctm_path: str,
     include_subs: bool = False,
     frame_width: float = 0.0,
+    last_emit_time: Optional[Dict[str, Termination]] = None,
 ) -> Dict[str, Optional[float]]:
-    latencies = align_ctm_files(
-        load_ctm(gt_ctm_path), load_ctm(model_ctm_path), include_subs
+    """Emission-latency stats, plus SIL/EOS endpoint-latency stats when the
+    per-file terminations are given (reference latency/ctm.py:116-140 →
+    compute_latency_metrics keys)."""
+    aligned = align_transcripts(
+        load_ctm(gt_ctm_path),
+        load_ctm(model_ctm_path),
+        last_emit_time=last_emit_time,
+        include_subs=include_subs,
     )
-    return latency_stats(latencies, frame_width)
+    metrics = latency_stats(aligned.latencies, frame_width)
+    if last_emit_time is not None:
+        if aligned.sil_latency:
+            metrics["mean-SIL-latency"] = mean(aligned.sil_latency)
+            metrics["median-SIL-latency"] = median(aligned.sil_latency)
+        if aligned.eos_latency:
+            metrics["mean-EOS-latency"] = mean(aligned.eos_latency)
+            metrics["median-EOS-latency"] = median(aligned.eos_latency)
+        metrics["terminal_token_usage_rate"] = (
+            aligned.terminal_token_usage_rate
+        )
+    return metrics

@@ -168,6 +168,22 @@ def validate(args=None):
             cfg.rnnt.enc_stack_time_factor,
         )
 
+    # offline endpointing (evaluate/trim.py): cut hyps where a live system
+    # would have terminated and record Silence/EOS/Never per utterance —
+    # greedy AND beam both flow through this (reference core.py:243-268)
+    from caiman_asr_tpu.evaluate.trim import EOSTrimConfig
+
+    eos_trim = None
+    if eos_idx is not None and eos_idx >= 0:
+        eos_trim = EOSTrimConfig(
+            eos_idx=eos_idx,
+            eos_is_terminal=getattr(args, "eos_is_terminal", False),
+            blank_idx=blank_idx,
+        )
+    pre_enc_width = (
+        cfg.input_val.logmel.window_stride
+        * cfg.input_val.splicing.frame_stacking
+    )
     result = evaluate(
         params,
         decoder,
@@ -190,6 +206,9 @@ def validate(args=None):
             * cfg.input_val.splicing.frame_subsampling
             * cfg.rnnt.enc_stack_time_factor
         ),
+        eos_vad_threshold=getattr(args, "eos_vad_threshold", float("inf")),
+        eos_trim=eos_trim,
+        pre_enc_width=pre_enc_width,
     )
     if args.wer_breakdown:
         from caiman_asr_tpu.evaluate.wer_breakdown import print_wer_breakdown

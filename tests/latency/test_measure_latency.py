@@ -168,3 +168,31 @@ def test_load_ctm_still_roundtrips(tmp_path):
     f.write_text("f 1 0.5 0.25 word \n")
     [t] = load_ctm(str(f))
     assert (t.beg_time, t.end_time, t.word) == (0.5, 0.75, "word")
+
+
+def test_endpoint_latencies_from_terminations(tmp_path):
+    """measure_emission_latency reports SIL/EOS endpoint stats when given
+    real per-file terminations (reference latency/ctm.py:116-140): endpoint
+    latency = termination time - ground-truth final word end, only counted
+    when the final words match."""
+    from caiman_asr_tpu.latency.ctm import measure_emission_latency
+    from caiman_asr_tpu.latency.timestamp import EOS, Never, Silence
+
+    gt = tmp_path / "gt.ctm"
+    md = tmp_path / "model.ctm"
+    gt.write_text(
+        "a 1 0.00 0.50 hello\na 1 0.60 0.40 world\n"
+        "b 1 0.00 0.50 good\nb 1 0.60 0.40 morning\n"
+        "c 1 0.00 0.50 yes\n"
+    )
+    md.write_text(
+        "a 1 0.10 0.50 hello\na 1 0.70 0.40 world\n"
+        "b 1 0.10 0.50 good\nb 1 0.70 0.40 morning\n"
+        "c 1 0.10 0.50 no\n"  # final word mismatch: no endpoint sample
+    )
+    terms = {"a": Silence(2.0), "b": EOS(1.5), "c": Never()}
+    m = measure_emission_latency(str(gt), str(md), last_emit_time=terms)
+    assert m["mean-SIL-latency"] == pytest.approx(2.0 - 1.0)
+    assert m["mean-EOS-latency"] == pytest.approx(1.5 - 1.0)
+    # endpoint counted for a and b only (c's final word mismatched)
+    assert m["terminal_token_usage_rate"] == pytest.approx(2 / 3)
