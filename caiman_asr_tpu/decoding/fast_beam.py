@@ -28,15 +28,19 @@ Reference-beam quality features, device-native:
     top-W selection. Token-level hash, not the reference's cleaned-string
     hash — sequences that differ in tokens but not text do not merge.
   - **n-gram shallow fusion** (ref rnnt/beam.py:496,629-642): an int32 LM
-    automaton state per hypothesis + two dense table gathers per expansion
-    (lm/device_table.py), added to candidate scores BEFORE beam selection
-    so the LM reorders the beam exactly as the host fusion does. The
-    acoustic approx-top-W preselection happens before fusion (the LM
-    reranks candidates the acoustics already shortlisted) — the one
-    deliberate approximation vs vocab-wide host fusion.
+    automaton state per hypothesis; the state's full score row is gathered
+    and added to the logits BEFORE the approx-top-W preselection, so fusion
+    is vocab-wide exactly like the reference's (a post-preselect boost
+    could never surface a token the acoustics alone left out of the
+    shortlist). Costs one [B*W, K] gather+add per expansion, only when
+    fusion is on.
+  - **keyword boosting** (ref rnnt/beam.py:614-627): the weighted character
+    trie determinized into the same dense automaton shape
+    (keywords/device_table.py — provably identical to the host trie), fused
+    the same vocab-wide way; boost deltas carry their own scale.
 
-Remaining differences by design: keyword boosting stays host-side; pruning
-thresholds are implicit in the fixed W/E.
+Remaining differences by design: pruning thresholds are implicit in the
+fixed W/E.
 """
 
 from __future__ import annotations
@@ -66,6 +70,20 @@ HASH_MULT = np.uint32(1000003)
 def _hash_step(h, token):
     """Rolling token-sequence hash (uint32, wraps)."""
     return h * HASH_MULT + token.astype(jnp.uint32) + jnp.uint32(1)
+
+
+def _kw_tables(keywords):
+    """(score, next_state, init) jnp triple from a DeviceKeywords, or None.
+    Same automaton interface as the n-gram tables; the boost deltas carry
+    their own scale, so fusion uses them unscaled (the host beam adds the
+    trie delta directly, beam.py:333-337; ref rnnt/beam.py:614-627)."""
+    if keywords is None:
+        return None
+    return (
+        jnp.asarray(keywords.score),
+        jnp.asarray(keywords.next_state),
+        int(keywords.init_state),
+    )
 
 
 def _lm_tables(ngram_lm, ngram_alpha: float):
@@ -149,6 +167,7 @@ class FastBeamDecoder:
         cap: int = 256,
         ngram_lm=None,
         ngram_alpha: float = 0.0,
+        keywords=None,
         merge: bool = True,
         max_inputs_per_batch: int = int(1e7),
     ):
@@ -165,6 +184,7 @@ class FastBeamDecoder:
         self.merge = merge
         self.ngram_alpha = float(ngram_alpha)
         self.lm = _lm_tables(ngram_lm, ngram_alpha)
+        self.kw = _kw_tables(keywords)
         self._jit_decode = jax.jit(self._decode_impl, static_argnames=("cap",))
 
     # ----------------------------------------------------------- internals
@@ -220,6 +240,8 @@ class FastBeamDecoder:
         )
         if self.lm is not None:
             beam["lm"] = jnp.full((B, W), self.lm[2], jnp.int32)
+        if self.kw is not None:
+            beam["kw"] = jnp.full((B, W), self.kw[2], jnp.int32)
 
         def gather_w(tree, idx):
             return _gather_w(tree, idx, L)
@@ -256,19 +278,21 @@ class FastBeamDecoder:
 
             def expand(active, lp):
                 # non-blank expansions: two-stage top-W (see the streaming
-                # step below for rationale)
+                # step below for rationale). LM/keyword fusion is applied
+                # VOCAB-WIDE before the preselection — the reference fuses
+                # over the whole vocabulary before pruning (beam.py:629-642),
+                # and a post-preselect boost could never surface a token the
+                # acoustics alone left out of the top-W
                 lp_nb = lp.at[..., self.blank_idx].set(NEG_INF)
+                if self.lm is not None:
+                    lp_nb = lp_nb + self.ngram_alpha * self.lm[0][active["lm"]]
+                if self.kw is not None:
+                    lp_nb = lp_nb + self.kw[0][active["kw"]]
                 cand_s, cand_i = lax.approx_max_k(
                     lp_nb.reshape(B * W, K), W, recall_target=0.99
                 )
                 cand_s = cand_s.reshape(B, W, W) + active["scores"][:, :, None]
                 cand_i = cand_i.reshape(B, W, W)
-                if self.lm is not None:
-                    # shallow fusion before selection: score += alpha * lnP
-                    lm_sc, _, _ = self.lm
-                    cand_s = cand_s + self.ngram_alpha * lm_sc[
-                        active["lm"][:, :, None], cand_i
-                    ]
                 top_es, sel = lax.top_k(cand_s.reshape(B, W * W), W)
                 parent = sel // W  # [B, W]
                 token = jnp.take_along_axis(
@@ -286,6 +310,8 @@ class FastBeamDecoder:
                 new["hash"] = _hash_step(new["hash"], token)
                 if self.lm is not None:
                     new["lm"] = self.lm[1][new["lm"], token]
+                if self.kw is not None:
+                    new["kw"] = self.kw[1][new["kw"], token]
                 new["g"], new["h"], new["c"] = self._pred_advance(
                     params, token, new["h"], new["c"]
                 )
@@ -406,6 +432,7 @@ def make_streaming_beam_step(
     cap: int = 256,
     ngram_lm=None,
     ngram_alpha: float = 0.0,
+    keywords=None,
     merge: bool = True,
 ):
     """Returns (init_state, step).
@@ -423,6 +450,7 @@ def make_streaming_beam_step(
     L, Hp = model.cfg.pred_rnn_layers, model.cfg.pred_n_hid
     lm = _lm_tables(ngram_lm, ngram_alpha)
     alpha = float(ngram_alpha)
+    kw = _kw_tables(keywords)
 
     def pred_advance(params, tokens, h, c):
         Lc, B, Wc, Hpc = h.shape
@@ -470,6 +498,8 @@ def make_streaming_beam_step(
         )
         if lm is not None:
             st["lm"] = jnp.full((B, W), lm[2], jnp.int32)
+        if kw is not None:
+            st["kw"] = jnp.full((B, W), kw[2], jnp.int32)
         return st
 
     def step(params, f_t, state):
@@ -531,8 +561,16 @@ def make_streaming_beam_step(
             # the raw scaled logits (softmax and the score shift are
             # monotone per row, so indices are unchanged), blank filtered
             # from the W+1 survivors, then exact top-W over W*(W+1).
+            zf = z
+            if lm is not None:
+                # vocab-wide fusion BEFORE preselection (ref beam.py:629-642):
+                # the LSE is row-constant, so adding fusion scores to the
+                # unnormalized z preserves the final candidate ordering
+                zf = zf + alpha * lm[0][active["lm"]]
+            if kw is not None:
+                zf = zf + kw[0][active["kw"]]
             cs, ci = lax.approx_max_k(
-                z.reshape(B * W, K), W + 1, recall_target=0.99
+                zf.reshape(B * W, K), W + 1, recall_target=0.99
             )
             cs = jnp.where(ci == blank_idx, NEG_INF, cs)
             cand_s = (
@@ -541,10 +579,6 @@ def make_streaming_beam_step(
                 + active["scores"][:, :, None]
             )
             cand_i = ci.reshape(B, W, W + 1)
-            if lm is not None:
-                cand_s = cand_s + alpha * lm[0][
-                    active["lm"][:, :, None], cand_i
-                ]
             top_es, sel = lax.top_k(cand_s.reshape(B, W * (W + 1)), W)
             parent = sel // (W + 1)
             token = jnp.take_along_axis(
@@ -562,6 +596,8 @@ def make_streaming_beam_step(
             new["hash"] = _hash_step(new["hash"], token)
             if lm is not None:
                 new["lm"] = lm[1][new["lm"], token]
+            if kw is not None:
+                new["kw"] = kw[1][new["kw"], token]
             new["g"], new["h"], new["c"] = pred_advance(
                 params, token, new["h"], new["c"]
             )

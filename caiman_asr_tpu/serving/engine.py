@@ -215,6 +215,7 @@ class StreamingEngine:
         native_serializer: Optional[bool] = None,
         ngram_lm=None,
         ngram_alpha: float = 0.0,
+        keywords=None,
         beam_merge: bool = True,
         device=None,
         wire_responses: bool = False,
@@ -273,7 +274,8 @@ class StreamingEngine:
             self._init_beam, self._beam_step = make_streaming_beam_step(
                 model, blank_idx, beam_width=beam_width,
                 expansions=min(max_symbols_per_step, 8), cap=beam_cap,
-                ngram_lm=ngram_lm, ngram_alpha=ngram_alpha, merge=beam_merge,
+                ngram_lm=ngram_lm, ngram_alpha=ngram_alpha,
+                keywords=keywords, merge=beam_merge,
             )
             # device->host token window per tick: newest _beam_win positions
             # of every hypothesis. Must exceed per-tick growth (expansions)

@@ -274,6 +274,30 @@ def build_engine(args):
                     f"n-gram fusion on: {tables.n_states} states, "
                     f"alpha={alpha}", flush=True,
                 )
+    # keyword boosting in the served beam: the trie compiled into the dense
+    # device automaton the jitted beam boosts per expansion
+    # (keywords/device_table.py; ref rnnt/beam.py:614-627)
+    kw_tables = None
+    if getattr(args, "decoder", "greedy") == "beam" and getattr(
+        args, "keyword_boost_path", None
+    ):
+        from caiman_asr_tpu.keywords.device_table import build_keyword_tables
+        from caiman_asr_tpu.keywords.process import load_keywords
+
+        def kw_piece(i):
+            try:
+                return tokenizer.id_to_piece(i)
+            except (IndexError, KeyError):
+                return ""
+
+        kw_tables = build_keyword_tables(
+            load_keywords(args.keyword_boost_path),
+            [kw_piece(i) for i in range(model.n_classes)],
+            skip_ids=[blank_idx],
+        )
+        print(
+            f"keyword boosting on: {kw_tables.n_states} states", flush=True
+        )
     engine_kw = dict(
         mel_stats=mel_stats,
         decoder=getattr(args, "decoder", "greedy"),
@@ -284,6 +308,7 @@ def build_engine(args):
         pipeline_depth=getattr(args, "pipeline_depth", 1),
         ngram_lm=tables,
         ngram_alpha=alpha if tables is not None else 0.0,
+        keywords=kw_tables,
         wire_responses=getattr(args, "wire_responses", False),
     )
     num_chips = getattr(args, "num_chips", 1) or 1
@@ -329,6 +354,10 @@ def main(argv=None):
                    help="ARPA n-gram for device shallow fusion in beam mode "
                         "(defaults to the serving bundle's embedded model)")
     p.add_argument("--ngram_scale_factor", type=float, default=None)
+    p.add_argument("--keyword_boost_path", default=None,
+                   help="keyword JSON for boosting in beam mode (reference "
+                        "--keyword_boost_path): the trie is compiled into a "
+                        "dense device automaton fused in the jitted beam")
     p.add_argument("--pipeline_depth", type=int, default=1,
                    help="in-flight ticks before host consumption; each unit "
                         "hides one tick of device->host latency and adds one "

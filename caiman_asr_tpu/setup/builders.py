@@ -412,6 +412,26 @@ def build_decoder(
     if args.decoder == "fast_beam":
         from caiman_asr_tpu.decoding.fast_beam import FastBeamDecoder
 
+        kw_tables = None
+        if getattr(args, "keyword_boost_path", None) and tokenizer is not None:
+            # compile the keyword trie into the dense device automaton the
+            # jitted beam boosts per expansion (keywords/device_table.py)
+            from caiman_asr_tpu.keywords.device_table import (
+                build_keyword_tables,
+            )
+            from caiman_asr_tpu.keywords.process import load_keywords
+
+            def kw_piece(i):
+                try:
+                    return tokenizer.id_to_piece(i)
+                except (IndexError, KeyError):
+                    return ""
+
+            kw_tables = build_keyword_tables(
+                load_keywords(args.keyword_boost_path),
+                [kw_piece(i) for i in range(model.n_classes)],
+                skip_ids=[blank_idx],
+            )
         scale = args.ngram_scale_factor
         if scale is None:
             scale = cfg.ngram.scale_factor if cfg else 0.05
@@ -446,6 +466,7 @@ def build_decoder(
             tokenizer=tokenizer,
             ngram_lm=tables,
             ngram_alpha=scale if tables is not None else 0.0,
+            keywords=kw_tables,
             max_inputs_per_batch=int(
                 getattr(args, "max_inputs_per_batch", 1e7)
             ),

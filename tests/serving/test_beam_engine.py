@@ -489,3 +489,45 @@ def test_beam_engine_with_lm_fusion(tmp_path):
     finals, partials = collect(eng, lane, audio)
     assert all(isinstance(f, str) for f in finals)
     assert not eng.streams  # lane recycled cleanly
+
+
+@pytest.mark.slow
+def test_keyword_boost_end_to_end():
+    """Serving smoke: a heavily-boosted keyword shows up in the served beam
+    transcript that did not appear without boosting (device automaton in
+    the jitted streaming beam — ref rnnt/beam.py:614-627)."""
+    from caiman_asr_tpu.keywords.device_table import build_keyword_tables
+    from caiman_asr_tpu.keywords.trie import Keywords
+
+    model = RNNT(
+        RNNTModelConfig(
+            in_feats=240, enc_n_hid=16, enc_pre_rnn_layers=1,
+            enc_post_rnn_layers=1, enc_stack_time_factor=2, pred_n_hid=8,
+            pred_rnn_layers=1, joint_n_hid=16,
+            enc_dropout=0.0, pred_dropout=0.0, joint_dropout=0.0,
+        ),
+        N_CLASSES,
+    )
+    params = model.init(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(11)
+    audio = (rng.normal(size=960 * 6) * 0.1).astype(np.float32)
+    pieces = [Tok().id_to_piece(i) for i in range(N_CLASSES)]
+
+    def run(keywords):
+        eng = StreamingEngine(
+            model, params, BLANK, Tok(), max_streams=1, decoder="beam",
+            beam_width=3, native_serializer=False, keywords=keywords,
+        )
+        lane = eng.open_stream()
+        texts = collect(eng, lane, audio)[0]
+        eng.close()
+        return "".join(texts)
+
+    base = run(None)
+    assert base, "base decode emitted nothing; test vacuous"
+    boosted = next(
+        ch for ch in (chr(97 + i) for i in range(N_CLASSES - 1))
+        if ch not in base
+    )
+    kw = build_keyword_tables(Keywords([(boosted, 50.0)]), pieces)
+    assert boosted in run(kw)
