@@ -33,12 +33,21 @@ class HuggingFaceReader:
         self.ds = hf_datasets.load_dataset(
             dataset, config, split=split, streaming=streaming
         )
-        try:
-            self.ds = self.ds.cast_column(
-                audio_column, hf_datasets.Audio(sampling_rate=sample_rate)
-            )
-        except Exception:
-            pass
+        # Re-cast to the target sample rate ONLY when the column really is
+        # an Audio feature: casting a plain {array, sampling_rate} dict
+        # column (e.g. a local json dataset — the zero-egress test path)
+        # would fail lazily at iteration time inside the datasets decode
+        # machinery; such columns are resampled in __iter__ instead.
+        feats = getattr(self.ds, "features", None)
+        if feats is not None and isinstance(
+            feats.get(audio_column), hf_datasets.Audio
+        ):
+            try:
+                self.ds = self.ds.cast_column(
+                    audio_column, hf_datasets.Audio(sampling_rate=sample_rate)
+                )
+            except Exception:
+                pass
         self.audio_column = audio_column
         self.text_column = text_column
         self.sr = sample_rate

@@ -4,7 +4,9 @@ The reference loads kenlm ``.binary`` artifacts directly through the kenlm
 C++ library (reference lm/kenlm_ngram.py:10-48); deployments ship such
 files. This module parses the published kenlm wire format (magic
 ``mmap lm http://kheafield.com/code format version 5``) without the kenlm
-dependency so those artifacts keep working here.
+dependency so those artifacts keep working here. TRIE / QUANT_TRIE models
+dispatch to :mod:`caiman_asr_tpu.lm.kenlm_trie`; only the Bhiksha ARRAY
+variants are rejected (with a pointed rebuild hint).
 
 Layout (HASH_PROBING models, reverse-engineered from the wire format and
 validated against a real kenlm artifact — every conditional probability
@@ -226,17 +228,13 @@ def parse_kenlm_binary(path: str | Path) -> KenLMBinaryLM:
     has_vocab = data[100]
     search_version = struct.unpack_from("<I", data, 104)[0]
     counts = struct.unpack_from(f"<{order}Q", data, 108)
-    if model_type != 0:
+    if model_type not in (0, 2, 3):
         name = MODEL_TYPES.get(model_type, f"#{model_type}")
         raise ValueError(
-            f"{path} is a kenlm {name} model; only PROBING binaries are "
-            "supported. Rebuild with `build_binary probing` or load the "
-            "ARPA text instead."
-        )
-    if search_version != 0:
-        raise ValueError(
-            f"{path} has probing search version {search_version}; only "
-            "version 0 is supported — load the ARPA text instead"
+            f"{path} is a kenlm {name} model; PROBING, TRIE and QUANT_TRIE "
+            "binaries are supported (ARRAY variants use Bhiksha pointer "
+            "compression, unsupported). Rebuild with `build_binary probing`"
+            " / `build_binary trie` without -a, or load the ARPA text."
         )
     if not has_vocab:
         raise ValueError(
@@ -254,6 +252,24 @@ def parse_kenlm_binary(path: str | Path) -> KenLMBinaryLM:
             f"in-memory scorer (cap {max_ngrams:,}; ~100 B/entry). Use the "
             "ARPA + NGramLM.save_binary() npz cache, or raise "
             "CAIMAN_KENLM_MAX_NGRAMS if the host has the RAM."
+        )
+    if model_type in (2, 3):
+        from caiman_asr_tpu.lm.kenlm_trie import (
+            TRIE_SEARCH_VERSION,
+            parse_kenlm_trie,
+        )
+
+        if search_version != TRIE_SEARCH_VERSION:
+            raise ValueError(
+                f"{path} has trie search version {search_version}; only "
+                f"version {TRIE_SEARCH_VERSION} is supported — load the "
+                "ARPA text instead"
+            )
+        return parse_kenlm_trie(path, data, order, model_type, counts)
+    if search_version != 0:
+        raise ValueError(
+            f"{path} has probing search version {search_version}; only "
+            "version 0 is supported — load the ARPA text instead"
         )
 
     off = _align8(88 + 20 + 8 * order)

@@ -1,0 +1,79 @@
+"""Dense-vs-pruned quality evidence with repeats (PARITY.md table).
+
+Runs the synthetic tone task (scripts/synthetic_e2e.py data + training)
+dense and pruned (S=5) over several seeds, reporting greedy-best and
+beam-4 dev WER per run plus per-mode mean/spread — the run-to-run
+variance that a single-run comparison cannot show. One process per run
+(fresh jit caches, no state bleed); runs are sequential because the rig
+has one chip.
+
+    python scripts/pruned_quality_sweep.py --steps 3000 --seeds 1 2 3
+"""
+
+import argparse
+import re
+import subprocess
+import sys
+from pathlib import Path
+from statistics import mean, pstdev
+
+ROOT = Path(__file__).parent.parent
+
+
+def run_one(mode: str, seed: int, steps: int, lr: float, base: Path) -> dict:
+    work = base / f"{mode}_s{seed}"
+    cmd = [
+        sys.executable, str(ROOT / "scripts" / "synthetic_e2e.py"),
+        "--workdir", str(work), "--steps", str(steps), "--lr", str(lr),
+        "--seed", str(seed),
+    ]
+    if mode == "pruned5":
+        cmd += ["--pruned", "5"]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=str(ROOT), timeout=3600
+    )
+    tail = out.stdout[-2000:] + out.stderr[-2000:]
+    if out.returncode != 0:
+        raise RuntimeError(f"{mode} seed {seed} failed:\n{tail}")
+    m = re.search(
+        r"greedy-best dev WER ([0-9.]+)%,\s*beam-4 dev WER ([0-9.]+)%",
+        out.stdout,
+    )
+    if not m:
+        raise RuntimeError(f"{mode} seed {seed}: no WER line in\n{tail}")
+    return {
+        "mode": mode, "seed": seed,
+        "greedy_wer": float(m.group(1)) / 100.0,
+        "beam_wer": float(m.group(2)) / 100.0,
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
+    p.add_argument("--base", default="/tmp/pruned_sweep")
+    args = p.parse_args()
+
+    base = Path(args.base)
+    base.mkdir(parents=True, exist_ok=True)
+    rows = []
+    for mode in ("dense", "pruned5"):
+        for seed in args.seeds:
+            r = run_one(mode, seed, args.steps, args.lr, base)
+            rows.append(r)
+            print(f"{r['mode']:8s} seed {r['seed']}: greedy "
+                  f"{r['greedy_wer']:.2%}  beam-4 {r['beam_wer']:.2%}",
+                  flush=True)
+
+    print("\nmode      n  greedy mean±sd       beam-4 mean±sd")
+    for mode in ("dense", "pruned5"):
+        g = [r["greedy_wer"] for r in rows if r["mode"] == mode]
+        b = [r["beam_wer"] for r in rows if r["mode"] == mode]
+        print(f"{mode:8s} {len(g)}  {mean(g):.2%} ± {pstdev(g):.2%}   "
+              f"{mean(b):.2%} ± {pstdev(b):.2%}")
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,8 @@ def main():
              "of the exact dense loss — the quality-parity check for "
              "--pruned_loss_range",
     )
+    p.add_argument("--seed", type=int, default=1,
+                   help="training seed (init + data order) for repeat runs")
     p.add_argument(
         "--compare_decoders", action="store_true",
         help="after training, table greedy vs fast_beam vs fast_beam+LM vs "
@@ -157,6 +159,7 @@ def main():
         "--mel_stats_path", str(root / "mel_stats.npz"),
         "--norm_ramp_start_step", "200",
         "--norm_ramp_end_step", str(max(args.steps // 3, 400)),
+        "--seed", str(args.seed),
     ] + (["--pruned_loss_range", str(args.pruned)] if args.pruned else []))
     _, best_wer = train_main(targs)
 

@@ -431,3 +431,55 @@ def test_speed_perturb_rational_rate():
     # identity cases allocate nothing
     same = speed_perturb(audio, 1.0)
     assert same is audio
+
+
+def test_hf_reader_real_local_dataset(tmp_path, tok, monkeypatch):
+    """A REAL ``datasets.load_dataset`` call with zero egress: a local json
+    dataset with inline audio arrays streams through HuggingFaceReader +
+    HuggingFaceLoader all the way to padded batches (reference
+    data/hugging_face/core.py:1-133 exercised against a genuine datasets
+    object, not a substitute)."""
+    import json as _json
+
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    rng = np.random.default_rng(5)
+    rows = []
+    for i, text in enumerate(TEXTS):
+        arr = (rng.normal(size=1600 + 320 * i) * 0.1).astype(np.float64)
+        # every other utterance at 8 kHz to exercise the resample path
+        sr = 16000 if i % 2 == 0 else 8000
+        rows.append({
+            "audio": {"array": arr.tolist(), "sampling_rate": sr},
+            "text": text,
+            "id": f"utt{i}",
+        })
+    data = tmp_path / "train.jsonl"
+    data.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    from caiman_asr_tpu.data.hugging_face import (
+        HuggingFaceLoader,
+        HuggingFaceReader,
+    )
+
+    reader = HuggingFaceReader(
+        "json", split="train", streaming=True, sample_rate=16000,
+    )
+    # load_dataset("json", ...) needs data_files; re-load with them (the
+    # reader ctor signature mirrors the reference CLI, which addresses hub
+    # datasets by name — local json needs this one extra argument)
+    import datasets as hf_datasets
+
+    reader.ds = hf_datasets.load_dataset(
+        "json", data_files=str(data), split="train", streaming=True
+    )
+    got = list(reader)
+    assert [t for _, t, _ in got] == TEXTS
+    # 8 kHz rows doubled in length by the resample
+    assert len(got[1][0]) == 2 * (1600 + 320)
+
+    loader = HuggingFaceLoader(reader, tok, batch_size=3)
+    batches = list(loader.epoch(0))
+    assert sum(b.audio.shape[0] for b in batches) == len(TEXTS)
+    for b in batches:
+        assert b.audio.ndim == 2 and b.tokens.ndim == 2
+        assert (b.audio_lens > 0).all()
