@@ -83,8 +83,43 @@ def _kernel(
     lax.fori_loop(0, t_blk, body, 0)
 
 
-def _pallas_recurrence(gates_x, w_hh_t, h0, c0, *, hard: bool, t_blk: int, interpret: bool):
-    """gates_x: [T, B, 4H] (T multiple of t_blk); returns (ys, cs) [T, B, H]."""
+def _kernel_sg(
+    gx_ref, w_hbm_ref, h0_ref, c0_ref, ys_ref, cs_ref, gs_ref,
+    h_scr, c_scr, w_scr, w_sem, *, hard, t_blk,
+):
+    """Store-gates variant: additionally streams the FULL pre-activations
+    (gx + h @ w_hh) out, so the backward pass can skip its gates-recompute
+    GEMM entirely. Stored in the compute dtype — the same precision the
+    recompute path streams them at (``_bwd`` casts its recomputed gates to
+    ``gates_x.dtype`` before the reverse kernel), so numerics match."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_scr[:] = h0_ref[:].astype(jnp.float32)
+        c_scr[:] = c0_ref[:].astype(jnp.float32)
+        dma = pltpu.make_async_copy(w_hbm_ref, w_scr, w_sem)
+        dma.start()
+        dma.wait()
+
+    def body(t, _):
+        h = h_scr[:].astype(w_scr.dtype)
+        gates = gx_ref[t].astype(jnp.float32) + jnp.dot(
+            h, w_scr[:], preferred_element_type=jnp.float32
+        )
+        gs_ref[t] = gates.astype(gs_ref.dtype)
+        h_new, c_new = _gate_math(gates, c_scr[:], hard)
+        h_scr[:] = h_new
+        c_scr[:] = c_new
+        ys_ref[t] = h_new.astype(ys_ref.dtype)
+        cs_ref[t] = c_new.astype(cs_ref.dtype)
+        return 0
+
+    lax.fori_loop(0, t_blk, body, 0)
+
+
+def _pallas_recurrence(gates_x, w_hh_t, h0, c0, *, hard: bool, t_blk: int,
+                       interpret: bool, store_gates: bool = False):
+    """gates_x: [T, B, 4H] (T multiple of t_blk); returns (ys, cs[, gs])
+    each [T, B, H] (gs [T, B, 4H], only when store_gates)."""
     T, B, H4 = gates_x.shape
     H = H4 // 4
     dtype = h0.dtype
@@ -94,9 +129,23 @@ def _pallas_recurrence(gates_x, w_hh_t, h0, c0, *, hard: bool, t_blk: int, inter
         H * H4 * w_hh_t.dtype.itemsize  # resident weights
         + 2 * (t_blk * B * H4 + 2 * t_blk * B * H) * itemsize  # dbl-buffered
         + 2 * B * H * 4  # fp32 state scratch
+        + (2 * t_blk * B * H4 * itemsize if store_gates else 0)
     )
-    kernel = functools.partial(_kernel, hard=hard, t_blk=t_blk)
-    ys, cs = pl.pallas_call(
+    blk_out = pl.BlockSpec((t_blk, B, H), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_specs = [blk_out, blk_out]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, B, H), dtype),
+        jax.ShapeDtypeStruct((T, B, H), dtype),
+    ]
+    if store_gates:
+        out_specs.append(pl.BlockSpec((t_blk, B, H4), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((T, B, H4), dtype))
+        kernel = functools.partial(_kernel_sg, hard=hard, t_blk=t_blk)
+    else:
+        kernel = functools.partial(_kernel, hard=hard, t_blk=t_blk)
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -105,14 +154,8 @@ def _pallas_recurrence(gates_x, w_hh_t, h0, c0, *, hard: bool, t_blk: int, inter
             pl.BlockSpec((B, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((t_blk, B, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_blk, B, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), dtype),
-            jax.ShapeDtypeStruct((T, B, H), dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
@@ -122,7 +165,7 @@ def _pallas_recurrence(gates_x, w_hh_t, h0, c0, *, hard: bool, t_blk: int, inter
         compiler_params=_compiler_params(need),
         interpret=interpret,
     )(gates_x, w_hh_t, h0, c0)
-    return ys, cs
+    return out
 
 
 def pallas_eligible(B: int, H: int, t_blk: int, dtype) -> bool:
@@ -280,34 +323,47 @@ def _pallas_bwd_recurrence(gates, c_prev, cs, dys, dcs, w_hh, *, hard, t_blk, in
 
 
 # ------------------------------------------------------------- custom vjp
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def lstm_recurrence(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def lstm_recurrence(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret,
+                    store_gates=False):
     """Sequential LSTM recurrence (Pallas forward, scan backward).
 
     gates_x: [T, B, 4H] fp32 pre-activations (x-projection + bias);
     w_hh_t: [H, 4H]; h0, c0: [B, H]. Returns (ys, cs) each [T, B, H].
+
+    store_gates=True makes the forward kernel also stream out the full
+    pre-activations so the backward skips its gates-recompute GEMM (one
+    [T*B, H] x [H, 4H] per layer). The residual set swaps gates_x for the
+    stored gates — same bytes — and the stored precision equals what the
+    recompute path streams, so this trades ~T*B*4H write bandwidth in
+    forward for a whole GEMM in backward.
     """
-    ys, cs = _fwd_impl(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret)
-    return ys, cs
+    out = _fwd_impl(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret,
+                    store_gates)
+    return out[0], out[1]
 
 
-def _fwd_impl(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret):
+def _fwd_impl(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret, store_gates):
     T = gates_x.shape[0]
     Tp = -(-T // t_blk) * t_blk
     gx = jnp.pad(gates_x, ((0, Tp - T), (0, 0), (0, 0))) if Tp != T else gates_x
-    ys, cs = _pallas_recurrence(
-        gx, w_hh_t, h0, c0, hard=hard, t_blk=t_blk, interpret=interpret
+    out = _pallas_recurrence(
+        gx, w_hh_t, h0, c0, hard=hard, t_blk=t_blk, interpret=interpret,
+        store_gates=store_gates,
     )
-    return ys[:T], cs[:T]
+    return tuple(o[:T] for o in out)
 
 
-def _fwd(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret):
-    ys, cs = _fwd_impl(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret)
-    return (ys, cs), (gates_x, w_hh_t, h0, c0, ys, cs)
+def _fwd(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret, store_gates):
+    out = _fwd_impl(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret,
+                    store_gates)
+    ys, cs = out[0], out[1]
+    gs = out[2] if store_gates else None
+    return (ys, cs), (gs if store_gates else gates_x, w_hh_t, h0, c0, ys, cs)
 
 
-def _bwd(hard, t_blk, interpret, res, grads):
-    gates_x, w_hh_t, h0, c0, ys, cs = res
+def _bwd(hard, t_blk, interpret, store_gates, res, grads):
+    gates_x, w_hh_t, h0, c0, ys, cs = res  # gates_x = stored gates when sg
     dys, dcs = grads
     T, B, H = ys.shape
     f32 = jnp.float32
@@ -318,16 +374,20 @@ def _bwd(hard, t_blk, interpret, res, grads):
 
     bwd_blk = _bwd_t_blk(B, H, w_hh_t.dtype)
     if bwd_blk is not None:
-        # Pallas reverse kernel: W resident in VMEM, gates recomputed by one
-        # big GEMM and streamed in the compute dtype.
-        gates_c = (
-            gates_x
-            + jnp.dot(
-                h_prev.reshape(T * B, H).astype(w_hh_t.dtype),
-                w_hh_t,
-                preferred_element_type=f32,
-            ).reshape(T, B, 4 * H).astype(gates_x.dtype)
-        )
+        # Pallas reverse kernel: W resident in VMEM, gates streamed in the
+        # compute dtype — stored by the forward kernel (store_gates) or
+        # recomputed here by one big GEMM.
+        if store_gates:
+            gates_c = gates_x
+        else:
+            gates_c = (
+                gates_x
+                + jnp.dot(
+                    h_prev.reshape(T * B, H).astype(w_hh_t.dtype),
+                    w_hh_t,
+                    preferred_element_type=f32,
+                ).reshape(T, B, 4 * H).astype(gates_x.dtype)
+            )
         dgates, dh0, dc0 = _pallas_bwd_recurrence(
             gates_c, c_prev, cs, dys, dcs,
             jnp.swapaxes(w_hh_t, 0, 1),
@@ -345,10 +405,14 @@ def _bwd(hard, t_blk, interpret, res, grads):
             dc0.astype(c0.dtype),
         )
 
-    # ONE big GEMM recomputes every pre-activation (no sequential matmuls)
-    gates = gates_x.astype(f32) + jnp.dot(
-        h_prev.reshape(T * B, H), w_hh_t, preferred_element_type=f32
-    ).reshape(T, B, 4 * H)
+    # ONE big GEMM recomputes every pre-activation (no sequential matmuls);
+    # under store_gates the forward kernel already streamed them out
+    if store_gates:
+        gates = gates_x.astype(f32)
+    else:
+        gates = gates_x.astype(f32) + jnp.dot(
+            h_prev.reshape(T * B, H), w_hh_t, preferred_element_type=f32
+        ).reshape(T, B, 4 * H)
     gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
     if hard:
         i_a, f_a, o_a = hard_sigmoid(gi), hard_sigmoid(gf), hard_sigmoid(go)
@@ -408,6 +472,16 @@ def _bwd(hard, t_blk, interpret, res, grads):
 lstm_recurrence.defvjp(_fwd, _bwd)
 
 
+def _store_gates_default() -> bool:
+    """Policy for the store-gates forward (see lstm_recurrence): storing
+    swaps one backward GEMM per layer for forward write bandwidth at
+    identical residual memory. Opt-in via CAIMAN_LSTM_STORE_GATES=1 until
+    the on-chip A/B lands a default."""
+    import os
+
+    return os.environ.get("CAIMAN_LSTM_STORE_GATES", "0") == "1"
+
+
 def run_lstm_layer_pallas(
     params,
     x: jax.Array,
@@ -417,6 +491,7 @@ def run_lstm_layer_pallas(
     hard: bool = False,
     t_blk: int = 8,
     interpret: Optional[bool] = None,
+    store_gates: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in replacement for ops.lstm.run_lstm_layer using the Pallas
     recurrence kernel. Same contract: returns (ys, cs) each [T, B, H]."""
@@ -432,7 +507,10 @@ def run_lstm_layer_pallas(
     ).astype(dtype)  # stream gates in the compute dtype (fp32 accum in-kernel)
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+    if store_gates is None:
+        store_gates = _store_gates_default()
     ys, cs = lstm_recurrence(
-        gates_x, w_hh_t, h0.astype(dtype), c0.astype(dtype), hard, t_blk, interpret
+        gates_x, w_hh_t, h0.astype(dtype), c0.astype(dtype), hard, t_blk,
+        interpret, store_gates
     )
     return ys, cs

@@ -1,14 +1,28 @@
-"""Measure beam-mode StreamingEngine throughput WITH per-tick host
-consumption of the windowed decoder outputs (the real serving loop cost,
-not compute-only dispatch).
+"""Measure StreamingEngine serving rungs (any model size / decoder) WITH
+per-tick host consumption of the decoder outputs — the real serving loop
+cost, not compute-only dispatch. Responses run in wire mode against a real
+SPM-shaped vocabulary (bench.py's), so every tick pays true detokenise +
+JSON serialisation in C, same as the headline bench.
 
-Usage: python scripts/bench_beam_serving.py [--batch 1024] [--model base]
+Modes:
+  default      back-to-back ticks; mean/p99 wall per tick, RTS = B*0.060/mean
+  --paced      ticks fired on the real-time 60 ms grid; reports p99/max
+               LATENESS vs the grid over the iters (bench.py's CL99
+               criterion: p99 lateness <= 60 ms means every lane's response
+               ships before the next chunk lands)
+
+Usage: python scripts/bench_beam_serving.py [--batch 1024] [--model large]
+       [--decoder greedy] [--paced] [--reuse-upload]
 """
 
 import argparse
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
 def main():
@@ -18,6 +32,9 @@ def main():
     ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--pipeline_depth", type=int, default=1)
     ap.add_argument("--decoder", choices=["beam", "greedy"], default="beam")
+    ap.add_argument("--paced", action="store_true",
+                    help="fire ticks on the real-time 60 ms grid and report "
+                         "p99/max lateness (CL99 verification)")
     ap.add_argument(
         "--reuse-upload", action="store_true",
         help="elide the host->device byte shipping (co-located tier: on "
@@ -48,11 +65,15 @@ def main():
     model = RNNT(cfg, n_classes=n_classes)
     params = model.init(jax.random.PRNGKey(0))
 
+    import bench
+
     eng = StreamingEngine(
-        model, params, blank_idx=n_classes - 1, tokenizer=None,
+        model, params, blank_idx=n_classes - 1,
+        tokenizer=bench._bench_tokenizer(n_classes),
         max_streams=args.batch, decoder=args.decoder, beam_width=4,
         max_symbols_per_step=8, dtype=jnp.bfloat16,
         pipeline_depth=args.pipeline_depth,
+        wire_responses=True,
     )
     for i in range(args.batch):
         eng.open_stream()
@@ -75,22 +96,50 @@ def main():
     # (no tokens, no responses -> the host serialisation cost vanishes)
     eng._bench_reuse_upload = args.reuse_upload
     eng.tick()  # absorbs any remaining first-call effects; caches real audio
-    times = []
-    for _ in range(args.iters):
-        feed()
-        t0 = time.perf_counter()
-        out = eng.tick()
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    mean = sum(times) / len(times)
-    p99 = times[int(len(times) * 0.99) - 1] if len(times) > 1 else times[-1]
-    rts = args.batch * 0.060 / mean
-    print(
-        f"B={args.batch} {args.model} {args.decoder}: mean {mean*1e3:.1f} ms  "
-        f"p99 {p99*1e3:.1f} ms  -> {rts:,.0f} RTS "
-        f"({'REAL-TIME OK' if p99 <= 0.060 else 'over budget'}); "
-        f"responses last tick: {len(out)}"
-    )
+
+    def n_responses(out):
+        if hasattr(out, "segments"):
+            return sum(idx.shape[0] for _, idx in out.segments)
+        return len(out)
+
+    if args.paced:
+        late = []
+        grid0 = time.perf_counter() + 0.060
+        for i in range(args.iters):
+            deadline = grid0 + i * 0.060
+            now = time.perf_counter()
+            if now < deadline:
+                time.sleep(deadline - now)
+            feed()
+            out = eng.tick()
+            late.append(max(0.0, time.perf_counter() - deadline))
+        late.sort()
+        p99 = late[min(int(np.ceil(0.99 * len(late))) - 1, len(late) - 1)]
+        print(
+            f"B={args.batch} {args.model} {args.decoder} PACED: p99 lateness "
+            f"{p99*1e3:.1f} ms  max {late[-1]*1e3:.1f} ms vs the 60 ms grid "
+            f"over {args.iters} ticks "
+            f"({'CL99 OK' if p99 <= 0.060 else 'over budget'}); "
+            f"responses last tick: {n_responses(out)}"
+        )
+    else:
+        times = []
+        for _ in range(args.iters):
+            feed()
+            t0 = time.perf_counter()
+            out = eng.tick()
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        mean = sum(times) / len(times)
+        p99 = (times[int(len(times) * 0.99) - 1]
+               if len(times) > 1 else times[-1])
+        rts = args.batch * 0.060 / mean
+        print(
+            f"B={args.batch} {args.model} {args.decoder}: "
+            f"mean {mean*1e3:.1f} ms  p99 {p99*1e3:.1f} ms  -> {rts:,.0f} RTS "
+            f"({'REAL-TIME OK' if p99 <= 0.060 else 'over budget'}); "
+            f"responses last tick: {n_responses(out)}"
+        )
     eng.close()  # stop uploader/fetcher threads before interpreter teardown
 
 

@@ -20,21 +20,43 @@ from statistics import mean, pstdev
 ROOT = Path(__file__).parent.parent
 
 
-def run_one(mode: str, seed: int, steps: int, lr: float, base: Path) -> dict:
+def run_one(mode: str, seed: int, steps: int, lr: float, base: Path,
+            task: str = "synthetic") -> dict:
     work = base / f"{mode}_s{seed}"
-    cmd = [
-        sys.executable, str(ROOT / "scripts" / "synthetic_e2e.py"),
-        "--workdir", str(work), "--steps", str(steps), "--lr", str(lr),
-        "--seed", str(seed),
-    ]
+    if task == "synthetic":
+        cmd = [
+            sys.executable, str(ROOT / "scripts" / "synthetic_e2e.py"),
+            "--workdir", str(work), "--steps", str(steps), "--lr", str(lr),
+            "--seed", str(seed),
+        ]
+    else:  # real: the People's Speech clip overfit proof (its own lr)
+        cmd = [
+            sys.executable, str(ROOT / "scripts" / "real_speech_e2e.py"),
+            "--workdir", str(work), "--steps", str(steps),
+            "--seed", str(seed),
+        ]
     if mode == "pruned5":
         cmd += ["--pruned", "5"]
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=str(ROOT), timeout=3600
     )
     tail = out.stdout[-2000:] + out.stderr[-2000:]
-    if out.returncode != 0:
+    if out.returncode != 0 and task == "synthetic":
         raise RuntimeError(f"{mode} seed {seed} failed:\n{tail}")
+    if task == "real":
+        # real_speech_e2e exits non-zero on a failed proof; the sweep
+        # records the WER either way
+        m = re.search(r"final dev WER after \d+ steps: ([0-9.]+)%",
+                      out.stdout)
+        if not m:
+            raise RuntimeError(f"{mode} seed {seed}: no WER line in\n{tail}")
+        streq = "streaming == offline: True" in out.stdout
+        return {
+            "mode": mode, "seed": seed,
+            "greedy_wer": float(m.group(1)) / 100.0,
+            "beam_wer": float("nan"),
+            "stream_eq": streq,
+        }
     m = re.search(
         r"greedy-best dev WER ([0-9.]+)%,\s*beam-4 dev WER ([0-9.]+)%",
         out.stdout,
@@ -54,6 +76,8 @@ def main():
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
     p.add_argument("--base", default="/tmp/pruned_sweep")
+    p.add_argument("--task", choices=["synthetic", "real"],
+                   default="synthetic")
     args = p.parse_args()
 
     base = Path(args.base)
@@ -61,10 +85,12 @@ def main():
     rows = []
     for mode in ("dense", "pruned5"):
         for seed in args.seeds:
-            r = run_one(mode, seed, args.steps, args.lr, base)
+            r = run_one(mode, seed, args.steps, args.lr, base, args.task)
             rows.append(r)
             print(f"{r['mode']:8s} seed {r['seed']}: greedy "
-                  f"{r['greedy_wer']:.2%}  beam-4 {r['beam_wer']:.2%}",
+                  f"{r['greedy_wer']:.2%}  beam-4 {r['beam_wer']:.2%}"
+                  + (f"  stream==offline {r['stream_eq']}"
+                     if "stream_eq" in r else ""),
                   flush=True)
 
     print("\nmode      n  greedy mean±sd       beam-4 mean±sd")

@@ -70,3 +70,40 @@ def test_eligibility():
     assert pallas_eligible(B=32, H=1536, t_blk=4, dtype=jnp.bfloat16)
     # w_hh alone is 256 MB here — beyond physical VMEM
     assert not pallas_eligible(B=32, H=4096, t_blk=8, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("hard", [False, True])
+def test_store_gates_parity(setup, hard):
+    """store_gates=True must match the recompute path exactly: fwd outputs
+    AND all four gradients (the stored pre-activations carry the same
+    compute-dtype precision the recompute path streams)."""
+    params, x, h0, c0 = setup
+
+    def loss(p, x, h0, c0, sg):
+        ys, cs = run_lstm_layer_pallas(p, x, h0, c0, hard=hard, t_blk=4,
+                                       interpret=True, store_gates=sg)
+        return (
+            jnp.sum(ys * jnp.cos(jnp.arange(ys.size).reshape(ys.shape)))
+            + 0.3 * jnp.sum(cs**2)
+        )
+
+    ys_a, cs_a = run_lstm_layer_pallas(params, x, h0, c0, hard=hard, t_blk=4,
+                                       interpret=True, store_gates=True)
+    ys_b, cs_b = run_lstm_layer_pallas(params, x, h0, c0, hard=hard, t_blk=4,
+                                       interpret=True, store_gates=False)
+    np.testing.assert_array_equal(np.asarray(ys_a), np.asarray(ys_b))
+    np.testing.assert_array_equal(np.asarray(cs_a), np.asarray(cs_b))
+
+    g_sg = jax.grad(loss, argnums=(0, 1, 2, 3))(params, x, h0, c0, True)
+    g_rc = jax.grad(loss, argnums=(0, 1, 2, 3))(params, x, h0, c0, False)
+    for a, b in zip(jax.tree.leaves(g_sg), jax.tree.leaves(g_rc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_store_gates_unpadded_tail(setup):
+    params, x, h0, c0 = setup
+    ys_ref, _ = run_lstm_layer(params, x[:10], h0, c0)
+    ys, _ = run_lstm_layer_pallas(params, x[:10], h0, c0, t_blk=4,
+                                  interpret=True, store_gates=True)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), atol=2e-5)
