@@ -391,7 +391,11 @@ def main():
         ladder, tunnel_b, compute_b = [8], 8, 8
     else:
         # small -> large: secure a verified rung early, then try to raise it
-        ladder, tunnel_b, compute_b = [4096, 8192, 12288, 16384], 2048, 16384
+        # (14336 sits between the CL99-passing 12288 and the mean-only
+        # 16384 — the CL99 sweep tries largest first, so it can lift the
+        # headline if its paced window holds)
+        ladder, tunnel_b, compute_b = (
+            [4096, 8192, 12288, 14336, 16384], 2048, 16384)
 
     engine_results = _partial["engine"]  # (B, mean, p99)
     for B in ladder:

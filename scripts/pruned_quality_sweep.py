@@ -96,9 +96,12 @@ def main():
     print("\nmode      n  greedy mean±sd       beam-4 mean±sd")
     for mode in ("dense", "pruned5"):
         g = [r["greedy_wer"] for r in rows if r["mode"] == mode]
-        b = [r["beam_wer"] for r in rows if r["mode"] == mode]
+        b = [r["beam_wer"] for r in rows
+             if r["mode"] == mode and r["beam_wer"] == r["beam_wer"]]
+        beam = (f"{mean(b):.2%} ± {pstdev(b):.2%}" if b
+                else "—  (real task: greedy only)")
         print(f"{mode:8s} {len(g)}  {mean(g):.2%} ± {pstdev(g):.2%}   "
-              f"{mean(b):.2%} ± {pstdev(b):.2%}")
+              f"{beam}")
 
 
 if __name__ == "__main__":

@@ -254,6 +254,13 @@ def main(argv=None):
             chunk = np.pad(chunk, (0, hop - len(chunk)))
         eng.push_audio(lane, chunk)
         consume(eng.tick())
+    # trailing silence matching the offline pipeline's final padding
+    # (val_final_padding_secs default 0.24 s): a live source delivers
+    # post-speech silence too, and a word emitted at the audio edge needs
+    # those frames in BOTH pipelines to compare equal
+    for _ in range(4):
+        eng.push_audio(lane, np.zeros(hop, np.float32))
+        consume(eng.tick())
     eng.close_stream(lane)
     for _ in range(16):
         if consume(eng.tick()):

@@ -164,3 +164,32 @@ def test_client_and_model_fusion_agree():
                             ts=[f] * len(t))
     got_model = frame_responses_timesteps(fuse_partials(resp))
     assert [ts for _, ts in got_client] == [float(x) for x in got_model]
+
+
+def test_align_upl_scores_equal_words_only():
+    """scripts/measure_upl._align_upl pairs hyp words to ground-truth end
+    times by difflib alignment and scores only equal matches (reference
+    measure_latency.py:163-295 scores correctly-recognised words)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "measure_upl",
+        Path(__file__).parents[2] / "scripts" / "measure_upl.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    gt = [("order", 0.5), ("even", 1.0), ("though", 1.5), ("it", 2.0)]
+    # substitution on "though" -> only the 3 equal words score
+    words = [("order", 0.9), ("even", 1.3), ("tho", 1.9), ("it", 2.4)]
+    upls = mod._align_upl(words, gt)
+    assert [w for w, _ in upls] == ["order", "even", "it"]
+    import numpy as np
+
+    np.testing.assert_allclose([u for _, u in upls], [0.4, 0.3, 0.4])
+
+    # deletion mid-stream still aligns the tail
+    words = [("order", 0.9), ("it", 2.4)]
+    upls = mod._align_upl(words, gt)
+    assert [w for w, _ in upls] == ["order", "it"]
