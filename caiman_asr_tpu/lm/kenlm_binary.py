@@ -4,9 +4,9 @@ The reference loads kenlm ``.binary`` artifacts directly through the kenlm
 C++ library (reference lm/kenlm_ngram.py:10-48); deployments ship such
 files. This module parses the published kenlm wire format (magic
 ``mmap lm http://kheafield.com/code format version 5``) without the kenlm
-dependency so those artifacts keep working here. TRIE / QUANT_TRIE models
-dispatch to :mod:`caiman_asr_tpu.lm.kenlm_trie`; only the Bhiksha ARRAY
-variants are rejected (with a pointed rebuild hint).
+dependency so those artifacts keep working here. The trie family (TRIE /
+QUANT_TRIE / Bhiksha ARRAY_TRIE / QUANT_ARRAY_TRIE) dispatches to
+:mod:`caiman_asr_tpu.lm.kenlm_trie` — every `build_binary` output loads.
 
 Layout (HASH_PROBING models, reverse-engineered from the wire format and
 validated against a real kenlm artifact — every conditional probability
@@ -228,13 +228,13 @@ def parse_kenlm_binary(path: str | Path) -> KenLMBinaryLM:
     has_vocab = data[100]
     search_version = struct.unpack_from("<I", data, 104)[0]
     counts = struct.unpack_from(f"<{order}Q", data, 108)
-    if model_type not in (0, 2, 3):
+    if model_type not in (0, 2, 3, 4, 5):
         name = MODEL_TYPES.get(model_type, f"#{model_type}")
         raise ValueError(
-            f"{path} is a kenlm {name} model; PROBING, TRIE and QUANT_TRIE "
-            "binaries are supported (ARRAY variants use Bhiksha pointer "
-            "compression, unsupported). Rebuild with `build_binary probing`"
-            " / `build_binary trie` without -a, or load the ARPA text."
+            f"{path} is a kenlm {name} model; PROBING, TRIE, QUANT_TRIE, "
+            "ARRAY_TRIE and QUANT_ARRAY_TRIE binaries are supported. "
+            "Rebuild with `build_binary probing` / `build_binary trie`, "
+            "or load the ARPA text."
         )
     if not has_vocab:
         raise ValueError(
@@ -253,7 +253,7 @@ def parse_kenlm_binary(path: str | Path) -> KenLMBinaryLM:
             "ARPA + NGramLM.save_binary() npz cache, or raise "
             "CAIMAN_KENLM_MAX_NGRAMS if the host has the RAM."
         )
-    if model_type in (2, 3):
+    if model_type in (2, 3, 4, 5):
         from caiman_asr_tpu.lm.kenlm_trie import (
             TRIE_SEARCH_VERSION,
             parse_kenlm_trie,

@@ -40,6 +40,21 @@ util/bit_packing.hh):
   entry with word w(n-1) -> ... ; each path node's payload is the
   probability of the gram read from that node outward, so enumerating all
   grams is a range walk. Entries within a range sort by word id.
+
+ARRAY_TRIE (4) / QUANT_ARRAY_TRIE (5) — Bhiksha pointer compression
+(kenlm lm/bhiksha.hh/.cc, `build_binary -a`): each middle layer stores
+only the low ``inline_bits`` of its next pointers in the bit-packed
+entries; the high parts ride a per-layer sorted u64 offsets array where
+``offsets[h]`` = the first entry index whose next-pointer high part is
+>= h (so ``high(i) = searchsorted(offsets, i, 'right') - 1``). Layer
+block layout: 8-byte-aligned header u64 (byte 0: version 0, byte 1: the
+configured ``-a`` bit limit), the offsets array, then the bit-packed
+entries at ``layer_base + 8 * (1 + array_count) + 7`` (ArrayBhiksha::
+Size's conservative alignment pad). ``inline_bits`` is recomputed at
+load exactly as kenlm's ChopBits does — argmin over chop of
+``(max_next >> (required - chop)) * 64 - (entries + 1) * chop`` bits,
+chop capped by the configured limit — because the file stores the
+configured cap, not the chosen chop.
 """
 
 from __future__ import annotations
@@ -82,12 +97,41 @@ def _f31(bits: np.ndarray) -> np.ndarray:
     )
 
 
+BHIKSHA_VERSION = 0
+
+
+def _chop_bits(max_offset: int, max_next: int, limit_bits: int) -> int:
+    """kenlm ArrayBhiksha ChopBits (lm/bhiksha.cc): how many high bits of
+    each next pointer to move into the per-layer offsets array. argmin of
+    the net bit cost — each chopped high value costs a 64-bit array slot,
+    each inline entry saves ``chop`` bits; first-wins on ties."""
+    required = _required_bits(max_next)
+    best_chop, lowest = 0, None
+    for chop in range(min(required, limit_bits) + 1):
+        change = (max_next >> (required - chop)) * 64 - max_offset * chop
+        if lowest is None or change < lowest:
+            lowest, best_chop = change, chop
+    return best_chop
+
+
+def _bhiksha_geometry(count: int, max_next: int, limit_bits: int):
+    """(inline_bits, array_count, block_size_bytes) for a middle layer of
+    ``count`` entries (+1 terminal next slot) extending into ``max_next``
+    children."""
+    required = _required_bits(max_next)
+    chop = _chop_bits(count + 1, max_next, limit_bits)
+    inline_bits = required - chop
+    array_count = (max_next >> inline_bits) + 1
+    return inline_bits, array_count, 8 * (1 + array_count) + 7
+
+
 def parse_kenlm_trie(path: str | Path, data: bytes, order: int,
                      model_type: int, counts: Tuple[int, ...]) -> NGramLM:
-    """Parse a TRIE/QUANT_TRIE body (header already validated by
-    parse_kenlm_binary, which dispatches here) into an explicit
-    :class:`NGramLM`."""
-    quantized = model_type == 3
+    """Parse a TRIE/QUANT_TRIE/ARRAY_TRIE/QUANT_ARRAY_TRIE body (header
+    already validated by parse_kenlm_binary, which dispatches here) into an
+    explicit :class:`NGramLM`."""
+    quantized = model_type in (3, 5)
+    bhiksha = model_type in (4, 5)
     V = counts[0]
 
     off = _align8(88 + 20 + 8 * order)
@@ -135,7 +179,36 @@ def parse_kenlm_trie(path: str | Path, data: bytes, order: int,
     layers = []  # (words, probs, backoffs, nexts[count+1])
     for n in range(2, order):
         count = counts[n - 1]
-        next_bits = _required_bits(counts[n])
+        if bhiksha:
+            aligned = _align8(off)
+            version, limit_bits = data[aligned], data[aligned + 1]
+            if version != BHIKSHA_VERSION:
+                raise ValueError(
+                    f"{path}: sorted-array compression version {version} "
+                    f"(layer order {n}); only version {BHIKSHA_VERSION} is "
+                    "supported — rebuild without -a or load the ARPA text"
+                )
+            next_bits, array_count, block = _bhiksha_geometry(
+                count, counts[n], limit_bits
+            )
+            offsets = np.frombuffer(data, np.uint64, array_count, aligned + 8)
+            if array_count and (
+                offsets[0] != 0 or np.any(np.diff(offsets.astype(np.int64)) < 0)
+            ):
+                raise ValueError(
+                    f"{path}: Bhiksha offsets array of layer order {n} is "
+                    "not sorted from zero — corrupt file or unsupported "
+                    "layout"
+                )
+            highs = (
+                np.searchsorted(
+                    offsets, np.arange(count + 1, dtype=np.uint64), "right"
+                ).astype(np.uint64)
+                - np.uint64(1)
+            )
+            off += block
+        else:
+            next_bits = _required_bits(counts[n])
         payload_bits = (
             (prob_bits + backoff_bits) if quantized else (31 + 32)
         )
@@ -160,7 +233,10 @@ def parse_kenlm_trie(path: str | Path, data: bytes, order: int,
         idx1 = np.arange(count + 1, dtype=np.uint64) * np.uint64(total_bits) + base
         nexts = _read_bits(
             raw, idx1 + np.uint64(word_bits + payload_bits), next_bits
-        ).astype(np.int64)
+        )
+        if bhiksha:
+            nexts |= highs << np.uint64(next_bits)
+        nexts = nexts.astype(np.int64)
         layers.append((words, probs, backoffs, nexts))
         off += size
 
@@ -257,11 +333,13 @@ class _BitWriter:
 
 
 def write_kenlm_trie(lm: NGramLM, path: str | Path, quantized: bool = False,
-                     prob_bits: int = 8, backoff_bits: int = 8):
+                     prob_bits: int = 8, backoff_bits: int = 8,
+                     bhiksha: bool = False, bhiksha_bits: int = 22):
     """Write an :class:`NGramLM` in kenlm TRIE/QUANT_TRIE wire format
     (test fixture for :func:`parse_kenlm_trie`). Quantized mode builds the
     bin tables from the model's distinct values and raises if they do not
-    fit — round trips are then exact."""
+    fit — round trips are then exact. ``bhiksha`` emits the ARRAY variants
+    (Bhiksha-compressed next pointers, ``build_binary -a bhiksha_bits``)."""
     order = lm.order
     words = sorted({w for ng in lm.probs for w in ng} - {"<unk>"})
     words = ["<unk>"] + sorted(words, key=lambda w: murmur64a(w.encode()))
@@ -286,7 +364,7 @@ def write_kenlm_trie(lm: NGramLM, path: str | Path, quantized: bool = False,
     out += struct.pack("<Q", 1)
     out += struct.pack("<B3x", order)
     out += struct.pack("<f", 1.5)
-    out += struct.pack("<I", 3 if quantized else 2)
+    out += struct.pack("<I", (3 if quantized else 2) + (2 if bhiksha else 0))
     out += struct.pack("<B3x", 1)
     out += struct.pack("<I", TRIE_SEARCH_VERSION)
     out += struct.pack(f"<{order}Q", *counts)
@@ -366,6 +444,22 @@ def write_kenlm_trie(lm: NGramLM, path: str | Path, quantized: bool = False,
         if not is_longest:
             nexts = next_ranges(grams, ordered[n])
             next_bits = _required_bits(counts[n])
+            if bhiksha:
+                next_bits, array_count, block = _bhiksha_geometry(
+                    len(grams), counts[n], bhiksha_bits
+                )
+                highs = [nv >> next_bits for nv in nexts]
+                offsets = [
+                    next(i for i, hv in enumerate(highs) if hv >= h)
+                    for h in range(array_count)
+                ]
+                base = len(out)
+                out += b"\x00" * (_align8(base) - base)
+                out += struct.pack("<BB6x", BHIKSHA_VERSION, bhiksha_bits)
+                out += np.asarray(offsets, np.uint64).tobytes()
+                out += b"\x00" * (base + block - len(out))
+                mask = (1 << next_bits) - 1
+                nexts = [nv & mask for nv in nexts]
         for e, g in enumerate(grams):
             p, b = by_order[n - 1][g]
             bw.write(g[0], word_bits)

@@ -129,10 +129,10 @@ def test_unsupported_variants_raise_clear_errors(tmp_path):
     bp = tmp_path / "lm.kenlm"
     write_kenlm_binary(ref, bp)
     raw = bytearray(bp.read_bytes())
-    raw[96] = 4  # ARRAY_TRIE (Bhiksha-compressed: unsupported)
-    (tmp_path / "array.kenlm").write_bytes(bytes(raw))
-    with pytest.raises(ValueError, match="ARRAY"):
-        parse_kenlm_binary(tmp_path / "array.kenlm")
+    raw[96] = 7  # unknown future model type
+    (tmp_path / "unknown.kenlm").write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="#7"):
+        parse_kenlm_binary(tmp_path / "unknown.kenlm")
     raw[96] = 2  # TRIE but with the probing search version 0
     (tmp_path / "badver.kenlm").write_bytes(bytes(raw))
     with pytest.raises(ValueError, match="search version"):

@@ -114,6 +114,110 @@ def test_trie_feeds_device_tables(tmp_path):
     assert (ta.next_state == tb.next_state).all()
 
 
+@pytest.mark.parametrize("quantized", [False, True])
+def test_array_trie_roundtrip(tmp_path, quantized):
+    """Bhiksha ARRAY_TRIE / QUANT_ARRAY_TRIE round trips match the ARPA
+    (tiny model — chop lands at 0, exercising the header/offsets plumbing
+    and the model-type dispatch)."""
+    p = tmp_path / "lm.arpa"
+    p.write_text(ARPA3)
+    ref = NGramLM.load(p)
+    tp = tmp_path / "lm.atrie"
+    write_kenlm_trie(ref, tp, quantized=quantized, bhiksha=True)
+    lm = NGramLM.load(tp)
+    assert set(lm.probs) == set(ref.probs)
+    for ng, v in ref.probs.items():
+        assert lm.probs[ng] == pytest.approx(v, abs=2e-5), ng
+    for ctx in _contexts(3):
+        for w in WORDS + ["oov"]:
+            want, _ = ref.score(w, ctx)
+            got, _ = lm.score(w, ctx)
+            assert got == pytest.approx(want, abs=3e-5), (ctx, w)
+
+
+def _random_model(rng, n_words=48, n_bi=1200, n_tri=700):
+    """A model big enough that ChopBits actually chops (the offsets array
+    pays off once a layer has more entries than 64x its child count's
+    high-bit range)."""
+    words = [f"w{i}" for i in range(n_words)]
+    probs = {("<unk>",): -1.5}
+    backoffs = {}
+    for w in words:
+        probs[(w,)] = float(-rng.uniform(0.5, 4.0))
+        backoffs[(w,)] = float(-rng.uniform(0.01, 1.0))
+    seen_bi = set()
+    while len(seen_bi) < n_bi:
+        g = (words[rng.integers(n_words)], words[rng.integers(n_words)])
+        if g in seen_bi:
+            continue
+        seen_bi.add(g)
+        probs[g] = float(-rng.uniform(0.1, 5.0))
+        backoffs[g] = float(-rng.uniform(0.01, 1.0))
+    bis = sorted(seen_bi)
+    seen_tri = set()
+    while len(seen_tri) < n_tri:
+        # a trigram's suffix (its last two words) must be a stored bigram
+        # for the reverse-trie walk, so extend stored bigrams backwards
+        g = (words[rng.integers(n_words)],) + bis[rng.integers(len(bis))]
+        if g in seen_tri:
+            continue
+        seen_tri.add(g)
+        probs[g] = float(-rng.uniform(0.1, 5.0))
+    import caiman_asr_tpu.lm.ngram as ngram_mod
+
+    return NGramLM(
+        {k: v * ngram_mod.LN10 for k, v in probs.items()},
+        {k: v * ngram_mod.LN10 for k, v in backoffs.items()},
+        3,
+    )
+
+
+def test_array_trie_chops_and_roundtrips(tmp_path):
+    """On a layer large enough for real pointer chopping the ARRAY file is
+    smaller than the plain TRIE and still parses to the identical model."""
+    import numpy as np
+
+    from caiman_asr_tpu.lm.kenlm_trie import _bhiksha_geometry, _required_bits
+
+    rng = np.random.default_rng(7)
+    ref = _random_model(rng)
+    inline, _, _ = _bhiksha_geometry(1201, 700, 22)
+    assert inline < _required_bits(700), "fixture too small to chop"
+    write_kenlm_trie(ref, tmp_path / "lm.trie")
+    write_kenlm_trie(ref, tmp_path / "lm.atrie", bhiksha=True)
+    assert (
+        (tmp_path / "lm.atrie").stat().st_size
+        < (tmp_path / "lm.trie").stat().st_size
+    )
+    a = parse_kenlm_binary(tmp_path / "lm.trie")
+    b = parse_kenlm_binary(tmp_path / "lm.atrie")
+    assert set(a.probs) == set(b.probs) == set(ref.probs)
+    for ng, v in a.probs.items():
+        assert b.probs[ng] == pytest.approx(v, abs=2e-5)
+    for ng, v in a.backoffs.items():
+        assert b.backoffs.get(ng, 0.0) == pytest.approx(v, abs=2e-5)
+
+
+def test_array_trie_bad_version_errors(tmp_path):
+    p = tmp_path / "lm.arpa"
+    p.write_text(ARPA3)
+    ref = NGramLM.load(p)
+    tp = tmp_path / "lm.atrie"
+    write_kenlm_trie(ref, tp, bhiksha=True)
+    data = bytearray(tp.read_bytes())
+    # corrupt the first middle layer's bhiksha version byte
+    import caiman_asr_tpu.lm.kenlm_trie as kt
+    from caiman_asr_tpu.lm.kenlm_binary import _align8
+
+    off = _align8(88 + 20 + 8 * 3) + 8 + 8 * 5 + 16 * 8  # vocab + unigrams
+    off = _align8(off)
+    assert data[off] == kt.BHIKSHA_VERSION
+    data[off] = 9
+    tp.write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="compression version 9"):
+        parse_kenlm_binary(tp)
+
+
 def test_quantized_bins_shared_per_order(tmp_path):
     """Quantized round trip stays exact while distinct values fit the
     bins, and the parser really reads bin indices (corrupting one table
