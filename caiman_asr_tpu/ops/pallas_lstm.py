@@ -338,8 +338,9 @@ def lstm_recurrence(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret,
     recompute path streams, so this trades ~T*B*4H write bandwidth in
     forward for a whole GEMM in backward.
     """
-    out = _fwd_impl(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret,
-                    store_gates)
+    # undifferentiated call: ys/cs are identical either way, so never pay
+    # the gate-streaming writes here — only the VJP forward (_fwd) stores
+    out = _fwd_impl(gates_x, w_hh_t, h0, c0, hard, t_blk, interpret, False)
     return out[0], out[1]
 
 
@@ -475,11 +476,14 @@ lstm_recurrence.defvjp(_fwd, _bwd)
 def _store_gates_default() -> bool:
     """Policy for the store-gates forward (see lstm_recurrence): storing
     swaps one backward GEMM per layer for forward write bandwidth at
-    identical residual memory. Opt-in via CAIMAN_LSTM_STORE_GATES=1 until
-    the on-chip A/B lands a default."""
+    identical residual memory. ON by default — the on-chip A/B (v5e,
+    2026-08-20) has it winning at every measured point: large-196M step
+    334.4 -> 322.5 ms at B=32 and 915.6 -> 899.0 ms at B=96, base-85M
+    143.6 -> 140.9 ms. Inference never pays (the undifferentiated
+    recurrence skips storing). CAIMAN_LSTM_STORE_GATES=0 opts out."""
     import os
 
-    return os.environ.get("CAIMAN_LSTM_STORE_GATES", "0") == "1"
+    return os.environ.get("CAIMAN_LSTM_STORE_GATES", "1") == "1"
 
 
 def run_lstm_layer_pallas(
