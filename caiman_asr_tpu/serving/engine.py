@@ -765,6 +765,37 @@ class StreamingEngine:
         with self._lock:
             return self._tick_locked()
 
+    def poll(self) -> Dict[int, dict]:
+        """Drain any in-flight ticks whose device->host fetch has already
+        completed, WITHOUT advancing lanes — so a server loop can ship
+        responses the moment the device finishes rather than holding them
+        until the next 60 ms tick (cuts steady-state response-completion
+        latency by up to one chunk period under pipelining). Non-blocking:
+        an in-flight tick that is still fetching stays pending. Returns the
+        same shape as tick() ({} / empty WireTick when nothing is ready)."""
+        with self._lock:
+            out: Dict[int, List[dict]] = {}
+            wire: Optional[List[Tuple[bytes, np.ndarray]]] = (
+                [] if self._wire else None
+            )
+            while self._pending:
+                entry = self._pending[0]
+                ev = entry[2]
+                if ev is not None:
+                    if not ev.is_set():
+                        break
+                else:  # non-pipelined path: JAX array readiness probe
+                    ready = getattr(entry[0], "is_ready", None)
+                    if ready is None or not ready():
+                        break
+                self._consume(self._pending.popleft(), out, wire)
+            if wire is not None:
+                return WireTick(wire, out)
+            return {
+                lane: (msgs if len(msgs) > 1 else msgs[0])
+                for lane, msgs in out.items()
+            }
+
     def _pop_into(self, st: StreamState, dst: np.ndarray) -> int:
         """Move up to len(dst) buffered samples into dst (zero-padding any
         shortfall); returns the number of real samples consumed."""

@@ -226,3 +226,28 @@ class MultiChipEngine:
             for lane, resp in r.items():
                 out[off + lane] = resp
         return out
+
+    def poll(self) -> Dict[int, object]:
+        """Drain completed in-flight fetches on every chip without advancing
+        lanes (engine.poll, globalized) — lets the server ship responses as
+        each chip's device finishes rather than at the next tick."""
+        results = [e.poll() for e in self.engines]
+        from caiman_asr_tpu.serving.engine import WireTick
+
+        if results and isinstance(results[0], WireTick):
+            segments, specials = [], {}
+            for i, r in enumerate(results):
+                off = i * self.per_chip
+                for raw, idx in r.segments:
+                    if off:
+                        idx[:, 0] += off
+                    segments.append((raw, idx))
+                for lane, msgs in r.specials.items():
+                    specials[off + lane] = msgs
+            return WireTick(segments, specials)
+        out: Dict[int, object] = {}
+        for i, r in enumerate(results):
+            off = i * self.per_chip
+            for lane, resp in r.items():
+                out[off + lane] = resp
+        return out

@@ -50,27 +50,39 @@ class ASRServer:
         from caiman_asr_tpu.serving.engine import WireTick
 
         loop = asyncio.get_event_loop()
+
+        def dispatch(out):
+            if isinstance(out, WireTick):
+                # wire mode: slice each lane's JSON payload straight
+                # out of the C serializer's arena (no dict/str
+                # materialisation on the tick path — the sender
+                # decodes at write time, off the hot loop)
+                for raw, idx in out.segments:
+                    mv = memoryview(raw)
+                    for lane, off, ln in idx.tolist():
+                        q = self.queues.get(lane)
+                        if q is not None:
+                            q.put_nowait(bytes(mv[off:off + ln]))
+                out = out.specials
+            for lane, resp in out.items():
+                q = self.queues.get(lane)
+                if q is not None:
+                    for r in resp if isinstance(resp, list) else [resp]:
+                        q.put_nowait(r)
+
+        poll = getattr(self.engine, "poll", None)
         while True:
             try:
                 if self.engine.streams:
-                    out = await loop.run_in_executor(None, self.engine.tick)
-                    if isinstance(out, WireTick):
-                        # wire mode: slice each lane's JSON payload straight
-                        # out of the C serializer's arena (no dict/str
-                        # materialisation on the tick path — the sender
-                        # decodes at write time, off the hot loop)
-                        for raw, idx in out.segments:
-                            mv = memoryview(raw)
-                            for lane, off, ln in idx.tolist():
-                                q = self.queues.get(lane)
-                                if q is not None:
-                                    q.put_nowait(bytes(mv[off:off + ln]))
-                        out = out.specials
-                    for lane, resp in out.items():
-                        q = self.queues.get(lane)
-                        if q is not None:
-                            for r in resp if isinstance(resp, list) else [resp]:
-                                q.put_nowait(r)
+                    dispatch(await loop.run_in_executor(
+                        None, self.engine.tick))
+                    if poll is not None:
+                        # under pipelining (pipeline_depth > 0) a tick's
+                        # responses complete a fetch-time after dispatch;
+                        # polling each wake ships them then, instead of
+                        # holding them for the next full-chunk tick
+                        # (cuts response latency by up to one chunk)
+                        dispatch(await loop.run_in_executor(None, poll))
             except Exception:
                 # A dead ticker would silently hang every stream: log & keep
                 # ticking (the engine lock makes tick itself safe).

@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--paced", action="store_true",
                     help="fire ticks on the real-time 60 ms grid and report "
                          "p99/max lateness (CL99 verification)")
+    ap.add_argument("--poll_ms", type=float, default=0.0,
+                    help="paced mode: between grid ticks, drain completed "
+                         "fetches every this-many ms via engine.poll() — "
+                         "responses ship when the device finishes instead "
+                         "of at the next tick (what a co-located server "
+                         "loop does); improves response-completion latency, "
+                         "not lateness")
     ap.add_argument(
         "--reuse-upload", action="store_true",
         help="elide the host->device byte shipping (co-located tier: on "
@@ -97,30 +104,83 @@ def main():
     eng._bench_reuse_upload = args.reuse_upload
     eng.tick()  # absorbs any remaining first-call effects; caches real audio
 
+    # cumulative serialisation evidence: total response records and payload
+    # bytes over the whole timed run (the per-tick drain is pipelined, so a
+    # single tick's count is reporting noise — zero just means that tick's
+    # fetch was still in flight)
+    totals = {"recs": 0, "bytes": 0}
+
     def n_responses(out):
         if hasattr(out, "segments"):
-            return sum(idx.shape[0] for _, idx in out.segments)
+            n = sum(idx.shape[0] for _, idx in out.segments)
+            totals["recs"] += n
+            totals["bytes"] += sum(len(raw) for raw, _ in out.segments)
+            return n
+        totals["recs"] += len(out)
         return len(out)
 
     if args.paced:
+        # settle the pipeline so exactly ONE source tick is in flight when
+        # the grid starts: each tick drains every completed fetch, so after
+        # a sleep long enough for the device to finish, only the tick just
+        # issued remains pending. That makes the drain<->source mapping
+        # below exact (FIFO: the i-th segment drained during the loop is
+        # source tick i-1, source -1 being the last settle tick).
+        for _ in range(3):
+            feed()
+            eng.tick()
+            time.sleep(0.25)
         late = []
-        grid0 = time.perf_counter() + 0.060
+        cl = []  # per-source-tick response-completion latency
+        state = {"src": -1, "grid0": 0.0}
+
+        def drained(out, t_done):
+            # compute latency: chunk src fully delivered at its grid
+            # deadline -> its responses on the wire when the drain
+            # returned them (FIFO: segments map to source ticks in order)
+            segs = out.segments if hasattr(out, "segments") else [out]
+            for _ in segs:
+                if state["src"] >= 0:
+                    cl.append(t_done - (state["grid0"]
+                                        + state["src"] * 0.060))
+                state["src"] += 1
+            n_responses(out)
+
+        grid0 = state["grid0"] = time.perf_counter() + 0.060
         for i in range(args.iters):
             deadline = grid0 + i * 0.060
-            now = time.perf_counter()
-            if now < deadline:
-                time.sleep(deadline - now)
+            while True:
+                now = time.perf_counter()
+                if now >= deadline:
+                    break
+                if args.poll_ms > 0:
+                    # a co-located server ships responses the moment the
+                    # device finishes (engine.poll()), not at the next tick
+                    time.sleep(min(args.poll_ms * 1e-3, deadline - now))
+                    drained(eng.poll(), time.perf_counter())
+                else:
+                    time.sleep(deadline - now)
             feed()
             out = eng.tick()
-            late.append(max(0.0, time.perf_counter() - deadline))
+            t_done = time.perf_counter()
+            late.append(max(0.0, t_done - deadline))
+            drained(out, t_done)
         late.sort()
         p99 = late[min(int(np.ceil(0.99 * len(late))) - 1, len(late) - 1)]
+        cl.sort()
+        cl_p99 = (cl[min(int(np.ceil(0.99 * len(cl))) - 1, len(cl) - 1)]
+                  if cl else float("nan"))
+        cl_med = cl[len(cl) // 2] if cl else float("nan")
         print(
             f"B={args.batch} {args.model} {args.decoder} PACED: p99 lateness "
             f"{p99*1e3:.1f} ms  max {late[-1]*1e3:.1f} ms vs the 60 ms grid "
             f"over {args.iters} ticks "
             f"({'CL99 OK' if p99 <= 0.060 else 'over budget'}); "
-            f"responses last tick: {n_responses(out)}"
+            f"response-completion latency median {cl_med*1e3:.1f} / "
+            f"p99 {cl_p99*1e3:.1f} ms after chunk arrival "
+            f"({len(cl)} source ticks); "
+            f"responses {totals['recs']:,} ({totals['bytes']/1e6:.1f} MB "
+            f"JSON) over the run"
         )
     else:
         times = []
@@ -129,6 +189,7 @@ def main():
             t0 = time.perf_counter()
             out = eng.tick()
             times.append(time.perf_counter() - t0)
+            n_responses(out)
         times.sort()
         mean = sum(times) / len(times)
         p99 = (times[int(len(times) * 0.99) - 1]
@@ -138,7 +199,8 @@ def main():
             f"B={args.batch} {args.model} {args.decoder}: "
             f"mean {mean*1e3:.1f} ms  p99 {p99*1e3:.1f} ms  -> {rts:,.0f} RTS "
             f"({'REAL-TIME OK' if p99 <= 0.060 else 'over budget'}); "
-            f"responses last tick: {n_responses(out)}"
+            f"responses {totals['recs']:,} ({totals['bytes']/1e6:.1f} MB "
+            f"JSON) over the run"
         )
     eng.close()  # stop uploader/fetcher threads before interpreter teardown
 

@@ -185,3 +185,54 @@ def test_dropped_engine_is_gc_reclaimable(setup):
     assert ref() is None, "dropped engine still reachable (thread pins it?)"
     thread.join(timeout=10)
     assert not thread.is_alive(), "fetcher thread did not exit after gc"
+
+
+def test_poll_drains_pipelined_responses_early(setup):
+    """engine.poll() must deliver a pipelined tick's responses as soon as
+    the device->host fetch completes, WITHOUT another tick — and the
+    tick+poll response stream must equal the unpipelined (depth=0) run's.
+    This is the server's low-latency drain path (serving/server.py ticker:
+    tick, then poll each wake)."""
+    import time
+
+    model, params, mel_stats = setup
+    rng = np.random.default_rng(11)
+    n_ticks = 4
+    audio = (rng.normal(size=960 * n_ticks) * 0.1).astype(np.float32)
+    audio = (np.rint(audio * 32768.0) / 32768.0).astype(np.float32)
+
+    def run(depth, use_poll):
+        eng = StreamingEngine(
+            model, params, BLANK, Tok(), mel_stats=mel_stats, max_streams=2,
+            max_symbols_per_step=4, pipeline_depth=depth,
+            native_serializer=False)
+        lane = eng.open_stream()
+        texts = []
+
+        def take(out):
+            if lane in out and "alternatives" in out[lane]:
+                texts.append(out[lane]["alternatives"][0]["transcript"])
+
+        for i in range(n_ticks):
+            eng.push_audio(lane, audio[i * 960 : (i + 1) * 960])
+            take(eng.tick())
+            if use_poll:
+                # the fetch completes asynchronously; poll until it drains
+                deadline = time.time() + 10.0
+                while time.time() < deadline:
+                    out = eng.poll()
+                    if out:
+                        take(out)
+                        break
+                    time.sleep(0.002)
+        eng.close()
+        return "".join(texts)
+
+    ref = run(0, use_poll=False)
+    assert ref  # the decode emits something
+    assert run(2, use_poll=True) == ref
+    # idle poll is a harmless no-op
+    eng = StreamingEngine(model, params, BLANK, Tok(), mel_stats=mel_stats,
+                          max_streams=2, native_serializer=False)
+    assert eng.poll() == {}
+    eng.close()
