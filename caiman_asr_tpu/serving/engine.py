@@ -299,9 +299,16 @@ class StreamingEngine:
             if tokenizer is None:
                 pieces = [""] * model.n_classes
             elif hasattr(tokenizer, "id_to_piece"):
-                pieces = [
-                    tokenizer.id_to_piece(i) for i in range(model.n_classes)
-                ]
+                # real tokenizers carry n_classes-1 pieces (blank, the last
+                # id, never serialises); benches' synthetic tokenizers may
+                # carry all n_classes — map anything past the table to ""
+                def _piece(i):
+                    try:
+                        return tokenizer.id_to_piece(i)
+                    except (IndexError, KeyError):
+                        return ""
+
+                pieces = [_piece(i) for i in range(model.n_classes)]
             if pieces is not None:
                 try:
                     from caiman_asr_tpu.native import ResponseSerializer

@@ -236,3 +236,28 @@ def test_poll_drains_pipelined_responses_early(setup):
                           max_streams=2, native_serializer=False)
     assert eng.poll() == {}
     eng.close()
+
+
+def test_real_tokenizer_piece_table(setup, tmp_path):
+    """Engine construction with a REAL Tokenizer (n_classes-1 pieces: blank,
+    the last id, has no piece). Regression: the auto native-serializer path
+    enumerated range(n_classes) through id_to_piece and raised IndexError at
+    server startup with any real SPM model (ref rnnt/model.py derives
+    n_classes = vocab+1 the same way)."""
+    import json as _json
+
+    from caiman_asr_tpu.data.tokenizer import Tokenizer
+
+    model, params, mel_stats = setup
+    pieces = [["<unk>", 0.0, 2]] + [
+        [chr(97 + i), -float(i + 1), 1] for i in range(N_CLASSES - 2)
+    ]
+    assert len(pieces) == N_CLASSES - 1
+    tok_path = tmp_path / "tok.json"
+    tok_path.write_text(_json.dumps({"pieces": pieces}))
+    tok = Tokenizer(labels=["a"], sentpiece_model=tok_path)
+
+    # must not raise (auto mode: native if available, else Python fallback)
+    eng = StreamingEngine(model, params, BLANK, tok, mel_stats=mel_stats,
+                          max_streams=2)
+    eng.close()
