@@ -54,6 +54,22 @@ def scale_by_module_lr_factors(factors: Dict[str, float]) -> optax.GradientTrans
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+# Registry threading (cfg, lr_factors, schedule) from build_optimizer to
+# the train step's fused finish path (training/fused_finish.py) without
+# changing the GradientTransformation signature every caller holds.
+# Identity-keyed: GradientTransformation is a NamedTuple (no attributes,
+# no weakrefs). Bounded: a process builds a handful of optimizers.
+_FUSED_SPECS: list = []
+
+
+def fused_spec_for(tx):
+    """(cfg, lr_factors, schedule) for a build_optimizer result, else None."""
+    for t, cfg, factors, schedule in _FUSED_SPECS:
+        if t is tx:
+            return cfg, factors, schedule
+    return None
+
+
 def build_optimizer(
     cfg: OptimizerConfig,
     lr_factors: Optional[Dict[str, float]] = None,
@@ -79,4 +95,6 @@ def build_optimizer(
     )
     if lr_factors and any(f != 1.0 for f in lr_factors.values()):
         chain.append(scale_by_module_lr_factors(lr_factors))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    _FUSED_SPECS.append((tx, cfg, dict(lr_factors or {}), schedule))
+    return tx

@@ -32,6 +32,7 @@ Batch layout (accumulation-major, time-major):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -255,11 +256,10 @@ def _finish_step(
     non-finite skip. Used by both the DP and the TP train steps so the
     guard/update semantics cannot diverge."""
     good = jnp.isfinite(total_loss)
-    # Replace non-finite grads with zeros so the (discarded) update path
-    # still computes without poisoning opt state on the taken path.
-    grads = jax.tree.map(jnp.nan_to_num, grads)
 
-    if grad_noise:
+    def _add_noise(grads):
+        if not grad_noise:
+            return grads
         noise_rng = jax.random.fold_in(rng, 1 << 20)
         leaves, treedef = jax.tree.flatten(grads["encoder"])
         keys = jax.random.split(noise_rng, len(leaves))
@@ -267,8 +267,59 @@ def _finish_step(
             g + scalars["grad_noise_std"] * jax.random.normal(k, g.shape, g.dtype)
             for g, k in zip(leaves, keys)
         ]
-        grads = dict(grads, encoder=jax.tree.unflatten(treedef, noisy))
+        return dict(grads, encoder=jax.tree.unflatten(treedef, noisy))
 
+    # Fused LAMB finish (training/fused_finish.py): the optax chain + the
+    # post-hoc where-selects below are ~6 full passes over the param-sized
+    # trees (~76 ms at large-196M); the fused path is 3 (~16 ms). Taken
+    # whenever the optimizer came from build_optimizer (the registry knows
+    # its cfg/schedule) and there is no batch-norm overwrite to interleave.
+    # CAIMAN_FUSED_FINISH=0 forces the optax path (A/B, debugging).
+    if (
+        apply_bn is None
+        and os.environ.get("CAIMAN_FUSED_FINISH", "1") == "1"
+    ):
+        from caiman_asr_tpu.training import fused_finish as _ff
+        from caiman_asr_tpu.training.optimizer import fused_spec_for
+
+        spec = fused_spec_for(optimizer)
+        if spec is not None and _ff.probe_supported(state.opt_state):
+            if os.environ.get("CAIMAN_FUSED_FINISH_DEBUG"):
+                print("[fused-finish] taking the fused LAMB path",
+                      file=__import__("sys").stderr)
+            # the non-finite guard is folded INTO the fused passes
+            # (fused_finish nan_to_nums each gradient leaf on the fly —
+            # no standalone tree-wide pass)
+            if grad_noise:
+                grads = _add_noise(jax.tree.map(jnp.nan_to_num, grads))
+            cfg, factors, schedule = spec
+            new_params, new_ema, new_opt, grad_norm = _ff.fused_lamb_ema_update(
+                state.params, state.ema_params, state.opt_state, grads,
+                good, cfg, factors, schedule, ema_decay,
+            )
+            new_state = TrainState(
+                params=new_params,
+                ema_params=new_ema,
+                opt_state=new_opt,
+                step=state.step + good.astype(jnp.int32),
+            )
+            metrics = {
+                "loss": total_loss,
+                "grad_norm": grad_norm,
+                "skipped": (~good).astype(jnp.int32),
+            }
+            if collect_layer_stats:
+                from caiman_asr_tpu.log.layer_stats import layer_stats_vec
+
+                metrics["layer_stats"] = layer_stats_vec(
+                    state.params, jax.tree.map(jnp.nan_to_num, grads)
+                )
+            return new_state, metrics, good
+
+    # optax fallback path (batch-norm models, custom optimizers, opt-out).
+    # Replace non-finite grads with zeros so the (discarded) update path
+    # still computes without poisoning opt state on the taken path.
+    grads = _add_noise(jax.tree.map(jnp.nan_to_num, grads))
     grad_norm = optax.global_norm(grads)
     updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
