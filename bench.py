@@ -41,6 +41,19 @@ A rung that near-misses its bound is re-measured once and the better window
 kept: run-to-run spread on this rig comes from WAN-tunnel and
 single-core-host stalls, not chip capacity.
 
+Cold-start resilience (round-4): every fresh compile of the engine tick is
+5-8 min over the remote-TPU tunnel, and round-3's driver run recorded 0.0
+because the first rung's compile blew the whole budget before anything was
+measured OR cached. Two fixes: (1) compiles persist to a DURABLE repo-local
+JAX compilation cache (`.tpu_cache/`, committed to git) so a cold driver
+process deserializes in milliseconds instead of recompiling — populate it
+with `scripts/warm_bench_rungs.py` after any engine/kernel/featurizer
+change; (2) the ladder is interleaved headline-first: each rung runs its
+mean tier and, if verified, immediately its paced CL99 window, largest B
+first, stopping at the first CL99 pass — so the single most valuable
+number is secured as early as possible and the signal backstop always has
+a nonzero partial to emit.
+
 Baseline: 2000 RTS for base-85M greedy on one FPGA card
 (reference docs/src/performance.md:23; BASELINE.md).
 
@@ -362,6 +375,27 @@ def _detect_platform(timeout_s: float = 240.0):
     return res.get("platform")
 
 
+def setup_compile_cache(platform: str = "tpu"):
+    """Point JAX's persistent compilation cache at the durable repo-local
+    dir (committed to git) so a cold bench process deserializes executables
+    in milliseconds instead of paying the 5-8 min remote compile. TPU-only:
+    CPU entries are machine-specific (cpu_aot_loader SIGILLs cross-machine)
+    and must never land in the shared dir."""
+    if platform != "tpu":
+        return
+    try:
+        import jax
+
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".tpu_cache"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     import sys
     import traceback
@@ -372,14 +406,6 @@ def main():
     signal.signal(signal.SIGALRM, _sig_backstop)
     signal.alarm(565)  # just under the driver's timeout
 
-    try:  # persistent compile cache: rung compiles dominate a cold run
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
     platform = _detect_platform()
     if platform is None:
         _emit_zero(
@@ -387,17 +413,23 @@ def main():
             "after 240 s) — rerun when the chip is reachable"
         )
         os._exit(0)  # a hung probe thread would block a normal exit
+    setup_compile_cache(platform)
     if platform != "tpu":
         ladder, tunnel_b, compute_b = [8], 8, 8
     else:
-        # small -> large: secure a verified rung early, then try to raise it
-        # (14336 sits between the CL99-passing 12288 and the mean-only
-        # 16384 — the CL99 sweep tries largest first, so it can lift the
-        # headline if its paced window holds)
+        # largest first: with the warm .tpu_cache every rung compiles in
+        # ms, so the headline rung is secured first; cold, the one rung a
+        # 5-8 min compile leaves room for is the most valuable one.
         ladder, tunnel_b, compute_b = (
-            [4096, 8192, 12288, 14336, 16384], 2048, 16384)
+            [16384, 14336, 12288, 8192, 4096], 2048, 16384)
 
+    # Interleaved ladder: mean tier, then (if mean-verified) immediately
+    # the paced CL99 window at the same B — p99 lateness <= 60 ms is the
+    # latency-bounded serving claim. Descending B + stop at the first CL99
+    # pass = the headline lands in minimum wall-clock and every partial
+    # state the signal backstop can observe is already nonzero.
     engine_results = _partial["engine"]  # (B, mean, p99)
+    cl99_results = _partial["cl99"]  # (B, lat_p99, lat_max)
     for B in ladder:
         if time.time() > DEADLINE and engine_results:
             break
@@ -414,30 +446,22 @@ def main():
         except Exception:
             traceback.print_exc(file=sys.stderr)  # visible, not fatal
             continue
-        if mean > 2 * CHUNK_SECONDS:
-            break  # larger batches cannot pass either
-
-    # CL99 tier: paced (real-time grid) windows on the mean-verified rungs,
-    # largest first, stopping at the first pass — p99 lateness <= 60 ms is
-    # the latency-bounded serving claim (one transient WAN/host stall can
-    # sink a window's p99, so a failed rung gets one retry).
-    cl99_results = _partial["cl99"]  # (B, lat_p99, lat_max)
-    for B in sorted(
-        {r[0] for r in engine_results if r[1] <= CHUNK_SECONDS}, reverse=True
-    ):
+        if mean > CHUNK_SECONDS:
+            continue  # mean tier failed; try the next (smaller) rung
         if time.time() > DEADLINE:
             break
         try:
             lp99, lmax = measure_engine(B, iters=320, reuse_upload=True,
                                         paced=True)
             if lp99 > CHUNK_SECONDS and time.time() < DEADLINE:
+                # one transient WAN/host stall can sink a window's p99
                 lp992, lmax2 = measure_engine(B, iters=320, reuse_upload=True,
                                               paced=True)
                 if lp992 < lp99:
                     lp99, lmax = lp992, lmax2
             cl99_results.append((B, lp99, lmax))
             if lp99 <= CHUNK_SECONDS:
-                break
+                break  # largest remaining B passed CL99: headline secured
         except Exception:
             traceback.print_exc(file=sys.stderr)  # visible, not fatal
 

@@ -77,16 +77,15 @@ def _remove_symbols_and_diacritics(text: str) -> str:
 
 
 class EnglishSpellingNormalizer:
-    """Word-level British→American mapping (reference vendors OpenAI
-    Whisper's MIT-licensed ``english.json`` for this,
-    whisper_text_normalizer.py:144-160). The table is DATA the package
-    does not ship: pass a path to Whisper's english.json (or any
-    ``{british: american}`` JSON), or drop it at
-    ``caiman_asr_tpu/data/text/english.json`` to enable it by default.
-    Without a table this is the identity — both hypothesis and reference
-    pass through the same transform, so WER comparisons stay fair either
-    way; the table only matters when comparing against PUBLISHED
-    Whisper-standardized numbers."""
+    """Word-level British→American mapping. The package ships OpenAI
+    Whisper's MIT-licensed 1739-entry ``english.json`` table in-tree
+    (``caiman_asr_tpu/data/text/english.json``) exactly as the reference
+    vendors it (data/text/english.json, loaded at
+    whisper_text_normalizer.py:144-160), so default WER standardization
+    matches the reference and published Whisper-normalized numbers. A
+    custom ``{british: american}`` JSON path overrides it; a missing file
+    degrades to identity (both hypothesis and reference pass through the
+    same transform, so relative WER comparisons stay fair)."""
 
     def __init__(self, mapping_path: "str | None" = None):
         import json

@@ -154,9 +154,12 @@ def fused_lamb_ema_update(
         mu2 = b1 * m + (1.0 - b1) * gc
         nu2 = b2 * v + (1.0 - b2) * jnp.square(gc)
         u = _u(mu2, nu2, p)
-        # gate the moment write by `good` arithmetically (scalar select)
-        mu_out = m + goodf * (mu2 - m)
-        nu_out = v + goodf * (nu2 - v)
+        # gate the moment write by `good` with a scalar-predicate select:
+        # the arithmetic form `v + goodf*(nu2 - v)` makes NaN via 0*inf
+        # when an inf grad (nan_to_num -> ~3.4e38, squared -> inf) reaches
+        # nu2 with clipping disabled. Same HBM traffic, no 0*inf.
+        mu_out = jnp.where(good, mu2, m)
+        nu_out = jnp.where(good, nu2, v)
         pn2 = jnp.sum(jnp.square(p.astype(f32)))
         un2 = jnp.sum(jnp.square(u))
         return mu_out, nu_out, pn2, un2
@@ -190,11 +193,17 @@ def fused_lamb_ema_update(
     p_new = jax.tree.map(lambda o: o[0], out2, is_leaf=lambda x: isinstance(x, tuple))
     e_new = jax.tree.map(lambda o: o[1], out2, is_leaf=lambda x: isinstance(x, tuple))
 
-    goodi = good.astype(count.dtype)
+    # safe_increment saturates at the dtype max (optax semantics): a
+    # checkpoint with saturated counts must not wrap negative and flip the
+    # bias-correction sign.
     adam_new = optax.ScaleByAdamState(
-        count=count + goodi, mu=mu_new, nu=nu_new
+        count=jnp.where(good, optax.safe_increment(count), count),
+        mu=mu_new,
+        nu=nu_new,
     )
-    sched_new = optax.ScaleByScheduleState(count=sched_count + goodi)
+    sched_new = optax.ScaleByScheduleState(
+        count=jnp.where(good, optax.safe_increment(sched_count), sched_count)
+    )
     opt_new = _rebuild(opt_state, adam_new, sched_new)
     return p_new, e_new, opt_new, grad_norm
 

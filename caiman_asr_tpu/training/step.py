@@ -283,7 +283,21 @@ def _finish_step(
         from caiman_asr_tpu.training.optimizer import fused_spec_for
 
         spec = fused_spec_for(optimizer)
-        if spec is not None and _ff.probe_supported(state.opt_state):
+        if spec is None or not _ff.probe_supported(state.opt_state):
+            # surface the silent ~5x fallback once: an equal-but-not-
+            # identical GradientTransformation (rebuilt elsewhere, module
+            # reload) misses the identity-keyed registry
+            import sys as _sys
+
+            if not getattr(_finish_step, "_warned_unfused", False):
+                _finish_step._warned_unfused = True
+                print(
+                    "[fused-finish] optimizer not in build_optimizer's "
+                    "registry (or unexpected opt-state shape); taking the "
+                    "~5x slower optax finish path",
+                    file=_sys.stderr,
+                )
+        else:
             if os.environ.get("CAIMAN_FUSED_FINISH_DEBUG"):
                 print("[fused-finish] taking the fused LAMB path",
                       file=__import__("sys").stderr)

@@ -1,21 +1,37 @@
 """Pre-compile the engine tick at the bench ladder's batch sizes.
 
-Kernel compiles over the remote-TPU tunnel take 5-8 min each and are cached
-server-side across processes; bench.py's 565 s budget can absorb at most one
-cold rung per invocation. Running this once makes every ladder rung warm so
-a single bench.py run measures the whole ladder.
+Kernel compiles over the remote-TPU tunnel take 5-8 min each; bench.py's
+565 s budget can absorb at most one cold rung per invocation. This script
+compiles every program bench.py will run and persists the executables into
+the DURABLE repo-local JAX compilation cache (`/root/repo/.tpu_cache`,
+committed to git) so any later process — including the driver's official
+bench run — deserializes each rung in milliseconds instead of recompiling.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/warm_bench_rungs.py [B ...]
+RITUAL: run this (full ladder) after ANY commit that touches engine /
+kernel / featurizer / model code, then run `python bench.py` and check the
+emitted line is nonzero, then `git add .tpu_cache && git commit`. Round-3's
+official bench recorded 0.0 precisely because this was skipped after the
+last engine commit.
+
+Usage: python scripts/warm_bench_rungs.py [B ...]
 """
+import os
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
-    sizes = [int(a) for a in sys.argv[1:]] or [4096, 8192, 16384]
     import bench
+
+    bench.setup_compile_cache("tpu")
+    # the ladder rungs + the tunnel tier (2048); measure_compute's
+    # pipeline_depth=0 program at 16384 is shape-identical to the rung's.
+    sizes = [int(a) for a in sys.argv[1:]] or [
+        16384, 14336, 12288, 8192, 4096, 2048]
 
     for B in sizes:
         t0 = time.time()

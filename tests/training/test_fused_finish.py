@@ -132,6 +132,40 @@ def test_skip_gate_freezes_everything():
     _assert_close(o1, o2, rtol=0, atol=0, what="opt state frozen")
 
 
+def test_skip_gate_inf_grads_no_clip():
+    """Skipped step with INF gradients and clipping DISABLED: nan_to_num
+    maps inf to ~3.4e38, whose square overflows nu2 to inf — the moment
+    gate must be a predicate select, not `v + goodf*(nu2 - v)` (0*inf =
+    NaN would permanently poison the adam second moment). Advisor r3."""
+    cfg = OptimizerConfig(clip_norm=None)
+    tx = build_optimizer(cfg, None)
+    _, _, schedule = fused_spec_for(tx)
+    key = jax.random.PRNGKey(4)
+    params = _tree(key, SPEC)
+    ema = jax.tree.map(lambda p: p * 0.9, params)
+    opt = tx.init(params)
+    g1 = _tree(jax.random.fold_in(key, 7), SPEC)
+    p1, e1, o1, _ = fused_lamb_ema_update(
+        params, ema, opt, g1, jnp.asarray(True), cfg, None, schedule, cfg.ema)
+    g2 = jax.tree.map(lambda g: g * jnp.inf, g1)  # +/-inf entries
+    p2, e2, o2, _ = fused_lamb_ema_update(
+        p1, e1, o1, g2, jnp.asarray(False), cfg, None, schedule, cfg.ema)
+    for leaf in jax.tree.leaves((p2, e2, o2)):
+        assert np.all(np.isfinite(np.asarray(leaf, np.float64)))
+    _assert_close(p1, p2, rtol=0, atol=0, what="params frozen")
+    _assert_close(e1, e2, rtol=0, atol=0, what="ema frozen")
+    _assert_close(o1, o2, rtol=0, atol=0, what="opt state frozen")
+    # the optax reference agrees leaf-for-leaf on the same inputs
+    opt_ref = tx.init(params)
+    p1r, e1r, o1r, _ = _optax_finish(
+        params, ema, opt_ref, g1, jnp.asarray(True), tx, cfg.ema)
+    p2r, e2r, o2r, _ = _optax_finish(
+        p1r, e1r, o1r, g2, jnp.asarray(False), tx, cfg.ema)
+    _assert_close(p2, p2r, what="params vs optax")
+    _assert_close(e2, e2r, what="ema vs optax")
+    _assert_close(o2, o2r, what="opt vs optax")
+
+
 def test_nonfinite_grads_do_not_poison():
     """inf/nan gradient entries hit the same nan_to_num envelope as the
     optax path (good stays True here: loss finite, grads poisoned)."""
