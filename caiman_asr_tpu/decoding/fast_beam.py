@@ -39,8 +39,24 @@ Reference-beam quality features, device-native:
     (keywords/device_table.py — provably identical to the host trie), fused
     the same vocab-wide way; boost deltas carry their own scale.
 
-Remaining differences by design: pruning thresholds are implicit in the
-fixed W/E.
+  - **adaptive pruning** (ref rnnt/beam.py:186-208,324-348): the
+    reference's production thresholds, compiled into the fixed-shape
+    search as score masking. ``topk_thresh`` drops expansion candidates
+    more than the threshold below the row's best ACOUSTIC log-prob
+    (fusion applies after the mask, exactly the host order);
+    ``score_thresh`` kills kept hypotheses whose length-normalised score
+    trails the lane best by more than the threshold (their slot drops to
+    NEG_INF and can never re-surface). Masked slots mean the effective
+    beam narrows exactly where the host beam would shrink ``kept``.
+  - **final-emission depth pruning** (ref rnnt/beam.py:238-243): a
+    device-tracked per-lane watermark of the beam's common-prefix length
+    (== what the serialiser would have shipped as finals: finals advance
+    exactly when the common prefix grows). When the watermark stalls for
+    more than ``final_emission_frames`` frames, the weakest live
+    hypothesis is dropped each frame until a final can ship — bounding
+    how long finals (and thus UPL) can lag. The reference drops weakest
+    hypotheses in a host loop until the serialiser emits; per-frame
+    single drops give the same bound with static shapes.
 """
 
 from __future__ import annotations
@@ -151,6 +167,66 @@ def _merged_scores(s, h, l):
     return jnp.where(alive & keeper, merged, NEG_INF)
 
 
+def _apply_score_thresh(scores, lens, thresh):
+    """Kill hypotheses whose length-normalised score trails the lane best
+    by more than ``thresh`` (host beam _prune_scores; ref beam.py:364-366:
+    ``normalised_score = score / y_length_tot``, SOS counts one)."""
+    norm = scores / jnp.maximum(lens + 1, 1).astype(jnp.float32)
+    bar = jnp.max(norm, axis=1, keepdims=True)
+    return jnp.where(norm >= bar - thresh, scores, NEG_INF)
+
+
+def _final_emission_prune(scores, toks, lens, committed, since, limit):
+    """Final-emission depth pruning, device formulation (ref
+    beam.py:227-243): finals ship exactly when the beam's common token
+    prefix grows (serialise_responses), so track a per-lane watermark
+    ``committed`` of the common-prefix length. When it stalls longer than
+    ``limit`` frames while the best hypothesis holds uncommitted tokens,
+    drop every live hypothesis blocking the divergence point — lanes that
+    are shorter than ``committed``+1 or disagree with the best lane's
+    token there. The host loops "drop weakest, re-serialise" until the
+    final ships within the frame; this resolves the same divergence in
+    one fused mask, so the final ships at the next frame (lag bound:
+    ``limit``+2 frames whenever tokens are lagging).
+
+    Returns (scores, committed, since) — callers gate the counters on
+    frame validity."""
+    live = scores > NEG_INF / 2
+    n_live = jnp.sum(live.astype(jnp.int32), axis=1)
+    best = jnp.argmax(scores, axis=1)
+    ref_toks = jnp.take_along_axis(toks, best[:, None, None], axis=1)
+    agree = (toks == ref_toks) | ~live[:, :, None]
+    agree_all = jnp.all(agree, axis=1)  # [B, cap]
+    big = jnp.int32(1 << 30)
+    minlen = jnp.min(jnp.where(live, lens, big), axis=1)
+    pos = lax.broadcasted_iota(jnp.int32, agree_all.shape, 1)
+    cp = jnp.sum(
+        (jnp.cumprod(agree_all.astype(jnp.int32), axis=1) > 0)
+        & (pos < minlen[:, None]),
+        axis=1,
+        dtype=jnp.int32,
+    )
+    # a collapsed beam commits everything it has
+    best_len = jnp.take_along_axis(lens, best[:, None], axis=1)[:, 0]
+    cp = jnp.where(n_live <= 1, best_len, cp)
+    advanced = cp > committed
+    committed = jnp.maximum(cp, committed)
+    since = jnp.where(advanced, 0, since + 1)
+    # only prune when the best hypothesis actually has lagging tokens
+    lagging = best_len > committed
+    over = (since > limit) & (n_live > 1) & lagging
+    cap_i = toks.shape[2] - 1
+    at_cm = jnp.minimum(committed, cap_i)[:, None, None]
+    div_tok = jnp.take_along_axis(toks, jnp.broadcast_to(
+        at_cm, (toks.shape[0], toks.shape[1], 1)), axis=2)[:, :, 0]
+    best_div = jnp.take_along_axis(div_tok, best[:, None], axis=1)
+    extends = (lens > committed[:, None]) & (div_tok == best_div)
+    wix = lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    keep = extends | (wix == best[:, None])
+    drop = over[:, None] & ~keep
+    return jnp.where(drop, NEG_INF, scores), committed, since
+
+
 class FastBeamDecoder:
     """Batched jitted beam decoder; API-compatible with GreedyDecoder."""
 
@@ -170,7 +246,14 @@ class FastBeamDecoder:
         keywords=None,
         merge: bool = True,
         max_inputs_per_batch: int = int(1e7),
+        score_thresh: Optional[float] = None,
+        topk_thresh: Optional[float] = None,
+        final_emission_frames: Optional[int] = None,
     ):
+        """score_thresh / topk_thresh / final_emission_frames: the host
+        adaptive beam's pruning thresholds (beam_prune_score_thresh 0.4,
+        beam_prune_topk_thresh 1.5, final_emission_thresh in frames),
+        compiled into the device search; None / inf disables each."""
         self.model = model
         self.blank_idx = blank_idx
         self.max_inputs_per_batch = max_inputs_per_batch
@@ -182,6 +265,15 @@ class FastBeamDecoder:
         self.tokenizer = tokenizer
         self.cap = cap
         self.merge = merge
+
+        def _norm(v):
+            v = None if v is None else float(v)
+            return None if v is None or not np.isfinite(v) else v
+
+        self.score_thresh = _norm(score_thresh)
+        self.topk_thresh = _norm(topk_thresh)
+        fe = _norm(final_emission_frames)
+        self.final_emission_frames = None if fe is None else int(fe)
         self.ngram_alpha = float(ngram_alpha)
         self.lm = _lm_tables(ngram_lm, ngram_alpha)
         self.kw = _kw_tables(keywords)
@@ -252,7 +344,8 @@ class FastBeamDecoder:
                 return jnp.concatenate([x, y], axis=axis)
             return jax.tree.map(c, a, b)
 
-        def frame_step(beam, inp):
+        def frame_step(carry, inp):
+            beam, committed, since = carry
             f_t, t_idx = inp  # [B, Hj], scalar
             valid = t_idx < enc_lens  # [B]
 
@@ -284,10 +377,21 @@ class FastBeamDecoder:
                 # and a post-preselect boost could never surface a token the
                 # acoustics alone left out of the top-W
                 lp_nb = lp.at[..., self.blank_idx].set(NEG_INF)
+                if self.topk_thresh is not None:
+                    # acoustic top-k threshold BEFORE fusion (host order:
+                    # _expansion_steps prunes joint log-probs, fusion adds
+                    # later; the bar includes blank — top_k runs unmasked)
+                    bar = (
+                        jnp.max(lp, axis=-1, keepdims=True)
+                        - self.topk_thresh
+                    )
+                    tk_keep = lp_nb >= bar
                 if self.lm is not None:
                     lp_nb = lp_nb + self.ngram_alpha * self.lm[0][active["lm"]]
                 if self.kw is not None:
                     lp_nb = lp_nb + self.kw[0][active["kw"]]
+                if self.topk_thresh is not None:
+                    lp_nb = jnp.where(tk_keep, lp_nb, NEG_INF)
                 cand_s, cand_i = lax.approx_max_k(
                     lp_nb.reshape(B * W, K), W, recall_target=0.99
                 )
@@ -337,6 +441,21 @@ class FastBeamDecoder:
             lp = self._logprobs(params, f_t, active["g"])
             finished = fin_update(finished, active, lp)
 
+            if self.score_thresh is not None:
+                finished["scores"] = _apply_score_thresh(
+                    finished["scores"], finished["lens"], self.score_thresh
+                )
+            if self.final_emission_frames is not None and W > 1:
+                s2, c2, f2 = _final_emission_prune(
+                    finished["scores"], finished["toks"], finished["lens"],
+                    committed, since, self.final_emission_frames,
+                )
+                finished["scores"] = jnp.where(
+                    valid[:, None], s2, finished["scores"]
+                )
+                committed = jnp.where(valid, c2, committed)
+                since = jnp.where(valid, f2, since)
+
             # padded frames leave the beam untouched
             def keep(x_new, x_old):
                 extra = (1,) * (x_new.ndim - 1)
@@ -346,10 +465,13 @@ class FastBeamDecoder:
                 return jnp.where(v, x_new, x_old)
 
             out = jax.tree.map(keep, finished, beam)
-            return out, None
+            return (out, committed, since), None
 
         encs_t = jnp.moveaxis(encs, 1, 0)  # [T, B, Hj]
-        final, _ = lax.scan(frame_step, beam, (encs_t, jnp.arange(T)))
+        zb = jnp.zeros((B,), jnp.int32)
+        (final, _, _), _ = lax.scan(
+            frame_step, (beam, zb, zb), (encs_t, jnp.arange(T))
+        )
 
         # order lanes by length-normalised score (reference beam.py:149)
         norm = final["scores"] / jnp.maximum(final["lens"] + 1, 1).astype(jnp.float32)
@@ -434,6 +556,9 @@ def make_streaming_beam_step(
     ngram_alpha: float = 0.0,
     keywords=None,
     merge: bool = True,
+    score_thresh: Optional[float] = None,
+    topk_thresh: Optional[float] = None,
+    final_emission_frames: Optional[int] = None,
 ):
     """Returns (init_state, step).
 
@@ -451,6 +576,15 @@ def make_streaming_beam_step(
     lm = _lm_tables(ngram_lm, ngram_alpha)
     alpha = float(ngram_alpha)
     kw = _kw_tables(keywords)
+
+    def _opt(v):
+        v = None if v is None else float(v)
+        return None if v is None or not np.isfinite(v) else v
+
+    score_thresh = _opt(score_thresh)
+    topk_thresh = _opt(topk_thresh)
+    fe_limit = _opt(final_emission_frames)
+    fe_limit = None if fe_limit is None or W <= 1 else int(fe_limit)
 
     def pred_advance(params, tokens, h, c):
         Lc, B, Wc, Hpc = h.shape
@@ -496,6 +630,9 @@ def make_streaming_beam_step(
             c=c0.reshape(L, B, W, Hp),
             frame=jnp.zeros((B,), jnp.int32),
         )
+        if fe_limit is not None:
+            st["committed"] = jnp.zeros((B,), jnp.int32)
+            st["since_final"] = jnp.zeros((B,), jnp.int32)
         if lm is not None:
             st["lm"] = jnp.full((B, W), lm[2], jnp.int32)
         if kw is not None:
@@ -517,6 +654,8 @@ def make_streaming_beam_step(
         the blank-masked array)."""
         B = f_t.shape[0]
         frame = state.pop("frame")
+        committed = state.pop("committed", None)
+        since = state.pop("since_final", None)
         init_toks, init_ts = state["toks"], state["ts"]
         small = {k: v for k, v in state.items() if k not in ("toks", "ts")}
         EM = max(E - 1, 1)  # loop trip bound (gens 1..EM)
@@ -562,6 +701,15 @@ def make_streaming_beam_step(
             # monotone per row, so indices are unchanged), blank filtered
             # from the W+1 survivors, then exact top-W over W*(W+1).
             zf = z
+            fused = lm is not None or kw is not None
+            if topk_thresh is not None and fused:
+                # acoustic top-k threshold BEFORE fusion (host order; the
+                # bar includes blank). Log-prob differences equal z
+                # differences (row-constant LSE), so the mask works on z;
+                # it fuses into the elementwise z+boost pass XLA already
+                # materializes for vocab-wide fusion.
+                bar = jnp.max(z, axis=-1, keepdims=True) - topk_thresh
+                zf = jnp.where(z >= bar, z, NEG_INF)
             if lm is not None:
                 # vocab-wide fusion BEFORE preselection (ref beam.py:629-642):
                 # the LSE is row-constant, so adding fusion scores to the
@@ -572,6 +720,12 @@ def make_streaming_beam_step(
             cs, ci = lax.approx_max_k(
                 zf.reshape(B * W, K), W + 1, recall_target=0.99
             )
+            if topk_thresh is not None and not fused:
+                # no fusion: candidates ARE acoustic scores — threshold the
+                # top-(W+1) survivors directly (the true max is among them),
+                # sparing the [B*W, K] masked copy
+                bar = jnp.max(cs, axis=-1, keepdims=True) - topk_thresh
+                cs = jnp.where(cs >= bar, cs, NEG_INF)
             cs = jnp.where(ci == blank_idx, NEG_INF, cs)
             cand_s = (
                 cs.reshape(B, W, W + 1)
@@ -665,8 +819,21 @@ def make_streaming_beam_step(
             )
         fin["toks"] = out_toks
         fin["ts"] = out_ts
+        if score_thresh is not None:
+            fin["scores"] = _apply_score_thresh(
+                fin["scores"], fin["lens"], score_thresh
+            )
+        if fe_limit is not None:
+            fin["scores"], fin["committed"], fin["since_final"] = (
+                _final_emission_prune(
+                    fin["scores"], out_toks, fin["lens"],
+                    committed, since, fe_limit,
+                )
+            )
         fin["frame"] = frame + 1
         state["frame"] = frame  # restore caller's dict shape
+        if committed is not None:
+            state["committed"], state["since_final"] = committed, since
         return fin
 
     return init_state, step

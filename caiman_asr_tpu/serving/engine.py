@@ -219,6 +219,9 @@ class StreamingEngine:
         beam_merge: bool = True,
         device=None,
         wire_responses: bool = False,
+        beam_score_thresh: Optional[float] = None,
+        beam_topk_thresh: Optional[float] = None,
+        beam_final_emission_frames: Optional[int] = None,
     ):
         """pipeline_depth: number of in-flight ticks before results are
         consumed on the host. 0 = synchronous (each tick() returns its own
@@ -276,6 +279,9 @@ class StreamingEngine:
                 expansions=min(max_symbols_per_step, 8), cap=beam_cap,
                 ngram_lm=ngram_lm, ngram_alpha=ngram_alpha,
                 keywords=keywords, merge=beam_merge,
+                score_thresh=beam_score_thresh,
+                topk_thresh=beam_topk_thresh,
+                final_emission_frames=beam_final_emission_frames,
             )
             # device->host token window per tick: newest _beam_win positions
             # of every hypothesis. Must exceed per-tick growth (expansions)
@@ -616,12 +622,19 @@ class StreamingEngine:
             # buffers (per-lane roll; wrapped tail is beyond `lens`, never
             # read). lax.cond skips the rolls on the common no-rebase tick.
             def _apply_rebase(ds):
-                return dict(
+                out = dict(
                     ds,
                     toks=_roll_left(ds["toks"], rebase, 2),
                     ts=_roll_left(ds["ts"], rebase, 2),
                     lens=jnp.maximum(ds["lens"] - rebase[:, None], 0),
                 )
+                if "committed" in ds:
+                    # the final-emission watermark counts buffer positions;
+                    # shift it with the window
+                    out["committed"] = jnp.maximum(
+                        ds["committed"] - rebase, 0
+                    )
+                return out
 
             dec_state = lax.cond(
                 jnp.any(rebase > 0), _apply_rebase, lambda ds: ds, dec_state

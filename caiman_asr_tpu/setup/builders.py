@@ -470,6 +470,20 @@ def build_decoder(
             max_inputs_per_batch=int(
                 getattr(args, "max_inputs_per_batch", 1e7)
             ),
+            score_thresh=getattr(args, "beam_prune_score_thresh", None),
+            topk_thresh=getattr(args, "beam_prune_topk_thresh", None),
+            # CLI threshold is seconds (host beam frame_width=0.06);
+            # the device beam counts 60 ms frames
+            final_emission_frames=(
+                None
+                if not np.isfinite(
+                    fe := float(
+                        getattr(args, "beam_final_emission_thresh",
+                                float("inf"))
+                    )
+                )
+                else max(1, round(fe / 0.06))
+            ),
         )
 
     from caiman_asr_tpu.decoding.beam import RNNTBeamDecoder

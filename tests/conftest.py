@@ -9,6 +9,14 @@ init, so setting it here still works.
 import os
 import sys
 
+# Silence XLA:CPU C++ log spam: cpu_aot_loader warns "machine features
+# don't match" on every persistent-cache hit because XLA embeds tuning
+# pseudo-features (+prefer-no-scatter/-gather) in the compile feature list
+# that host detection never reports — a same-machine false positive (the
+# cache dir is additionally machine-fingerprint-keyed below, so genuine
+# cross-machine reuse cannot happen).
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
