@@ -267,8 +267,9 @@ class FastBeamDecoder:
         self.merge = merge
 
         def _norm(v):
+            # None / inf / negative all disable (host CLI: <0 -> inf)
             v = None if v is None else float(v)
-            return None if v is None or not np.isfinite(v) else v
+            return None if v is None or not np.isfinite(v) or v < 0 else v
 
         self.score_thresh = _norm(score_thresh)
         self.topk_thresh = _norm(topk_thresh)
@@ -578,8 +579,9 @@ def make_streaming_beam_step(
     kw = _kw_tables(keywords)
 
     def _opt(v):
+        # None / inf / negative all disable (host CLI: <0 -> inf)
         v = None if v is None else float(v)
-        return None if v is None or not np.isfinite(v) else v
+        return None if v is None or not np.isfinite(v) or v < 0 else v
 
     score_thresh = _opt(score_thresh)
     topk_thresh = _opt(topk_thresh)

@@ -310,10 +310,25 @@ def build_engine(args):
         print(
             f"keyword boosting on: {kw_tables.n_states} states", flush=True
         )
+    fe_secs = float(getattr(args, "beam_final_emission_thresh", float("inf")))
     engine_kw = dict(
         mel_stats=mel_stats,
         decoder=getattr(args, "decoder", "greedy"),
         beam_width=getattr(args, "beam_width", 4),
+        # <0 disables a threshold (host-beam CLI convention)
+        beam_score_thresh=(
+            None if (st := getattr(args, "beam_prune_score_thresh", None))
+            is None or st < 0 else st
+        ),
+        beam_topk_thresh=(
+            None if (tt := getattr(args, "beam_prune_topk_thresh", None))
+            is None or tt < 0 else tt
+        ),
+        # CLI threshold is seconds (ref final_emission_thresh); the device
+        # beam counts 60 ms frames
+        beam_final_emission_frames=(
+            max(1, round(fe_secs / 0.06)) if np.isfinite(fe_secs) else None
+        ),
         logmel=cfg.input_val.logmel,
         frame_stacking=cfg.input_val.splicing.frame_stacking,
         frame_subsampling=cfg.input_val.splicing.frame_subsampling,
@@ -362,6 +377,17 @@ def main(argv=None):
                         "chip (linear capacity scale-out)")
     p.add_argument("--decoder", default="greedy", choices=["greedy", "beam"])
     p.add_argument("--beam_width", type=int, default=4)
+    p.add_argument("--beam_prune_score_thresh", type=float, default=0.4,
+                   help="kill hypotheses whose normalised score trails the "
+                        "beam best by more (ref beam.py:364-366); <0 = off")
+    p.add_argument("--beam_prune_topk_thresh", type=float, default=1.5,
+                   help="mask expansion candidates more than this below the "
+                        "frame's best acoustic log-prob (ref beam.py:295); "
+                        "<0 = off")
+    p.add_argument("--beam_final_emission_thresh", type=float,
+                   default=float("inf"),
+                   help="seconds a final may lag before the beam prunes the "
+                        "blocking divergence (ref beam.py:238-243)")
     p.add_argument("--ngram_path", default=None,
                    help="ARPA n-gram for device shallow fusion in beam mode "
                         "(defaults to the serving bundle's embedded model)")

@@ -134,27 +134,47 @@ def main(argv=None):
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--gt_ctm", default=None,
                    help="reuse an existing forced-alignment CTM")
+    p.add_argument("--server_args", nargs="*", default=[],
+                   help="extra flags forwarded to serving.server (e.g. "
+                        "--beam_final_emission_thresh 0.9)")
+    p.add_argument("--manifest", default=None,
+                   help="manifest path (default <workdir>/manifest.json); "
+                        "relative audio fnames resolve under --dataset_dir")
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint (default <workdir>/out/ckpts/last.npz)")
+    p.add_argument("--dataset_dir", default="/",
+                   help="base dir for relative manifest fnames")
+    p.add_argument("--utt_index", type=int, default=0,
+                   help="which manifest utterance to stream")
     args = p.parse_args(argv)
 
     work = Path(args.workdir)
     cfg = work / "model.yaml"
-    ckpt = work / "out" / "ckpts" / "last.npz"
+    ckpt = Path(args.ckpt) if args.ckpt else work / "out" / "ckpts" / "last.npz"
     tok = work / "tok.json"
     stats = work / "mel_stats.npz"
-    manifest = json.load(open(work / "manifest.json"))
-    utt = manifest[0]
-    audio_path = utt["files"][0]["fname"]
+    manifest_path = Path(args.manifest) if args.manifest else (
+        work / "manifest.json"
+    )
+    manifest = json.load(open(manifest_path))
+    utt = manifest[args.utt_index]
+    audio_path = str(Path(args.dataset_dir) / utt["files"][0]["fname"])
 
     # 1. ground-truth word end times by RNN-T forced alignment (its own
     # process: the chip is exclusive, the server needs it next)
-    gt_ctm = Path(args.gt_ctm) if args.gt_ctm else work / "gt.ctm"
+    gt_ctm = Path(args.gt_ctm) if args.gt_ctm else (
+        work / f"gt_{args.utt_index}.ctm"
+    )
     if not gt_ctm.exists():
         print("forced-aligning ground truth ...", flush=True)
+        one = work / f"upl_utt_{args.utt_index}.json"
+        one.write_text(json.dumps([utt]))
         subprocess.run([
             sys.executable, "-m", "caiman_asr_tpu.latency.generate_gt_ctm",
             "--model_config", str(cfg), "--ckpt", str(ckpt),
             "--tokenizer_model", str(tok), "--mel_stats_path", str(stats),
-            "--dataset_dir", "/", "--manifests", str(work / "manifest.json"),
+            "--dataset_dir", str(args.dataset_dir),
+            "--manifests", str(one),
             "--output_ctm", str(gt_ctm),
         ], cwd=str(ROOT), check=True, timeout=900)
     from caiman_asr_tpu.latency.client import get_word_timestamps
@@ -171,7 +191,7 @@ def main(argv=None):
         "--tokenizer_model", str(tok), "--mel_stats_path", str(stats),
         "--port", str(args.port), "--max_streams", "4",
         "--decoder", args.decoder,
-    ]
+    ] + list(args.server_args)
     srv = subprocess.Popen(srv_cmd, cwd=str(ROOT),
                            stdout=subprocess.DEVNULL,
                            stderr=subprocess.DEVNULL)

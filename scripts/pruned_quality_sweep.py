@@ -29,12 +29,17 @@ def run_one(mode: str, seed: int, steps: int, lr: float, base: Path,
             "--workdir", str(work), "--steps", str(steps), "--lr", str(lr),
             "--seed", str(seed),
         ]
-    else:  # real: the People's Speech clip overfit proof (its own lr)
+    else:  # real / real_aug: People's Speech clip (its own lr)
         cmd = [
             sys.executable, str(ROOT / "scripts" / "real_speech_e2e.py"),
             "--workdir", str(work), "--steps", str(steps),
             "--seed", str(seed),
         ]
+        if task == "real_aug":
+            # generalization variant: train on clean+noise-mixed+speed
+            # conds, dev WER is on HELD-OUT SNRs (see real_speech_e2e
+            # --aug) — dense vs pruned compared beyond the overfit proof
+            cmd += ["--aug"]
     if mode == "pruned5":
         cmd += ["--pruned", "5"]
     out = subprocess.run(
@@ -43,7 +48,7 @@ def run_one(mode: str, seed: int, steps: int, lr: float, base: Path,
     tail = out.stdout[-2000:] + out.stderr[-2000:]
     if out.returncode != 0 and task == "synthetic":
         raise RuntimeError(f"{mode} seed {seed} failed:\n{tail}")
-    if task == "real":
+    if task in ("real", "real_aug"):
         # real_speech_e2e exits non-zero on a failed proof; the sweep
         # records the WER either way
         m = re.search(r"final dev WER after \d+ steps: ([0-9.]+)%",
@@ -76,7 +81,7 @@ def main():
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
     p.add_argument("--base", default="/tmp/pruned_sweep")
-    p.add_argument("--task", choices=["synthetic", "real"],
+    p.add_argument("--task", choices=["synthetic", "real", "real_aug"],
                    default="synthetic")
     args = p.parse_args()
 

@@ -95,6 +95,13 @@ def main(argv=None):
     p.add_argument("--pruned", type=int, default=0,
                    help="pruned-loss band width S (0 = dense loss)")
     p.add_argument("--lr", type=float, default=4e-3)
+    p.add_argument("--aug", action="store_true",
+                   help="augmented-real task: train on the clip mixed with "
+                        "the reference's real noise recording (TestNoise"
+                        "Dataset) at SNRs [clean, 20, 10, 5 dB] plus speed "
+                        "0.9x/1.1x; validate on HELD-OUT SNRs [15, 8 dB] — "
+                        "a generalization (not overfit) signal across real "
+                        "acoustic conditions for the dense-vs-pruned sweep")
     p.add_argument("--half_life_div", type=int, default=16,
                    help="half_life_steps = steps // this (larger = faster "
                         "decay; the single-utterance overfit bounces if the "
@@ -123,6 +130,71 @@ def main(argv=None):
     print(f"{len(utts)} real utterance(s): {[t[:50] for t in texts]}")
     (work / "manifest.json").write_text(json.dumps(utts))
 
+    val_manifest = work / "manifest.json"
+    if args.aug:
+        import wave as _wave
+
+        import numpy as np
+
+        from caiman_asr_tpu.data.audio import read_audio, resample
+
+        noise_path = (
+            Path(args.dataset_dir) / "TestNoiseDataset" / "data"
+            / "noise_file.wav"
+        )
+        clean = read_audio(str(utts[0]["files"][0]["fname"]), 16000)
+        noise = read_audio(str(noise_path), 16000)
+        reps = int(np.ceil(len(clean) / len(noise)))
+        noise_t = np.tile(noise, reps)[: len(clean)]
+        p_s = float(np.mean(clean**2))
+        p_n = float(np.mean(noise_t**2)) or 1e-12
+
+        def mix(snr_db: float) -> np.ndarray:
+            scale = np.sqrt(p_s / (p_n * 10.0 ** (snr_db / 10.0)))
+            out = clean + scale * noise_t
+            peak = np.abs(out).max()
+            return out / peak * 0.95 if peak > 1.0 else out
+
+        def speed(factor: float) -> np.ndarray:
+            # play f-times faster: resample to sr/f samples, declare sr
+            return resample(clean, 16000, int(round(16000 / factor)))
+
+        def write_wav(name: str, audio: np.ndarray) -> dict:
+            path = work / name
+            with _wave.open(str(path), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(
+                    (np.clip(audio, -1, 1) * 32767).astype(np.int16).tobytes()
+                )
+            return {
+                "transcript": utts[0]["transcript"],
+                "files": [{"channels": 1, "sample_rate": 16000.0,
+                           "duration": len(audio) / 16000.0,
+                           "fname": str(path)}],
+                "original_duration": len(audio) / 16000.0,
+            }
+
+        train_utts = [
+            write_wav("clean.wav", clean),
+            write_wav("snr20.wav", mix(20.0)),
+            write_wav("snr10.wav", mix(10.0)),
+            write_wav("snr5.wav", mix(5.0)),
+            write_wav("sp090.wav", speed(0.9)),
+            write_wav("sp110.wav", speed(1.1)),
+        ]
+        val_utts = [
+            write_wav("val_snr15.wav", mix(15.0)),
+            write_wav("val_snr8.wav", mix(8.0)),
+        ]
+        (work / "manifest.json").write_text(json.dumps(train_utts))
+        val_manifest = work / "val_manifest.json"
+        val_manifest.write_text(json.dumps(val_utts))
+        utts = train_utts
+        print(f"aug task: {len(train_utts)} train conds, "
+              f"{len(val_utts)} held-out val conds (real noise mix)")
+
     from caiman_asr_tpu.data.tokenizer import save_tokenizer_json, train_tokenizer
 
     tok = work / "tok.json"
@@ -150,7 +222,7 @@ def main(argv=None):
     targs.output_dir = str(work / "out")
     targs.dataset_dir = args.dataset_dir
     targs.train_manifests = [str(work / "manifest.json")]
-    targs.val_manifests = [str(work / "manifest.json")]
+    targs.val_manifests = [str(val_manifest)]
     targs.global_batch_size = max(1, len(utts))
     targs.grad_accumulation_batches = 1
     targs.training_steps = args.steps
@@ -189,12 +261,17 @@ def main(argv=None):
     state, best_wer = train_mod.main(targs)
     print(f"final dev WER after {args.steps} steps: {best_wer:.3%}")
 
-    # offline hypothesis through the val CLI (same ckpt + stats)
+    # offline hypothesis through the val CLI (same ckpt + stats). In aug
+    # mode compare on the clean clip alone so hyps[0] is unambiguous.
+    eq_manifest = work / "manifest.json"
+    if args.aug:
+        eq_manifest = work / "eq_manifest.json"
+        eq_manifest.write_text(json.dumps([utts[0]]))
     from caiman_asr_tpu.val import val_arg_parser, validate
 
     vargs = val_arg_parser().parse_args([
         "--model_config", str(cfg), "--dataset_dir", str(work),
-        "--val_manifests", str(work / "manifest.json"),
+        "--val_manifests", str(eq_manifest),
         "--ckpt", str(work / "out" / "ckpts" / "last.npz"),
         "--output_dir", str(work / "valout"), "--val_batch_size", "1",
         "--mel_stats_path", str(stats_path),

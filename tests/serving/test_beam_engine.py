@@ -531,3 +531,27 @@ def test_keyword_boost_end_to_end():
     )
     kw = build_keyword_tables(Keywords([(boosted, 50.0)]), pieces)
     assert boosted in run(kw)
+
+
+def test_beam_engine_with_pruning_thresholds():
+    """Engine beam with the production thresholds + final-emission budget
+    enabled (round-4): streams drain cleanly, finals remain a monotonic
+    prefix stream, and the final-emission state rides resets/rebase
+    without leaking across reopened lanes."""
+    eng = _make_engine(
+        beam_score_thresh=0.4, beam_topk_thresh=1.5,
+        beam_final_emission_frames=3,
+    )
+    assert "committed" in eng.dec_state and "since_final" in eng.dec_state
+    rng = np.random.default_rng(5)
+    audio = (rng.normal(size=960 * 6) * 0.1).astype(np.float32)
+    texts = []
+    for _ in range(2):  # second pass: lane reset must zero the watermark
+        lane = eng.open_stream()
+        finals, partials = collect(eng, lane, audio)
+        texts.append("".join(finals))
+        assert not eng.streams
+    # deterministic engine + identical audio -> identical transcript after
+    # a lane reset (the committed/since_final state was re-zeroed)
+    assert texts[0] == texts[1]
+    eng.close()
