@@ -71,8 +71,11 @@ def save_checkpoint(
     ema_params=None,
     opt_state=None,
     meta: Optional[Dict[str, Any]] = None,
+    extra: Optional[Dict[str, np.ndarray]] = None,
 ):
-    """Atomically write one checkpoint file."""
+    """Atomically write one checkpoint file. ``extra``: named auxiliary
+    arrays (e.g. the RSP carried RNNT state) stored under ``extra/`` —
+    ignored by weight loaders, read back via :func:`load_extra`."""
     path = Path(path)
     payload: Dict[str, np.ndarray] = {}
     for k, v in flatten_named(jax.device_get(params)).items():
@@ -80,6 +83,8 @@ def save_checkpoint(
     if ema_params is not None:
         for k, v in flatten_named(jax.device_get(ema_params)).items():
             payload[f"ema/{k}"] = v
+    for k, v in (extra or {}).items():
+        payload[f"extra/{k}"] = np.asarray(jax.device_get(v))
     meta = dict(meta or {})
     if opt_state is not None:
         leaves = jax.tree.leaves(jax.device_get(opt_state))
@@ -94,6 +99,14 @@ def save_checkpoint(
         np.savez(fh, **payload)
     os.replace(tmp, path)
     return path
+
+
+def load_extra(path: str | Path) -> Dict[str, np.ndarray]:
+    """The ``extra/`` auxiliary arrays of a checkpoint (empty if none)."""
+    with np.load(path) as z:
+        return {
+            k[len("extra/"):]: z[k] for k in z.keys() if k.startswith("extra/")
+        }
 
 
 def load_checkpoint(
@@ -201,6 +214,7 @@ class Checkpointer:
         is_best: bool = False,
         is_last: bool = False,
         meta: Optional[Dict[str, Any]] = None,
+        extra: Optional[Dict[str, np.ndarray]] = None,
     ) -> Path:
         m = self._payload_meta(epoch, step, best_wer, meta)
         if is_best:
@@ -210,7 +224,7 @@ class Checkpointer:
         else:
             path = self.save_dir / f"step{step}.npz"
             self.tracked[step] = path
-        return save_checkpoint(path, params, ema_params, opt_state, m)
+        return save_checkpoint(path, params, ema_params, opt_state, m, extra)
 
     def last_checkpoint(self) -> Optional[Path]:
         """Newest loadable checkpoint; skips corrupted files

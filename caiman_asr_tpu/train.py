@@ -302,6 +302,35 @@ def main(args=None):
         rsp_ctl = RSPController(args.rsp_seq_len_freq, delay, seed=args.seed)
         rnnt_state = zero_rnnt_state(model, micro_bs)
         print(f"Random state passing on: delay={delay}, freq={args.rsp_seq_len_freq}")
+        if start_step and ckpt_path is not None:
+            # bit-exact resume with RSP on: restore the carried RNNT state
+            # from the checkpoint (the reference drops it on preemption)
+            # and replay the gate stream so the controller's RNG/counter
+            # line up with the uninterrupted run
+            from caiman_asr_tpu.export.checkpointer import load_extra
+
+            rsp_ctl.fast_forward(start_step, accum)
+            ex = load_extra(ckpt_path)
+            rsp_leaves = [ex[k] for k in sorted(
+                (k for k in ex if k.startswith("rsp/")),
+                key=lambda k: int(k.split("/")[1]),
+            )]
+            if rsp_leaves:
+                treedef = jax.tree.structure(rnnt_state)
+                if len(rsp_leaves) == treedef.num_leaves:
+                    rnnt_state = jax.tree.unflatten(
+                        treedef, [jnp.asarray(v) for v in rsp_leaves]
+                    )
+                    print("Restored carried RSP state from checkpoint")
+    def _rsp_extra():
+        """Carried RSP state for the checkpoint payload (None when off)."""
+        if not rsp_on or rnnt_state is None:
+            return None
+        return {
+            f"rsp/{i}": leaf
+            for i, leaf in enumerate(jax.tree.leaves(rnnt_state))
+        }
+
     val_loss_step = make_val_loss_step(model, blank_idx)
     decoder = build_decoder(model, blank_idx, tokenizer, args, cfg, eos_idx=eos_idx)
 
@@ -404,7 +433,14 @@ def main(args=None):
             if noise_snr_sched is not None:
                 noise_snr_sched.adjust_snrs(step)
             ratio = mel_ramp.ratio(step) if mel_ramp else 0.0
-            rng, k1 = jax.random.split(rng)
+            # keys are DERIVED (fold_in on step x microbatch position), not
+            # chained: a --resume at step s reproduces the exact key stream
+            # (dither/SpecAugment/dropout) of an uninterrupted run, making
+            # recovery bit-exact — a sequential split chain would restart
+            # from the seed and diverge
+            k1 = jax.random.fold_in(
+                rng, step * (accum + 1) + len(micro_group)
+            )
             with timers.phase("feat_proc"):
                 feats, feat_lens = train_fp(
                     batch.audio, batch.audio_lens, k1, dataset_to_utt_ratio=ratio
@@ -481,7 +517,7 @@ def main(args=None):
                     noise_sched.std(step) if noise_sched else 0.0, jnp.float32
                 ),
             }
-            rng, k2 = jax.random.split(rng)
+            k2 = jax.random.fold_in(rng, step * (accum + 1) + accum)
             with timers.phase("fwd_bwd"):
                 if rsp_on:
                     gates = rsp_ctl.gates(step, accum)
@@ -607,6 +643,7 @@ def main(args=None):
                         state.params, state.ema_params, state.opt_state,
                         epoch, step, best_wer, is_best=True,
                         meta=_ckpt_meta(cfg, mel_ramp, step),
+                        extra=_rsp_extra(),
                     )
                     _maybe_export_serving_bundle(best_path, args, out_dir)
 
@@ -615,6 +652,7 @@ def main(args=None):
                     state.params, state.ema_params, state.opt_state,
                     epoch, step, best_wer,
                     meta=_ckpt_meta(cfg, mel_ramp, step),
+                    extra=_rsp_extra(),
                 )
             if step >= args.training_steps or preempted["flag"]:
                 break
@@ -629,6 +667,7 @@ def main(args=None):
             state.params, state.ema_params, state.opt_state,
             epoch, step, best_wer, is_last=True,
             meta=_ckpt_meta(cfg, mel_ramp, step),
+            extra=_rsp_extra(),
         )
     profiler.stop()
     resources.stop()

@@ -103,3 +103,12 @@ class RSPController:
         """Drop the carried state (e.g. after a NaN batch, rsp.py:86-99)."""
         self.remaining = 0
         self.fresh = True
+
+    def fast_forward(self, n_steps: int, n_micro: int):
+        """Replay the gate stream steps [0, n_steps) consumed, so a
+        ``--resume`` run's RNG/counter position matches the uninterrupted
+        run's and recovery stays bit-exact. (Skipped-step resets are not
+        replayed; a run that skipped batches diverged from the control
+        run regardless.)"""
+        for s in range(n_steps):
+            self.gates(s, n_micro)

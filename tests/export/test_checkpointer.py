@@ -101,3 +101,44 @@ def test_averaging(tmp_path, state_and_opt):
     expect = jax.tree.map(lambda x: np.asarray(x) + 1.0, state.params)
     for a, b in zip(jax.tree.leaves(avg), jax.tree.leaves(expect)):
         np.testing.assert_allclose(np.asarray(a), b, atol=1e-6)
+
+
+def test_extra_state_roundtrip(tmp_path):
+    """Auxiliary arrays (e.g. the RSP carried state) ride the checkpoint
+    under extra/ and come back bit-exact; weight loaders ignore them."""
+    import numpy as np
+
+    from caiman_asr_tpu.export.checkpointer import (
+        load_checkpoint,
+        load_extra,
+        save_checkpoint,
+    )
+
+    params = {"m": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+    extra = {
+        "rsp/0": np.full((2, 4), 1.5, np.float32),
+        "rsp/1": np.asarray([[3]], np.int32),
+    }
+    path = tmp_path / "ck.npz"
+    save_checkpoint(path, params, meta={"step": 7}, extra=extra)
+    got = load_extra(path)
+    assert sorted(got) == ["rsp/0", "rsp/1"]
+    np.testing.assert_array_equal(got["rsp/0"], extra["rsp/0"])
+    np.testing.assert_array_equal(got["rsp/1"], extra["rsp/1"])
+    p, ema, opt, meta = load_checkpoint(path)
+    assert meta["step"] == 7 and "m" in p
+    assert load_extra.__doc__  # plain ckpt: no extra
+    save_checkpoint(tmp_path / "ck2.npz", params)
+    assert load_extra(tmp_path / "ck2.npz") == {}
+
+
+def test_rsp_controller_fast_forward():
+    """fast_forward reproduces the RNG/counter position of a live run."""
+    from caiman_asr_tpu.training.rsp import RSPController
+
+    a = RSPController([5, 0, 3], delay=2, seed=9)
+    live = [a.gates(s, 4).tolist() for s in range(20)]
+    b = RSPController([5, 0, 3], delay=2, seed=9)
+    b.fast_forward(12, 4)
+    resumed = [b.gates(s, 4).tolist() for s in range(12, 20)]
+    assert resumed == live[12:]
