@@ -42,6 +42,15 @@ def main():
                          "of at the next tick (what a co-located server "
                          "loop does); improves response-completion latency, "
                          "not lateness")
+    ap.add_argument("--score_thresh", type=float, default=None,
+                    help="beam: length-normalised score pruning threshold "
+                         "(reference 0.4); default off")
+    ap.add_argument("--topk_thresh", type=float, default=None,
+                    help="beam: acoustic candidate threshold (reference "
+                         "1.5); default off")
+    ap.add_argument("--fe_frames", type=int, default=None,
+                    help="beam: final-emission budget in frames; default "
+                         "off")
     ap.add_argument(
         "--reuse-upload", action="store_true",
         help="elide the host->device byte shipping (co-located tier: on "
@@ -81,6 +90,9 @@ def main():
         max_symbols_per_step=8, dtype=jnp.bfloat16,
         pipeline_depth=args.pipeline_depth,
         wire_responses=True,
+        beam_score_thresh=args.score_thresh,
+        beam_topk_thresh=args.topk_thresh,
+        beam_final_emission_frames=args.fe_frames,
     )
     for i in range(args.batch):
         eng.open_stream()
