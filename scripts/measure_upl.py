@@ -134,9 +134,10 @@ def main(argv=None):
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--gt_ctm", default=None,
                    help="reuse an existing forced-alignment CTM")
-    p.add_argument("--server_args", nargs="*", default=[],
-                   help="extra flags forwarded to serving.server (e.g. "
-                        "--beam_final_emission_thresh 0.9)")
+    p.add_argument("--server_args", default="",
+                   help="extra flags forwarded to serving.server, one "
+                        "shell-quoted string (e.g. "
+                        "'--beam_final_emission_thresh 0.9')")
     p.add_argument("--manifest", default=None,
                    help="manifest path (default <workdir>/manifest.json); "
                         "relative audio fnames resolve under --dataset_dir")
@@ -191,7 +192,7 @@ def main(argv=None):
         "--tokenizer_model", str(tok), "--mel_stats_path", str(stats),
         "--port", str(args.port), "--max_streams", "4",
         "--decoder", args.decoder,
-    ] + list(args.server_args)
+    ] + __import__("shlex").split(args.server_args)
     srv = subprocess.Popen(srv_cmd, cwd=str(ROOT),
                            stdout=subprocess.DEVNULL,
                            stderr=subprocess.DEVNULL)
@@ -208,11 +209,24 @@ def main(argv=None):
         uri = f"ws://127.0.0.1:{args.port}/asr/v0.1/stream"
 
         all_upls = []
+        all_fin_upls = []
         for run in range(args.runs):
             responses = asyncio.run(_stream_once(uri, audio_i16))
             words = get_word_timestamps(responses)
             upls = _align_upl(words, gt_words)
             all_upls.append(upls)
+            # finals-only visibility: a word counts only when a FINAL
+            # carries it (clients that ignore provisionals; the surface
+            # --beam_final_emission_thresh bounds)
+            fin_words, fin_text = [], ""
+            for r in responses:
+                if r.is_partial:
+                    continue
+                before = len(fin_text.split())
+                fin_text += r.text
+                for w in fin_text.split()[before:]:
+                    fin_words.append((w, r.timestamp))
+            all_fin_upls.append(_align_upl(fin_words, gt_words))
             hyp_text = " ".join(w for w, _ in words)
             print(f"run {run}: {len(responses)} responses, "
                   f"{len(upls)}/{len(gt_words)} words matched")
@@ -239,6 +253,14 @@ def main(argv=None):
         "runs": args.runs,
         "decoder": args.decoder,
     }
+    fin_flat = sorted(u for upls in all_fin_upls for _, u in upls)
+    if fin_flat:
+        out["finals_median_upl_s"] = round(median(fin_flat), 4)
+        out["finals_p90_upl_s"] = round(
+            fin_flat[min(int(0.9 * len(fin_flat)), len(fin_flat) - 1)], 4
+        )
+        out["finals_max_upl_s"] = round(fin_flat[-1], 4)
+        out["finals_n_words"] = len(fin_flat)
     print(json.dumps(out))
     return 0
 
