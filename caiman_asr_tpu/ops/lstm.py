@@ -172,7 +172,7 @@ import os
 # shapes. Used automatically when shapes are tile-aligned and fit VMEM;
 # disable with CAIMAN_PALLAS_LSTM=0.
 _PALLAS_ENABLED = os.environ.get("CAIMAN_PALLAS_LSTM", "1") != "0"
-_PALLAS_T_BLK = 4
+_PALLAS_T_BLK = int(os.environ.get("CAIMAN_PALLAS_LSTM_TBLK", "4"))
 
 
 def _pallas_ok(T: int, B: int, H: int, dtype) -> bool:

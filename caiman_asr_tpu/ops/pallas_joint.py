@@ -444,9 +444,22 @@ def _fit_tile(size: int, want: int) -> int:
 
 
 # HBM budget for the stored-u training fast path (see _fwd_kernel_store):
-# enabled when the padded [N, K] bf16 slab fits. ~4.7 GB at base-85M
-# B=32x12s shapes (on by default there); ~9.7 GB at large-196M (off).
-Z_STORE_LIMIT_BYTES = int(os.environ.get("CAIMAN_JOINT_ZSTORE_MB", 5120)) << 20
+# enabled when the padded [N, K] bf16 slab fits. The default is keyed on
+# the padded vocab width (measured on v5e-16GB, 2026-08-20): base-scale
+# models (Kp <= 9216, ~2 GB param/opt footprint) afford a 12 GB slab —
+# dense base-85M B=64 runs stored-u at 2,897 audio-s/s vs 2,605 without
+# — while large-196M (Kp 17408, ~4 GB params/opt + ~5 GB gate slabs)
+# RESOURCE_EXHAUSTs past ~5 GB. CAIMAN_JOINT_ZSTORE_MB overrides both.
+_ZSTORE_MB_ENV = os.environ.get("CAIMAN_JOINT_ZSTORE_MB")
+Z_STORE_LIMIT_BYTES = (
+    int(_ZSTORE_MB_ENV) << 20 if _ZSTORE_MB_ENV is not None else None
+)
+
+
+def _zstore_limit(Kp: int) -> int:
+    if Z_STORE_LIMIT_BYTES is not None:
+        return Z_STORE_LIMIT_BYTES
+    return (12288 << 20) if Kp <= 9216 else (5120 << 20)
 
 # Scoped-VMEM compiler budget for the joint kernels. The hardware has
 # ~128 MB VMEM but Mosaic's default scoped limit is 16 MB, which capped the
@@ -511,7 +524,7 @@ def _store_cols(Np: int, Kp: int, kt: int) -> int:
     fits the HBM budget. Kp -> full stored-u backward; 0 -> pure recompute;
     in between -> hybrid split (stored chunk + recompute chunk), only with
     Z_STORE_PARTIAL."""
-    cols = (Z_STORE_LIMIT_BYTES // max(Np * 2, 1)) // kt * kt
+    cols = (_zstore_limit(Kp) // max(Np * 2, 1)) // kt * kt
     cols = min(Kp, max(int(cols), 0))
     if cols < Kp and not Z_STORE_PARTIAL:
         return 0
