@@ -390,6 +390,16 @@ def main(args=None):
     if start_step and hasattr(train_loader, "steps_per_epoch"):
         try:
             spe = max(train_loader.steps_per_epoch(epoch) // accum, 1)
+            # derive BOTH the epoch and the position inside it from the
+            # step count alone: after start_step completed steps the next
+            # batch group is #(start_step % spe) of epoch start_step//spe.
+            # The checkpoint's epoch field cannot be trusted here — the
+            # preemption epilogue breaks out of the inner loop PAST the
+            # epoch increment, so a mid-epoch interrupt stores epoch+1 and
+            # replaying from it would skip the interrupted epoch's
+            # remaining batches (observed: resumed losses diverged from
+            # the uninterrupted control at every post-resume step).
+            epoch = start_step // spe
             resume_batches = (start_step % spe) * accum
         except Exception:
             resume_batches = 0

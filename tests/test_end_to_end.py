@@ -348,3 +348,51 @@ train_mod.main(args)
     args.resume = True
     state, _ = train_mod.main(args)
     assert int(state.step) == stopped_at + 2
+
+
+@pytest.mark.slow
+def test_resume_is_bit_exact(workspace, tmp_path):
+    """--resume reproduces the uninterrupted run's loss/grad-norm stream
+    exactly, INCLUDING a mid-epoch interrupt (the preemption epilogue
+    stores epoch+1; resume must realign the data stream from the step
+    count) and with RSP on (carried state + gate stream ride the
+    checkpoint)."""
+    import json as _json
+
+    from caiman_asr_tpu import train as train_mod
+
+    def read_log(out):
+        recs = {}
+        for f in sorted(Path(out).glob("log_*.jsonl")):
+            for line in open(f):
+                try:
+                    r = _json.loads(line)
+                except _json.JSONDecodeError:
+                    continue
+                if r.get("subset") == "train" and "loss" in r:
+                    recs[r["step"][1]] = (r["loss"], r["grad_norm"])
+        return recs
+
+    common = dict(
+        training_steps=6, val_frequency=100, save_frequency=100,
+        prediction_frequency=100,
+        # RSP active from step 1 with frequent concats
+        rsp_seq_len_freq=[1, 0, 1], rsp_delay=1,
+    )
+    out_a = tmp_path / "ctl"
+    train_mod.main(make_train_args(*workspace, out_a, **common))
+    recs_a = read_log(out_a)
+    assert sorted(recs_a) == [1, 2, 3, 4, 5, 6]
+
+    # interrupted run: stop after 3 steps (mid-epoch: 8 utts / gbs 4 = 2
+    # groups/epoch, so step 3 is the FIRST group of epoch 1), then resume
+    out_b = tmp_path / "intr"
+    train_mod.main(
+        make_train_args(*workspace, out_b, **dict(common, training_steps=3))
+    )
+    train_mod.main(
+        make_train_args(*workspace, out_b, **dict(common, resume=True))
+    )
+    recs_b = read_log(out_b)
+    for s in (4, 5, 6):
+        assert recs_b[s] == recs_a[s], (s, recs_b[s], recs_a[s])
