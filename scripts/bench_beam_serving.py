@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--fe_frames", type=int, default=None,
                     help="beam: final-emission budget in frames; default "
                          "off")
+    ap.add_argument("--beam_win", type=int, default=64,
+                    help="per-tick device->host token window per hypothesis "
+                         "(the dominant beam payload; halving it halves "
+                         "what the transport ships each tick)")
     ap.add_argument(
         "--reuse-upload", action="store_true",
         help="elide the host->device byte shipping (co-located tier: on "
@@ -63,6 +67,10 @@ def main():
 
     from caiman_asr_tpu.models.rnnt import RNNT, RNNTModelConfig
     from caiman_asr_tpu.serving.engine import StreamingEngine
+
+    import bench as _bench
+
+    _bench.setup_compile_cache("tpu")  # persist compiles to .tpu_cache
 
     if args.model == "base":
         cfg = RNNTModelConfig(
@@ -93,6 +101,7 @@ def main():
         beam_score_thresh=args.score_thresh,
         beam_topk_thresh=args.topk_thresh,
         beam_final_emission_frames=args.fe_frames,
+        beam_win=args.beam_win,
     )
     for i in range(args.batch):
         eng.open_stream()
