@@ -127,7 +127,7 @@ def test_extra_state_roundtrip(tmp_path):
     np.testing.assert_array_equal(got["rsp/1"], extra["rsp/1"])
     p, ema, opt, meta = load_checkpoint(path)
     assert meta["step"] == 7 and "m" in p
-    assert load_extra.__doc__  # plain ckpt: no extra
+    # a checkpoint without extra state loads as an empty dict
     save_checkpoint(tmp_path / "ck2.npz", params)
     assert load_extra(tmp_path / "ck2.npz") == {}
 
