@@ -167,6 +167,13 @@ def _merged_scores(s, h, l):
     return jnp.where(alive & keeper, merged, NEG_INF)
 
 
+def _opt_thresh(v):
+    """Normalize a pruning-threshold option: None / inf / negative all
+    disable (the host beam CLI's ``<0 -> inf`` convention)."""
+    v = None if v is None else float(v)
+    return None if v is None or not np.isfinite(v) or v < 0 else v
+
+
 def _apply_score_thresh(scores, lens, thresh):
     """Kill hypotheses whose length-normalised score trails the lane best
     by more than ``thresh`` (host beam _prune_scores; ref beam.py:364-366:
@@ -266,14 +273,9 @@ class FastBeamDecoder:
         self.cap = cap
         self.merge = merge
 
-        def _norm(v):
-            # None / inf / negative all disable (host CLI: <0 -> inf)
-            v = None if v is None else float(v)
-            return None if v is None or not np.isfinite(v) or v < 0 else v
-
-        self.score_thresh = _norm(score_thresh)
-        self.topk_thresh = _norm(topk_thresh)
-        fe = _norm(final_emission_frames)
+        self.score_thresh = _opt_thresh(score_thresh)
+        self.topk_thresh = _opt_thresh(topk_thresh)
+        fe = _opt_thresh(final_emission_frames)
         self.final_emission_frames = None if fe is None else int(fe)
         self.ngram_alpha = float(ngram_alpha)
         self.lm = _lm_tables(ngram_lm, ngram_alpha)
@@ -578,14 +580,9 @@ def make_streaming_beam_step(
     alpha = float(ngram_alpha)
     kw = _kw_tables(keywords)
 
-    def _opt(v):
-        # None / inf / negative all disable (host CLI: <0 -> inf)
-        v = None if v is None else float(v)
-        return None if v is None or not np.isfinite(v) or v < 0 else v
-
-    score_thresh = _opt(score_thresh)
-    topk_thresh = _opt(topk_thresh)
-    fe_limit = _opt(final_emission_frames)
+    score_thresh = _opt_thresh(score_thresh)
+    topk_thresh = _opt_thresh(topk_thresh)
+    fe_limit = _opt_thresh(final_emission_frames)
     fe_limit = None if fe_limit is None or W <= 1 else int(fe_limit)
 
     def pred_advance(params, tokens, h, c):
@@ -723,10 +720,14 @@ def make_streaming_beam_step(
                 zf.reshape(B * W, K), W + 1, recall_target=0.99
             )
             if topk_thresh is not None and not fused:
-                # no fusion: candidates ARE acoustic scores — threshold the
-                # top-(W+1) survivors directly (the true max is among them),
-                # sparing the [B*W, K] masked copy
-                bar = jnp.max(cs, axis=-1, keepdims=True) - topk_thresh
+                # no fusion: candidates ARE acoustic scores — threshold
+                # them against the EXACT full-vocab row max (approx_max_k
+                # only probabilistically contains it; using its max as the
+                # bar would prune less than the offline/host decoders).
+                # The extra reduce fuses with z's producer — no new pass.
+                bar = (
+                    jnp.max(z, axis=-1).reshape(B * W, 1) - topk_thresh
+                )
                 cs = jnp.where(cs >= bar, cs, NEG_INF)
             cs = jnp.where(ci == blank_idx, NEG_INF, cs)
             cand_s = (

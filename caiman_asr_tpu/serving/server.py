@@ -311,6 +311,13 @@ def build_engine(args):
             f"keyword boosting on: {kw_tables.n_states} states", flush=True
         )
     fe_secs = float(getattr(args, "beam_final_emission_thresh", float("inf")))
+    # engine tick duration from the featurizer config (60 ms canonical;
+    # matches StreamingEngine.frame_seconds = stacking x stack_time x hop)
+    frame_secs = (
+        cfg.input_val.logmel.window_stride
+        * cfg.input_val.splicing.frame_stacking
+        * model.cfg.enc_stack_time_factor
+    )
     engine_kw = dict(
         mel_stats=mel_stats,
         decoder=getattr(args, "decoder", "greedy"),
@@ -325,9 +332,10 @@ def build_engine(args):
             is None or tt < 0 else tt
         ),
         # CLI threshold is seconds (ref final_emission_thresh); the device
-        # beam counts 60 ms frames
+        # beam counts engine ticks
         beam_final_emission_frames=(
-            max(1, round(fe_secs / 0.06)) if np.isfinite(fe_secs) else None
+            max(1, round(fe_secs / frame_secs))
+            if np.isfinite(fe_secs) else None
         ),
         logmel=cfg.input_val.logmel,
         frame_stacking=cfg.input_val.splicing.frame_stacking,

@@ -472,8 +472,10 @@ def build_decoder(
             ),
             score_thresh=getattr(args, "beam_prune_score_thresh", None),
             topk_thresh=getattr(args, "beam_prune_topk_thresh", None),
-            # CLI threshold is seconds (host beam frame_width=0.06);
-            # the device beam counts 60 ms frames
+            # CLI threshold is seconds; the device beam counts ENCODER
+            # frames, whose duration derives from the featurizer config
+            # (window_stride x frame_subsampling x stack_time = 60 ms on
+            # the canonical configs)
             final_emission_frames=(
                 None
                 if not np.isfinite(
@@ -482,7 +484,11 @@ def build_decoder(
                                 float("inf"))
                     )
                 )
-                else max(1, round(fe / 0.06))
+                else max(1, round(fe / (
+                    cfg.input_val.logmel.window_stride
+                    * cfg.input_val.splicing.frame_subsampling
+                    * model.cfg.enc_stack_time_factor
+                )))
             ),
         )
 

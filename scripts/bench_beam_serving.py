@@ -70,7 +70,10 @@ def main():
 
     import bench as _bench
 
-    _bench.setup_compile_cache("tpu")  # persist compiles to .tpu_cache
+    # persist compiles to the shared .tpu_cache — but only on the real
+    # TPU (CPU-fallback entries are machine-specific and must not land
+    # in the git-committed dir)
+    _bench.setup_compile_cache(jax.devices()[0].platform)
 
     if args.model == "base":
         cfg = RNNTModelConfig(

@@ -43,7 +43,12 @@ REF_DATA = Path("/root/reference/training/tests/test_data")
 
 
 def build_dataset(work: Path) -> tuple[Path, Path, list[str]]:
-    """~30 real-audio variants: clip x {SNR grid, speed grid}."""
+    """~22 real-audio variants: clip x {SNR grid, speed grid}.
+
+    Same mixing recipe as scripts/real_speech_e2e.py --aug (power-ratio
+    SNR scaling, peak clamp to 0.95, resample-based speed perturb) but a
+    denser SNR grid with randomized noise offsets — keep the two in sync
+    if the mixing math changes."""
     from caiman_asr_tpu.data.audio import read_audio, resample
 
     manifest = json.load(open(REF_DATA / "peoples-speech-short.json"))
@@ -120,11 +125,16 @@ def read_steps(out_dir: Path) -> dict[int, dict]:
 def wait_step(out_dir: Path, target: int, proc, timeout=3600):
     t0 = time.time()
     while time.time() - t0 < timeout:
-        if proc.poll() is not None:
-            raise RuntimeError(f"train died early rc={proc.returncode}")
         recs = read_steps(out_dir)
         if recs and max(recs) >= target:
             return
+        if proc.poll() is not None:
+            # re-read once: the process may have finished normally
+            # between polls after passing the target
+            recs = read_steps(out_dir)
+            if recs and max(recs) >= target:
+                return
+            raise RuntimeError(f"train died early rc={proc.returncode}")
         time.sleep(2)
     raise RuntimeError("timed out waiting for training progress")
 
@@ -224,7 +234,13 @@ def main(argv=None):
     # ---- checks
     # 1. bit-exact recovery: every post-resume step's loss & grad_norm
     #    equals the control run's (same seed, deterministic data order)
-    resume_from = min(s for s in recs_b if s > stop_step)
+    post = [s for s in recs_b if s > stop_step]
+    if not post:
+        print(json.dumps({"interrupted_at": stop_step,
+                          "error": "resumed run logged no further steps"}))
+        print("LONGRUN ROBUSTNESS: FAIL")
+        return 1
+    resume_from = min(post)
     mismatches = []
     for s in sorted(recs_b):
         if s < resume_from or s not in recs_a:

@@ -217,15 +217,12 @@ def main(argv=None):
             all_upls.append(upls)
             # finals-only visibility: a word counts only when a FINAL
             # carries it (clients that ignore provisionals; the surface
-            # --beam_final_emission_thresh bounds)
-            fin_words, fin_text = [], ""
-            for r in responses:
-                if r.is_partial:
-                    continue
-                before = len(fin_text.split())
-                fin_text += r.text
-                for w in fin_text.split()[before:]:
-                    fin_words.append((w, r.timestamp))
+            # --beam_final_emission_thresh bounds). get_word_timestamps
+            # handles words split across two finals (each character keeps
+            # its own arrival time; the word completes at the latest one).
+            fin_words = get_word_timestamps(
+                [r for r in responses if not r.is_partial]
+            )
             all_fin_upls.append(_align_upl(fin_words, gt_words))
             hyp_text = " ".join(w for w, _ in words)
             print(f"run {run}: {len(responses)} responses, "

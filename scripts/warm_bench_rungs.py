@@ -27,7 +27,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     import bench
 
-    bench.setup_compile_cache("tpu")
+    # never let a CPU fallback (tunnel down) write machine-specific CPU
+    # executables into the shared, git-committed TPU cache
+    platform = bench._detect_platform()
+    if platform != "tpu":
+        raise SystemExit(
+            f"refusing to warm: platform is {platform!r}, not tpu — a CPU "
+            "fallback would pollute .tpu_cache with host-specific entries"
+        )
+    bench.setup_compile_cache(platform)
     # the ladder rungs + the tunnel tier (2048); measure_compute's
     # pipeline_depth=0 program at 16384 is shape-identical to the rung's.
     sizes = [int(a) for a in sys.argv[1:]] or [

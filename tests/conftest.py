@@ -9,12 +9,15 @@ init, so setting it here still works.
 import os
 import sys
 
-# Silence XLA:CPU C++ log spam: cpu_aot_loader warns "machine features
-# don't match" on every persistent-cache hit because XLA embeds tuning
-# pseudo-features (+prefer-no-scatter/-gather) in the compile feature list
-# that host detection never reports — a same-machine false positive (the
-# cache dir is additionally machine-fingerprint-keyed below, so genuine
-# cross-machine reuse cannot happen).
+# Silence XLA:CPU C++ log spam: cpu_aot_loader logs "machine features
+# don't match" at ERROR level on every persistent-cache hit because XLA
+# embeds tuning pseudo-features (+prefer-no-scatter/-gather) in the
+# compile feature list that host detection never reports — a same-machine
+# false positive (the cache dir is additionally machine-fingerprint-keyed
+# below, so genuine cross-machine reuse cannot happen). Level 3 (FATAL
+# only) is required — the spam is E-level, so level 2 would not hide it;
+# the cost is that other XLA ERROR diagnostics are hidden in test runs
+# too (set TF_CPP_MIN_LOG_LEVEL=0 when debugging an XLA-level failure).
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 _flags = os.environ.get("XLA_FLAGS", "")
