@@ -107,6 +107,40 @@ def _fwd_kernel_store(h_ref, w_ref, b_ref, out_d, out_u, s_scr, *, kt, n_k):
         out_d[0, :] = jnp.sum(s_scr[:, :], axis=1)
 
 
+def _fwd_kernel_store8(h_ref, w_ref, b_ref, out_d, out_u, out_s, s_scr,
+                       *, kt, n_k):
+    """Forward storing u as SCALED INT8 (see _store_plan): per (row, vocab
+    tile), s = rowmax(u)/127 and the slab holds round(u/s) in 0..127.
+
+    Halves the residual slab vs bf16 — the lever that makes the 2-GEMM
+    stored-u backward fit large-196M's HBM (the bf16 slab is 9.1 GB at
+    B=32; int8 is 4.6 GB + 18 MB of scales). Precision: quantization is
+    absolute at 0.4% of the tile's max numerator, i.e. softmax entries
+    below ~1/255 of the row-tile max round to a one-ulp neighborhood and
+    the big entries that carry the gradient keep ~8 significant bits;
+    the on-device f64 grad check (scripts/check_joint_grads_tpu.py
+    --stored-i8) quantifies the end-to-end effect vs plain XLA."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        s_scr[:] = jnp.zeros_like(s_scr)
+
+    z = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    z = z + b_ref[0, :][None, :]
+    u = jnp.exp(z)
+    m = jnp.max(u, axis=1)
+    inv = jnp.where(m > 0, 127.0 / m, 0.0)
+    out_u[:, :] = jnp.round(u * inv[:, None]).astype(jnp.int8)
+    out_s[0, 0, :] = m * (1.0 / 127.0)
+    tp = z.shape[0]
+    s_scr[:, :] += jnp.sum(u.reshape(tp, kt // LANES, LANES), axis=1)
+
+    @pl.when(j == n_k - 1)
+    def _():
+        out_d[0, :] = jnp.sum(s_scr[:, :], axis=1)
+
+
 def _bwd_dh_kernel(h_ref, w_ref, b_ref, d_ref, c_ref, out_ref, acc_scr,
                    *, kt, n_k):
     """Pass A: out[pos] = (cb+cl)[pos] * (softmax(z)[pos] @ W^T)."""
@@ -277,6 +311,61 @@ def _bwd_fused_kernel_u(h_ref, u_ref, w_ref, cs_ref, cb_ref, cl_ref, lab_ref,
         db_ref[0, :] = db_scr[0, pl.ds(j * kt, kt)]
 
 
+def _bwd_fused_kernel_u8(h_ref, u_ref, s_ref, w_ref, cs_ref, cb_ref, cl_ref,
+                         lab_ref, out_sm, dw_ref, db_ref, acc_scr, dw_scr,
+                         db_scr, *, kt, n_i, n_k, blank_idx):
+    """Fused A+B over a scaled-int8 u slab (see _bwd_fused_kernel_u): the
+    slab is read from HBM once per visit, rescaled in VMEM, and feeds both
+    GEMMs."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dw_scr[:] = jnp.zeros_like(dw_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    h = h_ref[:]
+    uf = u_ref[:].astype(jnp.float32) * s_ref[0, 0, :][:, None]
+    acc_scr[:, :] += jnp.dot(
+        uf.astype(jnp.bfloat16), w_ref[:].T, preferred_element_type=jnp.float32
+    )
+
+    tp = uf.shape[0]
+    cl = cl_ref[0, :]
+    k_iota = lax.broadcasted_iota(jnp.int32, (tp, kt), 1)
+    col = lab_ref[0, :] - j * kt
+    dz = -cs_ref[0, :][:, None] * uf
+    dz = dz + jnp.where(k_iota == col[:, None], cl[:, None], 0.0)
+    dw_scr[:, pl.ds(j * kt, kt)] += jnp.dot(
+        h.T, dz.astype(h.dtype), preferred_element_type=jnp.float32
+    )
+    db_scr[0, pl.ds(j * kt, kt)] += jnp.sum(dz, axis=0)
+    if 0 <= blank_idx < n_k * kt:
+
+        @pl.when(j == blank_idx // kt)
+        def _():
+            cb = cb_ref[0, :]
+            dw_scr[:, blank_idx : blank_idx + 1] += jnp.dot(
+                h.T, cb[:, None].astype(h.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            db_scr[0, blank_idx : blank_idx + 1] += jnp.sum(cb)[None]
+
+    @pl.when(j == n_k - 1)
+    def _():
+        out_sm[:, :] = -cs_ref[0, :][:, None] * acc_scr[:, :]
+
+    @pl.when(i == n_i - 1)
+    def _():
+        dw_ref[:, :] = dw_scr[:, pl.ds(j * kt, kt)]
+        db_ref[0, :] = db_scr[0, pl.ds(j * kt, kt)]
+
+
 def _bwd_dh_kernel_u(u_ref, w_ref, cs_ref, out_ref, acc_scr, *, n_k):
     """Pass A, stored-u variant: the per-tile work is ONE bf16 GEMM on the
     stored softmax numerators, nothing else. cs = (cb+cl) * exp(-d) is
@@ -289,6 +378,26 @@ def _bwd_dh_kernel_u(u_ref, w_ref, cs_ref, out_ref, acc_scr, *, n_k):
 
     acc_scr[:, :] += jnp.dot(
         u_ref[:], w_ref[:].T, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == n_k - 1)
+    def _():
+        out_ref[:, :] = -cs_ref[0, :][:, None] * acc_scr[:, :]
+
+
+def _bwd_dh_kernel_u8(u_ref, s_ref, w_ref, cs_ref, out_ref, acc_scr, *, n_k):
+    """Pass A over a scaled-int8 u slab: rescale rows, cast bf16, GEMM."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    u = (u_ref[:].astype(jnp.float32) * s_ref[0, 0, :][:, None]).astype(
+        jnp.bfloat16
+    )
+    acc_scr[:, :] += jnp.dot(
+        u, w_ref[:].T, preferred_element_type=jnp.float32
     )
 
     @pl.when(j == n_k - 1)
@@ -318,6 +427,49 @@ def _bwd_dw_kernel_u(h_ref, u_ref, cs_ref, cb_ref, cl_ref, lab_ref,
 
     h = h_ref[:]
     u = u_ref[:].astype(jnp.float32)
+    tp = u.shape[0]
+
+    cl = cl_ref[0, :]
+    k_iota = lax.broadcasted_iota(jnp.int32, (tp, kt), 1)
+    col = lab_ref[0, :] - j * kt
+    dz = -cs_ref[0, :][:, None] * u
+    dz = dz + jnp.where(k_iota == col[:, None], cl[:, None], 0.0)
+    dw_scr[:, :] += jnp.dot(
+        h.T, dz.astype(h.dtype), preferred_element_type=jnp.float32
+    )
+    db_scr[0, :] += jnp.sum(dz, axis=0)
+    if 0 <= blank_idx and blank_idx // kt < n_k:
+        bc = blank_idx % kt
+
+        @pl.when(j == blank_idx // kt)
+        def _():
+            cb = cb_ref[0, :]
+            dw_scr[:, bc : bc + 1] += jnp.dot(
+                h.T, cb[:, None].astype(h.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            db_scr[0, bc : bc + 1] += jnp.sum(cb)[None]
+
+    @pl.when(i == n_i - 1)
+    def _():
+        dw_ref[:, :] = dw_scr[:, :]
+        db_ref[0, :] = db_scr[0, :]
+
+
+def _bwd_dw_kernel_u8(h_ref, u_ref, s_ref, cs_ref, cb_ref, cl_ref, lab_ref,
+                      dw_ref, db_ref, dw_scr, db_scr, *, kt, n_i, n_k,
+                      blank_idx):
+    """Pass B over a scaled-int8 u slab (see _bwd_dw_kernel_u)."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dw_scr[:] = jnp.zeros_like(dw_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
+
+    h = h_ref[:]
+    u = u_ref[:].astype(jnp.float32) * s_ref[0, 0, :][:, None]
     tp = u.shape[0]
 
     cl = cl_ref[0, :]
@@ -456,9 +608,14 @@ Z_STORE_LIMIT_BYTES = (
 )
 
 
-def _zstore_limit(Kp: int) -> int:
+def _zstore_limit(Kp: int, itemsize: int = 2) -> int:
     if Z_STORE_LIMIT_BYTES is not None:
         return Z_STORE_LIMIT_BYTES
+    if itemsize == 1:
+        # scaled-int8 slabs: measured safe on v5e-16GB (2026-08-20) —
+        # large-196M trains with a 6.9 GB slab at B=48 (7,100 MB budget
+        # verified live); base-scale models keep the bf16 figure
+        return (12288 << 20) if Kp <= 9216 else (7168 << 20)
     return (12288 << 20) if Kp <= 9216 else (5120 << 20)
 
 # Scoped-VMEM compiler budget for the joint kernels. The hardware has
@@ -476,7 +633,7 @@ def fused_joint_lse(h, w, b, labels, blank_idx, interpret=False):
     Returns (lp_blank [N], lp_label [N]) — log-softmax scores of the blank
     and per-position label token. Differentiable wrt h, w, b.
     """
-    lp_b, lp_l, _, _ = _forward(h, w, b, labels, blank_idx, interpret)
+    lp_b, lp_l, _, _, _ = _forward(h, w, b, labels, blank_idx, interpret)
     return lp_b, lp_l
 
 
@@ -510,31 +667,62 @@ _env = os.environ.get("CAIMAN_JOINT_FUSED_BWD", "auto")
 FUSED_BWD = _env if _env == "auto" else _env == "1"  # "auto" | True | False
 
 
-def _use_fused(stored: bool) -> bool:
+def _use_fused(stored: bool, i8: bool = False) -> bool:
     """Whether the one-kernel fused backward should handle this chunk.
-    ``stored``: a bf16 u slab exists for the chunk (forward stored it)."""
+    ``stored``: a u slab exists for the chunk (forward stored it); ``i8``:
+    it is the scaled-int8 slab. Auto policy (all measured on v5e): no
+    slab -> fused (328 vs 357 ms/step at large); bf16 slab -> two-kernel
+    (143.9 vs 146.1 at base); int8 slab -> fused (296.2 vs 299.2 ms/step
+    at large B=32 — one slab read instead of two wins again)."""
     if FUSED_BWD == "auto":
-        return not stored
+        return (not stored) or i8
     return bool(FUSED_BWD)
 _FUSED_VMEM_LIMIT = int(os.environ.get("CAIMAN_JOINT_FUSED_VMEM_MB", 118)) << 20
 
 
-def _store_cols(Np: int, Kp: int, kt: int) -> int:
-    """Number of vocab columns (multiple of kt, <= Kp) whose bf16 u slab
-    fits the HBM budget. Kp -> full stored-u backward; 0 -> pure recompute;
-    in between -> hybrid split (stored chunk + recompute chunk), only with
-    Z_STORE_PARTIAL."""
-    cols = (_zstore_limit(Kp) // max(Np * 2, 1)) // kt * kt
+def _store_cols(Np: int, Kp: int, kt: int, itemsize: int = 2) -> int:
+    """Number of vocab columns (multiple of kt, <= Kp) whose u slab fits
+    the HBM budget at ``itemsize`` bytes/element. Kp -> full stored-u
+    backward; 0 -> pure recompute; in between -> hybrid split (stored
+    chunk + recompute chunk), only with Z_STORE_PARTIAL."""
+    cols = (_zstore_limit(Kp, itemsize) // max(Np * itemsize, 1)) // kt * kt
     cols = min(Kp, max(int(cols), 0))
     if cols < Kp and not Z_STORE_PARTIAL:
         return 0
     return cols
 
 
+# Stored-u slab dtype policy: "auto" prefers the full-precision bf16 slab
+# when it fits the HBM budget, else falls back to the scaled-int8 slab
+# (half the bytes — fits large-196M at B<=32 where bf16 cannot; its
+# gradient precision is quantified by scripts/check_joint_grads_tpu.py).
+# "bf16" / "i8" force a dtype (store only if that dtype fits); "off"
+# disables storage entirely.
+_ZSTORE_DTYPE = os.environ.get("CAIMAN_JOINT_ZSTORE_DTYPE", "auto")
+
+
+def _store_plan(Np: int, Kp: int, kt: int):
+    """-> (cols, dtype_str or None): how many vocab columns to store and
+    in which dtype."""
+    if _ZSTORE_DTYPE == "off":
+        return 0, None
+    if _ZSTORE_DTYPE in ("auto", "bf16"):
+        cols = _store_cols(Np, Kp, kt, 2)
+        if cols > 0:
+            return cols, "bf16"
+        if _ZSTORE_DTYPE == "bf16":
+            return 0, None
+    cols = _store_cols(Np, Kp, kt, 1)
+    if cols == Kp:  # int8 path is all-or-nothing (no partial hybrid)
+        return cols, "i8"
+    return 0, None
+
+
 def _fwd_chunk(hp, w, b, lo, hi, tp, kt, store, interpret):
     """One forward pallas call over vocab columns [lo, hi) of the ORIGINAL
-    (unpadded-K) w/b. Returns (row sumexp [Np], u-slab or None). hi - lo
-    need not be tile-aligned; the chunk is padded with NEG bias columns
+    (unpadded-K) w/b. ``store``: None | "bf16" | "i8". Returns
+    (row sumexp [Np], u-slab or None, i8-scales or None). hi - lo need
+    not be tile-aligned; the chunk is padded with NEG bias columns
     (exp -> 0, so partial sums add exactly)."""
     Np, Hj = hp.shape
     Kc = hi - lo
@@ -549,7 +737,7 @@ def _fwd_chunk(hp, w, b, lo, hi, tp, kt, store, interpret):
         pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
     ]
-    if store:
+    if store == "bf16":
         kernel = functools.partial(_fwd_kernel_store, kt=kt, n_k=n_k)
         out_s, up = pl.pallas_call(
             kernel,
@@ -567,7 +755,28 @@ def _fwd_chunk(hp, w, b, lo, hi, tp, kt, store, interpret):
             compiler_params=_CP,
             interpret=interpret,
         )(hp, wp, bp)
-        return out_s[0], up
+        return out_s[0], up, None
+    if store == "i8":
+        kernel = functools.partial(_fwd_kernel_store8, kt=kt, n_k=n_k)
+        out_s, up, us = pl.pallas_call(
+            kernel,
+            grid=(n_i, n_k),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tp, kt), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tp), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, Np), jnp.float32),
+                jax.ShapeDtypeStruct((Np, Kcp), jnp.int8),
+                jax.ShapeDtypeStruct((n_k, 1, Np), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((tp, LANES), jnp.float32)],
+            compiler_params=_CP,
+            interpret=interpret,
+        )(hp, wp, bp)
+        return out_s[0], up, us
     kernel = functools.partial(_fwd_kernel, kt=kt, n_k=n_k)
     (out_s,) = pl.pallas_call(
         kernel,
@@ -581,7 +790,7 @@ def _fwd_chunk(hp, w, b, lo, hi, tp, kt, store, interpret):
         compiler_params=_CP,
         interpret=interpret,
     )(hp, wp, bp)
-    return out_s[0], None
+    return out_s[0], None, None
 
 
 def _forward(h, w, b, labels, blank_idx, interpret, store_z=False):
@@ -592,17 +801,18 @@ def _forward(h, w, b, labels, blank_idx, interpret, store_z=False):
     Kp = -(-K // kt) * kt
     hp = _pad_to(h, Np, 0)
 
-    ks = _store_cols(Np, Kp, kt) if store_z else 0
+    ks, sdtype = _store_plan(Np, Kp, kt) if store_z else (0, None)
     ks = min(ks, K)
+    us = None
     if ks > 0:
-        s1, up = _fwd_chunk(hp, w, b, 0, ks, tp, kt, True, interpret)
+        s1, up, us = _fwd_chunk(hp, w, b, 0, ks, tp, kt, sdtype, interpret)
         if ks < K:
-            s2, _ = _fwd_chunk(hp, w, b, ks, K, tp, kt, False, interpret)
+            s2, _, _ = _fwd_chunk(hp, w, b, ks, K, tp, kt, None, interpret)
             sums = s1 + s2
         else:
             sums = s1
     else:
-        sums, up = _fwd_chunk(hp, w, b, 0, K, tp, kt, False, interpret)
+        sums, up, us = _fwd_chunk(hp, w, b, 0, K, tp, kt, None, interpret)
     denom = jnp.log(sums)[:N]
 
     # label / blank logits via O(N·H) gathered-column dots (outside the
@@ -617,14 +827,14 @@ def _forward(h, w, b, labels, blank_idx, interpret, store_z=False):
         jnp.dot(h, w[:, blank_idx], preferred_element_type=jnp.float32)
         + b32[blank_idx]
     )
-    return z_blank - denom, z_lab - denom, denom, up
+    return z_blank - denom, z_lab - denom, denom, up, us
 
 
 def _vjp_fwd(h, w, b, labels, blank_idx, interpret):
-    lp_b, lp_l, denom, up = _forward(
+    lp_b, lp_l, denom, up, us = _forward(
         h, w, b, labels, blank_idx, interpret, store_z=True
     )
-    return (lp_b, lp_l), (h, w, b, labels, denom, up)
+    return (lp_b, lp_l), (h, w, b, labels, denom, up, us)
 
 
 def _bwd_a_u(up, w, lo, hi, cs, tp, kt, interpret):
@@ -652,6 +862,119 @@ def _bwd_a_u(up, w, lo, hi, cs, tp, kt, interpret):
         compiler_params=_CP,
         interpret=interpret,
     )(up, wp, cs)
+
+
+def _bwd_a_u8(up, us, w, lo, hi, cs, tp, kt, interpret):
+    """Pass A over a scaled-int8 stored chunk. ``kt`` MUST be the forward's
+    vocab-tile width (the scale granularity)."""
+    Np, Kcp = up.shape
+    Hj = w.shape[0]
+    tp = _fit_tile(Np, tp)
+    assert Kcp % kt == 0, "i8 slab width must tile at the forward's kt"
+    n_i, n_k = Np // tp, Kcp // kt
+    wp = _pad_to(w[:, lo:hi], Kcp, 1)
+    kernel = functools.partial(_bwd_dh_kernel_u8, n_k=n_k)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_i, n_k),
+        in_specs=[
+            pl.BlockSpec((tp, kt), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tp), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tp, Hj), jnp.float32)],
+        compiler_params=_CP,
+        interpret=interpret,
+    )(up, us, wp, cs)
+
+
+def _bwd_b_u8(hp, up, us, cs, cbp, clp, labp, blank_rel, tp, kt, interpret):
+    """Pass B over a scaled-int8 stored chunk (kt = forward's tile width)."""
+    Np, Hj = hp.shape
+    Kcp = up.shape[1]
+    tp = _fit_tile(Np, tp)
+    assert Kcp % kt == 0, "i8 slab width must tile at the forward's kt"
+    n_i, n_k = Np // tp, Kcp // kt
+    kernel = functools.partial(
+        _bwd_dw_kernel_u8, kt=kt, n_i=n_i, n_k=n_k, blank_idx=blank_rel
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_k, n_i),
+        in_specs=[
+            pl.BlockSpec((tp, Hj), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, kt), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tp), lambda j, i: (j, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Hj, kt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Hj, Kcp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Kcp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Hj, kt), jnp.float32),
+            pltpu.VMEM((1, kt), jnp.float32),
+        ],
+        compiler_params=_CP,
+        interpret=interpret,
+    )(hp, up, us, cs, cbp, clp, labp)
+
+
+def _bwd_fused_u8(hp, up, us, w, lo, hi, cs, cbp, clp, labp, blank_rel, tp,
+                  kt, interpret):
+    """Fused passes A+B over a scaled-int8 stored chunk (kt = forward's
+    tile width). Returns (smear, dw, db)."""
+    Np, Hj = hp.shape
+    Kcp = up.shape[1]
+    tp = _fit_tile(Np, tp)
+    assert Kcp % kt == 0, "i8 slab width must tile at the forward's kt"
+    n_i, n_k = Np // tp, Kcp // kt
+    wp = _pad_to(w[:, lo:hi], Kcp, 1)
+    kernel = functools.partial(
+        _bwd_fused_kernel_u8, kt=kt, n_i=n_i, n_k=n_k, blank_idx=blank_rel
+    )
+    vec = lambda: pl.BlockSpec((1, tp), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    sm, dw, db = pl.pallas_call(
+        kernel,
+        grid=(n_i, n_k),
+        in_specs=[
+            pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, kt), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tp), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            vec(), vec(), vec(), vec(),
+        ],
+        out_specs=[
+            pl.BlockSpec((tp, Hj), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hj, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Hj), jnp.float32),
+            jax.ShapeDtypeStruct((Hj, Kcp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Kcp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tp, Hj), jnp.float32),
+            pltpu.VMEM((Hj, Kcp), jnp.float32),
+            pltpu.VMEM((1, Kcp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(hp, up, us, wp, cs, cbp, clp, labp)
+    return sm, dw, db
 
 
 def _derive_a_chunk(hp, w, b, cs, tp, kt, interpret):
@@ -907,7 +1230,7 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
     """Backward, chunked over the vocab: columns [0, ks) use the stored-u
     kernels (one GEMM per pass), columns [ks, K) re-derive z (two GEMMs
     per pass). ks is whatever the forward stored (0, partial, or all)."""
-    h, w, b, labels, denom, up = res
+    h, w, b, labels, denom, up, us = res
     cb, cl = grads  # [N] each
     N, Hj = h.shape
     K = w.shape[1]
@@ -961,7 +1284,29 @@ def _vjp_bwd(blank_idx, interpret, res, grads):
     smear = None
     dws, dbs = [], []
     if ks > 0:
-        if _use_fused(stored=True) and _fused_bwd_fits(Hj, up.shape[1], tp_a, kt_a):
+        if us is not None:
+            # scaled-int8 slab: kernels must run at the forward's kt (the
+            # scale granularity). Taller position tiles cut per-row-sweep
+            # W re-streaming (W crosses VMEM once per row tile).
+            kt_f = _tiles(Hj)[1]
+            tp_u8 = int(os.environ.get("CAIMAN_JOINT_U8_TP", tp_a))
+            if _use_fused(stored=True, i8=True) and _fused_bwd_fits(
+                Hj, up.shape[1], tp_u8, kt_f
+            ):
+                smear, dw1, db1 = _bwd_fused_u8(
+                    hp, up, us, w, 0, ks, cs, cbp, clp, labp, blank_idx,
+                    tp_u8, kt_f, interpret,
+                )
+            else:
+                smear = _bwd_a_u8(up, us, w, 0, ks, cs, tp_u8, kt_f,
+                                  interpret)
+                dw1, db1 = _bwd_b_u8(
+                    hp, up, us, cs, cbp, clp, labp, blank_idx, tp_b, kt_f,
+                    interpret,
+                )
+        elif _use_fused(stored=True) and _fused_bwd_fits(
+            Hj, up.shape[1], tp_a, kt_a
+        ):
             smear, dw1, db1 = _bwd_fused_u(
                 hp, up, w, 0, ks, cs, cbp, clp, labp, blank_idx,
                 tp_a, kt_a, interpret,

@@ -103,20 +103,23 @@ def _vp_fwd_impl(h, w_local, b_local, labels, blank_idx, axis_name,
     hp = pj._pad_to(h, Np, 0)
     Klp = -(-Kl // kt) * kt
 
+    # TP shards the vocab, so the per-shard bf16 slab is 1/n_shards of the
+    # single-device one — the full-precision dtype is kept here (the i8
+    # fallback in pj._store_plan exists for the UNsharded large-vocab case)
     ks = pj._store_cols(Np, Klp, kt) if store_z else 0
     ks = min(ks, Kl)
     if ks > 0:
-        s1, up = pj._fwd_chunk(hp, w_local, b_local, 0, ks, tp, kt, True,
-                               interpret)
+        s1, up, _ = pj._fwd_chunk(hp, w_local, b_local, 0, ks, tp, kt,
+                                  "bf16", interpret)
         if ks < Kl:
-            s2, _ = pj._fwd_chunk(hp, w_local, b_local, ks, Kl, tp, kt,
-                                  False, interpret)
+            s2, _, _ = pj._fwd_chunk(hp, w_local, b_local, ks, Kl, tp, kt,
+                                     None, interpret)
             sums_local = s1 + s2
         else:
             sums_local = s1
     else:
-        sums_local, up = pj._fwd_chunk(hp, w_local, b_local, 0, Kl, tp, kt,
-                                       False, interpret)
+        sums_local, up, _ = pj._fwd_chunk(hp, w_local, b_local, 0, Kl, tp,
+                                          kt, None, interpret)
 
     k_off = lax.axis_index(axis_name) * Kl
     zb_local, zl_local = _local_onehot_logits(

@@ -110,7 +110,8 @@ def check(name, Hj, K, mode, factor):
 
 def main():
     ok = True
-    for mode in ("f32", "fused", "auto"):
+    for mode in ("f32", "fused", "auto", "i8"):
+        pj._ZSTORE_DTYPE = "auto"
         if mode == "f32":
             pj.Z_STORE_LIMIT_BYTES = 0
             pj.RECHUNK_LIMIT_BYTES = 0
@@ -122,6 +123,16 @@ def main():
             pj.RECHUNK_LIMIT_BYTES = 0
             pj.FUSED_BWD = True
             factor = 3.0  # recomputes u fresh per tile, no slab residual
+        elif mode == "i8":
+            # scaled-int8 slab: a deliberately lossy storage mode (the
+            # large-vocab HBM fallback). The gate here only screens for
+            # LOGIC bugs (O(1) perturbations); the printed numbers ARE the
+            # measured precision cost the docs cite.
+            pj.Z_STORE_LIMIT_BYTES = 1 << 62
+            pj.RECHUNK_LIMIT_BYTES = 0
+            pj.FUSED_BWD = False
+            pj._ZSTORE_DTYPE = "i8"
+            factor = 200.0
         else:
             pj.Z_STORE_LIMIT_BYTES = 5120 << 20
             pj.RECHUNK_LIMIT_BYTES = 512 << 20

@@ -38,7 +38,8 @@ def test_forward_parity(data):
 
 
 @pytest.mark.parametrize(
-    "mode", ["stored", "stored_fused", "fused", "rechunk", "recompute"]
+    "mode", ["stored", "stored_fused", "fused", "rechunk", "recompute",
+             "stored_i8", "stored_fused_i8"]
 )
 def test_vjp_parity(data, monkeypatch, mode):
     """stored: forward keeps the bf16 u slab, two-kernel backward.
@@ -47,7 +48,9 @@ def test_vjp_parity(data, monkeypatch, mode):
     accumulator resident in VMEM). rechunk: backward re-derives bf16 u
     per N-chunk. recompute: per-pass z re-derivation. The bf16-u slab
     paths carry ~2^-9 RELATIVE error on the softmax numerators, hence
-    looser tolerances."""
+    looser tolerances; the scaled-int8 slab (*_i8) quantizes at 1/254
+    of the per-tile max numerator — a deliberately lossy mode (the
+    large-vocab HBM fallback), tested at correspondingly wide bounds."""
     import caiman_asr_tpu.ops.pallas_joint as pj
 
     monkeypatch.setattr(
@@ -57,7 +60,12 @@ def test_vjp_parity(data, monkeypatch, mode):
     monkeypatch.setattr(
         pj, "RECHUNK_LIMIT_BYTES", (1 << 62) if mode == "rechunk" else 0
     )
-    monkeypatch.setattr(pj, "FUSED_BWD", mode in ("fused", "stored_fused"))
+    monkeypatch.setattr(
+        pj, "_ZSTORE_DTYPE", "i8" if mode.endswith("_i8") else "auto"
+    )
+    monkeypatch.setattr(
+        pj, "FUSED_BWD", mode in ("fused", "stored_fused", "stored_fused_i8")
+    )
     h, w, b, labels = data
     rng = np.random.default_rng(1)
     cb = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
@@ -73,7 +81,12 @@ def test_vjp_parity(data, monkeypatch, mode):
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(h, w, b)
     g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(h, w, b)
-    atol, rtol = (2e-4, 1e-4) if mode == "recompute" else (2e-3, 1e-3)
+    if mode.endswith("_i8"):
+        atol, rtol = 5e-2, 5e-2
+    elif mode == "recompute":
+        atol, rtol = 2e-4, 1e-4
+    else:
+        atol, rtol = 2e-3, 1e-3
     for a, r in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=atol, rtol=rtol)
 
