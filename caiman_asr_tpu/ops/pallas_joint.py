@@ -568,9 +568,10 @@ def _tiles(Hj: int) -> Tuple[int, int, int, int, int, int]:
     timing): large 248->225 ms fwd+bwd vs the old 512-row defaults
     (taller fwd + pass-B tiles cut W/h re-streaming); base 82->74 ms.
     """
+    tp_fwd = int(os.environ.get("CAIMAN_JOINT_TP_FWD", 0))
     if Hj >= 1024:  # large-196M shapes (K=17408)
-        return 1024, 2048, 512, 1024, 1024, 1024
-    return 1024, 1024, 512, 1024, 512, 3072  # base-85M (K=8704)
+        return tp_fwd or 1024, 2048, 512, 1024, 1024, 1024
+    return tp_fwd or 1024, 1024, 512, 1024, 512, 3072  # base-85M (K=8704)
 
 
 def _pad_to(x, n, axis, value=0):

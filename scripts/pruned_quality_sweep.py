@@ -56,12 +56,21 @@ def run_one(mode: str, seed: int, steps: int, lr: float, base: Path,
         if not m:
             raise RuntimeError(f"{mode} seed {seed}: no WER line in\n{tail}")
         streq = "streaming == offline: True" in out.stdout
-        return {
+        row = {
             "mode": mode, "seed": seed,
             "greedy_wer": float(m.group(1)) / 100.0,
             "beam_wer": float("nan"),
             "stream_eq": streq,
         }
+        # round-5 aug rows: device fast_beam-4 + ngram fusion (production
+        # thresholds) and FPGA-arithmetic quantized greedy
+        m2 = re.search(
+            r"aug extra rows: beam4\+lm dev WER ([0-9.]+)%, "
+            r"quantized greedy dev WER ([0-9.]+)%", out.stdout)
+        if m2:
+            row["beam_wer"] = float(m2.group(1)) / 100.0
+            row["quant_wer"] = float(m2.group(2)) / 100.0
+        return row
     m = re.search(
         r"greedy-best dev WER ([0-9.]+)%,\s*beam-4 dev WER ([0-9.]+)%",
         out.stdout,
@@ -98,15 +107,19 @@ def main():
                      if "stream_eq" in r else ""),
                   flush=True)
 
-    print("\nmode      n  greedy mean±sd       beam-4 mean±sd")
+    print("\nmode      n  greedy mean±sd       beam-4 mean±sd       "
+          "quantized mean±sd")
     for mode in ("dense", "pruned5"):
         g = [r["greedy_wer"] for r in rows if r["mode"] == mode]
         b = [r["beam_wer"] for r in rows
              if r["mode"] == mode and r["beam_wer"] == r["beam_wer"]]
+        q = [r["quant_wer"] for r in rows
+             if r["mode"] == mode and "quant_wer" in r]
         beam = (f"{mean(b):.2%} ± {pstdev(b):.2%}" if b
-                else "—  (real task: greedy only)")
+                else "—  (greedy only)")
+        quant = (f"{mean(q):.2%} ± {pstdev(q):.2%}" if q else "—")
         print(f"{mode:8s} {len(g)}  {mean(g):.2%} ± {pstdev(g):.2%}   "
-              f"{beam}")
+              f"{beam}   {quant}")
 
 
 if __name__ == "__main__":

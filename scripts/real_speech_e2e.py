@@ -261,6 +261,48 @@ def main(argv=None):
     state, best_wer = train_mod.main(targs)
     print(f"final dev WER after {args.steps} steps: {best_wer:.3%}")
 
+    if args.aug:
+        # Quality-matrix rows beyond greedy on the SAME held-out-SNR dev
+        # set (round-5: the reference's headline quality numbers are
+        # beam+ngram rows, performance.md:24, and its FPGA deployment runs
+        # quantized arithmetic): (a) the DEVICE fast_beam at width 4 with
+        # the production pruning thresholds (0.4/1.5) and shallow fusion
+        # against an n-gram trained on the training transcripts; (b)
+        # greedy under `quantize: true` (BFP-8 weights/acts + bf16 gate
+        # arithmetic, the FPGA-parity eval mode).
+        from caiman_asr_tpu.data.tokenizer import Tokenizer
+        from caiman_asr_tpu.lm.train_ngram import train_ngram_from_sentences
+        from caiman_asr_tpu.val import val_arg_parser, validate
+
+        tokz = Tokenizer(list(" abcdefghijklmnopqrstuvwxyz'"), str(tok))
+        sentences = [
+            [tokz.id_to_piece(i) for i in tokz.tokenize(t.lower())]
+            for t in texts
+        ] * 4
+        arpa = train_ngram_from_sentences(sentences, 3, work / "lm")
+        common = [
+            "--model_config", str(cfg), "--dataset_dir", str(work),
+            "--val_manifests", str(val_manifest),
+            "--ckpt", str(work / "out" / "ckpts" / "last.npz"),
+            "--val_batch_size", "2",
+            "--mel_stats_path", str(stats_path),
+        ]
+        beam_res = validate(val_arg_parser().parse_args(common + [
+            "--output_dir", str(work / "valout_beam"),
+            "--decoder", "fast_beam", "--beam_width", "4",
+            "--ngram_path", str(arpa),
+        ]))
+        cfg_q = work / "model_q.yaml"
+        cfg_q.write_text(
+            cfg.read_text().replace("rnnt:", "rnnt:\n  quantize: true", 1)
+        )
+        quant_res = validate(val_arg_parser().parse_args([
+            "--model_config", str(cfg_q)] + common[2:] + [
+            "--output_dir", str(work / "valout_quant"),
+        ]))
+        print(f"aug extra rows: beam4+lm dev WER {float(beam_res.wer):.3%}, "
+              f"quantized greedy dev WER {float(quant_res.wer):.3%}")
+
     # offline hypothesis through the val CLI (same ckpt + stats). In aug
     # mode compare on the clean clip alone so hyps[0] is unambiguous.
     eq_manifest = work / "manifest.json"
