@@ -426,7 +426,14 @@ class FastBeamDecoder:
 
             def cond(carry):
                 e, active, finished = carry
-                return (e < E - 1) & _improvable(
+                # e < E (not E-1): the loop body's expand() is what adds a
+                # token, so E iterations = at most E tokens per frame —
+                # matching the host beam's per-hyp cap (_may_emit:
+                # y_len_t < max_symbols). The early exit keeps the
+                # expected trip count at ~1-2 regardless of E; only
+                # burst-emission frames (e.g. word-level-piece models
+                # emitting several tokens at once) iterate deeper.
+                return (e < E) & _improvable(
                     active, finished, W, self.merge
                 )
 
@@ -657,7 +664,9 @@ def make_streaming_beam_step(
         since = state.pop("since_final", None)
         init_toks, init_ts = state["toks"], state["ts"]
         small = {k: v for k, v in state.items() if k not in ("toks", "ts")}
-        EM = max(E - 1, 1)  # loop trip bound (gens 1..EM)
+        # loop trip bound = E (one expand per trip -> at most E tokens per
+        # frame, HOST-equal per-hyp cap semantics — see _decode_impl.cond)
+        EM = max(E, 1)
         bix = lax.broadcasted_iota(jnp.int32, (B, W), 0)
         wix = lax.broadcasted_iota(jnp.int32, (B, W), 1)
 
@@ -762,7 +771,7 @@ def make_streaming_beam_step(
 
         def cond(carry):
             e, active, fin, _, _, _ = carry
-            return (e < E - 1) & _improvable(active, fin, W, merge)
+            return (e < EM) & _improvable(active, fin, W, merge)
 
         def body(carry):
             e, active, fin, fin_gen, fin_row, trace = carry

@@ -459,7 +459,13 @@ def build_decoder(
             model,
             blank_idx,
             beam_width=args.beam_width,
-            max_symbols_per_step=min(args.max_symbols_per_step or 4, 8),
+            # SAME default/cap as the host beam below (8): a lower device
+            # cap silently truncates burst emissions — measured on a
+            # word-level-piece model where the device beam lost 11 of 31
+            # words at the old cap of 4 while the host beam was exact
+            # (round 5; the early-exit loop keeps normal frames at ~1-2
+            # iterations, so a higher bound costs nothing typical-case)
+            max_symbols_per_step=args.max_symbols_per_step or 8,
             temperature=args.temperature if args.temperature != 1.0 else 1.4,
             eos_strategy=eos_strategy,
             fuzzy_topk_logits=args.fuzzy_topk_logits,

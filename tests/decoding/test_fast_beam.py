@@ -201,3 +201,57 @@ def test_fast_beam_lm_fusion_steers_output(model_and_params, rng, tmp_path):
     agreed = [tuple(toks[b, 0, : lens_b[b, 0]]) for b in range(2)]
     assert all(t == fav for seq in agreed for t in seq)
     assert any(len(seq) > 0 for seq in agreed)
+
+
+class _BurstBeam(FastBeamDecoder):
+    """Scripted joint: the model wants to emit the fixed token sequence
+    BURST as an immediate burst (position-free — the acoustics barely
+    matter), exactly the emission pattern of a word-level-piece overfit.
+    The pred-state position is smuggled through g[..., 0]."""
+
+    BURST = [3, 5, 2, 7, 4, 6, 1, 3]
+
+    def _logprobs(self, params, f, g):
+        B, W = g.shape[0], g.shape[1]
+        pos = jnp.clip(g[..., 0].astype(jnp.int32), 0, len(self.BURST))
+        want = jnp.asarray(self.BURST + [0], jnp.int32)[pos]  # [B, W]
+        done = pos >= len(self.BURST)
+        K = N_CLASSES
+        base = jnp.full((B, W, K), -12.0)
+        onehot = jax.nn.one_hot(want, K, dtype=jnp.float32)
+        onehot = jnp.where(done[..., None], 0.0, onehot)  # done: nothing wanted
+        lp = base + onehot * 11.9  # wanted token: -0.1
+        blank = jnp.where(done, -0.01, -5.0)
+        lp = lp.at[..., BLANK].set(blank)
+        # normalize-ish (values are already log-prob scaled; exactness of
+        # the distribution doesn't matter for the search semantics)
+        return lp
+
+    def _pred_advance(self, params, tokens, h, c):
+        B, W = tokens.shape
+        g_pos = h[0, :, :, 0] + 1.0  # position counter rides h[0,...,0]
+        h2 = h.at[0, :, :, 0].set(g_pos)
+        g = jnp.zeros((B, W, self.model.cfg.joint_n_hid), h.dtype)
+        g = g.at[..., 0].set(g_pos)
+        return g, h2, c
+
+
+def test_fast_beam_completes_burst_emissions(model_and_params):
+    """Regression (round 5): a model emitting a many-token burst in one
+    frame must not be truncated by the per-frame expansion bound — the
+    device loop's cap is E tokens/frame (HOST-equal semantics,
+    beam.py _may_emit), and mid-burst prefixes must survive frame
+    boundaries through the kept pool. Before the fix the device beam
+    emitted NOTHING at W=1 (the 0-token blank hyp won every frame) and
+    truncated at W=4, while the host beam was exact."""
+    model, params = model_and_params
+    T, Hj = 6, model.cfg.joint_n_hid
+    encs = jnp.zeros((1, T, Hj))
+    enc_lens = jnp.asarray([T])
+    for W in (1, 2, 4):
+        dec = _BurstBeam(model, BLANK, beam_width=W, max_symbols_per_step=8)
+        toks, ts, lens, scores = dec.decode_encs(params, encs, enc_lens)
+        got = [int(t) for t in toks[0, 0, : int(lens[0, 0])]]
+        assert got == _BurstBeam.BURST, (
+            f"W={W}: burst truncated/garbled: {got}"
+        )
