@@ -97,56 +97,94 @@ def main():
     except Exception:
         pd = ProfileData.from_serialized_xspace(gzip.decompress(raw))
 
-    tot = defaultdict(float)
-    cnt = defaultdict(int)
+    # Per-LINE analysis. An xplane trace is a set of timelines ("lines");
+    # summing durations across lines double-counts massively (async
+    # slice/copy-start spans cover their whole in-flight window and
+    # overlap both each other and the compute ops that hide them). The
+    # honest view: per line, the UNION of event intervals = that
+    # timeline's busy wall; per-op exclusive attribution only makes
+    # sense within one line.
+    n_iter = args.iters
+
+    def union_ms(evs):
+        ivs = sorted((ev.start_ns, ev.start_ns + ev.duration_ns)
+                     for ev in evs)
+        busy, cur_s, cur_e = 0, None, None
+        for s, e in ivs:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    busy += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            busy += cur_e - cur_s
+        return busy / 1e6
+
+    def categorize(name):
+        ln = name.lower()
+        if "pallas" in ln or "custom-call" in ln or "tpu_custom_call" in ln:
+            if "lstm" in ln:
+                return "pallas-lstm"
+            if "fwd" in ln or "bwd" in ln or "joint" in ln or "fused" in ln:
+                return "pallas-other"
+            return "custom-call"
+        if ln.startswith("%dot") or "conv" in ln or "einsum" in ln \
+                or "transpose_jvp" in ln or ln.startswith("%jvp"):
+            return "gemm/jvp"
+        if "fusion" in ln:
+            return "fusion"
+        if "slice-start" in ln or "copy-start" in ln or "-done" in ln:
+            return "async-dma"
+        if "copy" in ln or "transpose" in ln or "bitcast" in ln:
+            return "copy/transpose"
+        if "scan" in ln or "while" in ln:
+            return "loop"
+        return "other"
+
+    lines = []
     for plane in pd.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name.lower():
             continue
         for line in plane.lines:
-            lname = line.name.lower()
-            # XLA op lines carry per-op events; skip step/trace meta lines
-            for ev in line.events:
-                name = ev.name
-                dur = ev.duration_ns / 1e6  # ms
-                tot[name] += dur
-                cnt[name] += 1
-    if not tot:
-        # fall back: aggregate everything
+            evs = list(line.events)
+            if evs:
+                lines.append((plane.name, line.name, evs))
+    if not lines:
         for plane in pd.planes:
             for line in plane.lines:
-                for ev in line.events:
-                    tot[ev.name] += ev.duration_ns / 1e6
-                    cnt[ev.name] += 1
+                evs = list(line.events)
+                if evs:
+                    lines.append((plane.name, line.name, evs))
 
-    items = sorted(tot.items(), key=lambda kv: -kv[1])
-    n_iter = args.iters
-    print(f"\ntop {args.top} ops (ms per step, over {n_iter} steps):")
-    for name, ms in items[: args.top]:
-        print(f"  {ms/n_iter:9.2f} ms  x{cnt[name]:4d}  {name[:110]}")
+    print("\nper-timeline busy wall (interval union, ms per step):")
+    main_line = None
+    for pname, lname, evs in sorted(
+            lines, key=lambda t: -union_ms(t[2])):
+        busy = union_ms(evs)
+        print(f"  {busy/n_iter:9.2f} ms  {len(evs):6d} ev  "
+              f"{pname[:28]} / {lname[:40]}")
+        # the op-level attribution line: the densest non-module timeline
+        if main_line is None and len(evs) > 50 and "module" not in lname.lower():
+            main_line = (pname, lname, evs)
 
-    cats = defaultdict(float)
-    for name, ms in items:
-        ln = name.lower()
-        if "pallas" in ln or "custom-call" in ln:
-            if "lstm" in ln:
-                cats["pallas-lstm"] += ms
-            elif "fwd" in ln or "bwd" in ln or "joint" in ln or "fused" in ln:
-                cats["pallas-other"] += ms
-            else:
-                cats["custom-call"] += ms
-        elif "dot" in ln or "conv" in ln or "einsum" in ln:
-            cats["gemm"] += ms
-        elif "fusion" in ln:
-            cats["fusion"] += ms
-        elif "copy" in ln or "transpose" in ln or "bitcast" in ln:
-            cats["copy/transpose"] += ms
-        elif "scan" in ln or "while" in ln:
-            cats["loop"] += ms
-        else:
-            cats["other"] += ms
-    print("\ncategory rollup (ms per step):")
-    for k, v in sorted(cats.items(), key=lambda kv: -kv[1]):
-        print(f"  {v/n_iter:9.2f} ms  {k}")
+    if main_line is not None:
+        pname, lname, evs = main_line
+        tot = defaultdict(float)
+        cnt = defaultdict(int)
+        for ev in evs:
+            tot[ev.name] += ev.duration_ns / 1e6
+            cnt[ev.name] += 1
+        items = sorted(tot.items(), key=lambda kv: -kv[1])
+        print(f"\ntop {args.top} ops on '{lname}' (ms per step):")
+        for name, ms in items[: args.top]:
+            print(f"  {ms/n_iter:9.2f} ms  x{cnt[name]:4d}  {name[:105]}")
+        cats = defaultdict(float)
+        for name, ms in items:
+            cats[categorize(name)] += ms
+        print(f"\ncategory rollup on '{lname}' (ms per step):")
+        for k, v in sorted(cats.items(), key=lambda kv: -kv[1]):
+            print(f"  {v/n_iter:9.2f} ms  {k}")
 
 
 if __name__ == "__main__":
