@@ -97,6 +97,10 @@ def main():
     except Exception:
         pd = ProfileData.from_serialized_xspace(gzip.decompress(raw))
 
+    analyze_xplane(pd, args.iters, args.top)
+
+
+def analyze_xplane(pd, n_iter, top):
     # Per-LINE analysis. An xplane trace is a set of timelines ("lines");
     # summing durations across lines double-counts massively (async
     # slice/copy-start spans cover their whole in-flight window and
@@ -104,7 +108,6 @@ def main():
     # honest view: per line, the UNION of event intervals = that
     # timeline's busy wall; per-op exclusive attribution only makes
     # sense within one line.
-    n_iter = args.iters
 
     def union_ms(evs):
         ivs = sorted((ev.start_ns, ev.start_ns + ev.duration_ns)
@@ -176,8 +179,8 @@ def main():
             tot[ev.name] += ev.duration_ns / 1e6
             cnt[ev.name] += 1
         items = sorted(tot.items(), key=lambda kv: -kv[1])
-        print(f"\ntop {args.top} ops on '{lname}' (ms per step):")
-        for name, ms in items[: args.top]:
+        print(f"\ntop {top} ops on '{lname}' (ms per step):")
+        for name, ms in items[: top]:
             print(f"  {ms/n_iter:9.2f} ms  x{cnt[name]:4d}  {name[:105]}")
         cats = defaultdict(float)
         for name, ms in items:
